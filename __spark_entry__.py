@@ -1,10 +1,11 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry() smoke, queries() + oracle_sql() correctness gate.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each query exercises operators from SURVEY.md §2 through the
+``quanta_etl_spark`` library (the engine under test), expressed over the
+driver's TPC-H-ish testdata. Every computed column is aliased
+identically in the Spark code and the oracle SQL; double aggregates are
+computed via exact decimal(20,6) sums cast back to double so that both
+engines produce bit-identical values regardless of accumulation order.
 """
 
 from __future__ import annotations
@@ -12,27 +13,713 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quanta_etl_spark.functions import text as T
+from quanta_etl_spark.operators import aggregates as agg_ops
+from quanta_etl_spark.operators import dedup as dedup_ops
+from quanta_etl_spark.operators import joins as join_ops
+from quanta_etl_spark.operators import quality as quality_ops
+from quanta_etl_spark.operators import resample as resample_ops
+from quanta_etl_spark.operators import setops as set_ops
+from quanta_etl_spark.operators import similarity as sim_ops
+from quanta_etl_spark.operators import windows as win_ops
+from quanta_etl_spark.sources.testdata import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _dec(c: str | F.Column) -> F.Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("decimal(20,6)")
+
+
+def _dsum(c: str | F.Column, alias: str) -> F.Column:
+    """Order-independent double sum: exact decimal accumulation."""
+    return F.sum(_dec(c)).cast("double").alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# A-series: the reference's executed operators (SURVEY.md §2A)
+# ---------------------------------------------------------------------------
+
+
+def q_scan_filter_project(spark: SparkSession, sf: str) -> DataFrame:
+    """A1/A2/A8/A9: scan → filter → derived-column projection."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.where((F.col("l_discount") > 0.05) & (F.col("l_quantity") >= 30))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        )
+    )
+
+
+def q_derive_date_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """A2-A5: timestamp derivation, date parse/format, datediff, arithmetic."""
+    o = load_table(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date_str"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch_start"
+        ),
+        (F.col("o_totalprice") / 30.5).alias("price_per_month"),
+    )
+
+
+def q_dim_join_left(spark: SparkSession, sf: str) -> DataFrame:
+    """A6/A7: manual column pruning + broadcast left fact⋈dim join
+    (the reference's product-spec enrichment shape, etl.py:160-164)."""
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    return join_ops.broadcast_dim_join(
+        o.withColumnRenamed("o_custkey", "c_custkey"),
+        c,
+        on="c_custkey",
+        how="left",
+        dim_cols=["c_name", "c_mktsegment"],
+    ).select("o_orderkey", "c_custkey", "c_name", "c_mktsegment", "o_totalprice")
+
+
+def q_quality_offenders(spark: SparkSession, sf: str) -> DataFrame:
+    """A8-A10 (etl.py:166-175 generalized): predicate → distinct offender keys."""
+    ev = load_table(spark, sf, "events")
+    return quality_ops.offenders(
+        ev, F.col("value") >= 400.0, ["event_type", "user_id"]
+    )
+
+
+def q_distinct_flags(spark: SparkSession, sf: str) -> DataFrame:
+    """A10: dropDuplicates over a projection."""
+    li = load_table(spark, sf, "lineitem")
+    return dedup_ops.exact_dedup(
+        li.select("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation surface (§2B B5-ish / §2C)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """Flagship (TPC-H Q1 shape): full scan, grouped multi-aggregate."""
+    li = load_table(spark, sf, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    n = F.count(F.lit(1))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-06-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity", "sum_qty"),
+            _dsum("l_extendedprice", "sum_base_price"),
+            _dsum(disc_price, "sum_disc_price"),
+            _dsum(charge, "sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / n).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / n).alias("avg_price"),
+            (F.sum(_dec("l_discount")).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+def q_agg_priority_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """count_distinct + exact median + min/max per group."""
+    o = load_table(spark, sf, "orders")
+    return agg_ops.summarize(
+        o,
+        ["o_orderpriority"],
+        {
+            "n_orders": ("count", "o_orderkey"),
+            "n_customers": ("count_distinct", "o_custkey"),
+            "median_price": ("median", "o_totalprice"),
+            "max_price": ("max", "o_totalprice"),
+            "min_price": ("min", "o_totalprice"),
+        },
+    )
+
+
+def q_rollup_flag_status(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP: hierarchical subtotals + grand total."""
+    li = load_table(spark, sf, "lineitem")
+    return agg_ops.rollup_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": F.sum(_dec("l_quantity")).cast("double"),
+            "n": ("count", "l_orderkey"),
+        },
+    )
+
+
+def q_cube_status_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE: all grouping combinations."""
+    o = load_table(spark, sf, "orders")
+    return agg_ops.cube_agg(
+        o,
+        ["o_orderstatus", "o_orderpriority"],
+        {
+            "n": ("count", "o_orderkey"),
+            "sum_price": F.sum(_dec("o_totalprice")).cast("double"),
+        },
+    )
+
+
+def q_pivot_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot with explicit values (conditional aggregation under the hood)."""
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    joined = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey, "inner"
+    )
+    return joined.groupBy("n_name").agg(
+        *[
+            F.sum(F.when(F.col("c_mktsegment") == s, 1)).alias(s)
+            for s in segs
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join variety (§2B B2 / §2C)
+# ---------------------------------------------------------------------------
+
+
+def q_join_semi(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-semi: customers that have at least one order."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    return join_ops.semi_join(
+        c, o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey"
+    ).select("c_custkey", "c_name")
+
+
+def q_join_anti(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-anti: parts never shipped in bulk (no lineitem with qty > 45)."""
+    p = load_table(spark, sf, "part")
+    li = load_table(spark, sf, "lineitem")
+    bulk = li.where(F.col("l_quantity") > 45).select(
+        F.col("l_partkey").alias("p_partkey")
+    )
+    return join_ops.anti_join(p, bulk, "p_partkey").select("p_partkey", "p_name")
+
+
+def q_join_two_key(spark: SparkSession, sf: str) -> DataFrame:
+    """B2: composite-key equi-join (the derivative↔underlying shape,
+    reference README.md:175-176) — join lineitem back to per-(part,flag)
+    aggregates on BOTH keys."""
+    li = load_table(spark, sf, "lineitem")
+    stats = li.groupBy(
+        F.col("l_partkey").alias("s_partkey"), F.col("l_returnflag").alias("s_flag")
+    ).agg(_dsum("l_quantity", "part_flag_qty"))
+    joined = join_ops.two_key_join(
+        li, stats, ["l_partkey", "l_returnflag"], ["s_partkey", "s_flag"]
+    )
+    return joined.select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_returnflag", "part_flag_qty"
+    )
+
+
+def q_top_revenue_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, filter, group, global top-k (limit
+    plans TakeOrderedAndProject — no global sort)."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    revenue = F.sum(
+        _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    ).cast("double")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .where(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    grouped = joined.groupBy(
+        "l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date")
+    ).agg(revenue.alias("revenue"))
+    return win_ops.global_top_k(
+        grouped, [F.col("revenue").desc(), F.col("l_orderkey").asc()], 10
+    )
+
+
+def q_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way snowflake join with broadcast dims."""
+    r = load_table(spark, sf, "region")
+    n = load_table(spark, sf, "nation")
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_join_range(spark: SparkSession, sf: str) -> DataFrame:
+    """Range join (binned → equi-join + residual filter): classify
+    lineitems into quantity bands."""
+    li = load_table(spark, sf, "lineitem")
+    spark_bands = spark.createDataFrame(
+        [("low", 0.0, 10.0), ("mid", 10.0, 25.0), ("high", 25.0, 60.0)],
+        "band string, lo double, hi double",
+    )
+    joined = join_ops.range_join(
+        li, spark_bands, key=None, left_value="l_quantity",
+        right_lower="lo", right_upper="hi", bin_width=5.0,
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"), _dsum("l_quantity", "qty")
+    )
+
+
+def q_join_asof(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join (B1 cousin): for every click, the most recent prior-or-
+    equal purchase value of the same user. Union + forward-fill plan —
+    one shuffle, no point lookups."""
+    ev = load_table(spark, sf, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("last_purchase_value")
+    )
+    out = join_ops.asof_join(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["last_purchase_value"],
+        direction="backward",
+    )
+    return out.select("event_id", "user_id", "last_purchase_value")
+
+
+# ---------------------------------------------------------------------------
+# Window / time-series (§2B B1, B3-B6)
+# ---------------------------------------------------------------------------
+
+
+def q_lag_returns(spark: SparkSession, sf: str) -> DataFrame:
+    """B3: per-entity lag returns."""
+    ev = load_table(spark, sf, "events")
+    out = win_ops.lag_returns(
+        ev, "value", ["user_id"], ["ts", "event_id"], out="ret"
+    )
+    return out.select("user_id", "event_id", "ret")
+
+
+def q_rolling_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """B4: rolling mean/stddev over the trailing 5 observations."""
+    ev = load_table(spark, sf, "events")
+    out = win_ops.rolling_agg(
+        ev,
+        "value",
+        ["user_id"],
+        ["ts", "event_id"],
+        window_rows=5,
+        aggs={"roll_avg": "avg", "roll_std": "stddev_samp"},
+    )
+    return out.select("user_id", "event_id", "roll_avg", "roll_std")
+
+
+def q_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group top-k via row_number (deterministic total order)."""
+    o = load_table(spark, sf, "orders")
+    return win_ops.topk_per_group(
+        o,
+        ["o_orderpriority"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=3,
+        keep_rank=True,
+    ).select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+
+
+def q_window_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """Ranking family: rank + dense_rank + ntile over a keyed window."""
+    c = load_table(spark, sf, "customer")
+    base = c.select("c_custkey", "c_mktsegment", "c_acctbal")
+    r1 = win_ops.ranked(
+        base, ["c_mktsegment"], [F.col("c_acctbal").desc(), F.col("c_custkey").asc()],
+        "rank", out="bal_rank",
+    )
+    r2 = win_ops.ranked(
+        r1, ["c_mktsegment"], [F.col("c_acctbal").desc(), F.col("c_custkey").asc()],
+        "ntile", out="quartile", ntiles=4,
+    )
+    return r2.select("c_custkey", "c_mktsegment", "c_acctbal", "bal_rank", "quartile")
+
+
+def q_forward_fill(spark: SparkSession, sf: str) -> DataFrame:
+    """B1: carry the last purchase value forward over every event of a
+    user (nulls before the first purchase remain null)."""
+    ev = load_table(spark, sf, "events")
+    tagged = ev.withColumn(
+        "purchase_value",
+        F.when(F.col("event_type") == "purchase", F.col("value")),
+    )
+    out = win_ops.forward_fill(
+        tagged, ["purchase_value"], ["user_id"], ["ts", "event_id"]
+    )
+    return out.select("user_id", "event_id", "purchase_value")
+
+
+def q_resample_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """B5: OHLC downsample of the event stream to 1-hour bars per type."""
+    ev = load_table(spark, sf, "events")
+    bucket = resample_ops.time_bucket("ts", "1 hour")
+    return (
+        ev.groupBy(
+            F.date_format(bucket, "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+            "event_type",
+        )
+        .agg(
+            F.min_by("value", "event_id").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "event_id").alias("close"),
+            _dsum("value", "volume"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def q_weighted_index(spark: SparkSession, sf: str) -> DataFrame:
+    """B6: weighted cross-entity index per hour bucket."""
+    ev = load_table(spark, sf, "events")
+    w = (F.col("user_id") % 10 + 1).cast("double")
+    weighted = ev.groupBy(
+        F.date_format(
+            resample_ops.time_bucket("ts", "1 hour"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("bucket_ts")
+    ).agg(
+        (
+            F.sum(_dec(F.col("value") * w)).cast("double")
+            / F.sum(_dec(w)).cast("double")
+        ).alias("index_value")
+    )
+    return weighted
+
+
+# ---------------------------------------------------------------------------
+# Set operations / global sort (§2C)
+# ---------------------------------------------------------------------------
+
+
+def q_setop_union(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    s = load_table(spark, sf, "supplier")
+    return set_ops.union_distinct(
+        c.select(F.col("c_nationkey").alias("nationkey")),
+        s.select(F.col("s_nationkey").alias("nationkey")),
+    )
+
+
+def q_setop_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    return set_ops.intersect(
+        c.where(F.col("c_mktsegment") == "BUILDING").select(
+            F.col("c_custkey").alias("custkey")
+        ),
+        o.select(F.col("o_custkey").alias("custkey")),
+    )
+
+
+def q_setop_except(spark: SparkSession, sf: str) -> DataFrame:
+    """Customers with finished ('F') orders but no open ('O') orders."""
+    o = load_table(spark, sf, "orders")
+    return set_ops.except_(
+        o.where(F.col("o_orderstatus") == "F").select(
+            F.col("o_custkey").alias("custkey")
+        ),
+        o.where(F.col("o_orderstatus") == "O").select(
+            F.col("o_custkey").alias("custkey")
+        ),
+    )
+
+
+def q_global_topk(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return win_ops.global_top_k(
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        [
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        ],
+        10,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contract surface
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on sf0.001 (driver smoke check)."""
+    return q_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+def queries() -> dict[str, QueryFn]:
+    return {
+        "scan_filter_project": q_scan_filter_project,
+        "derive_date_parts": q_derive_date_parts,
+        "dim_join_left": q_dim_join_left,
+        "quality_offenders": q_quality_offenders,
+        "distinct_flags": q_distinct_flags,
+        "pricing_summary": q_pricing_summary,
+        "agg_priority_stats": q_agg_priority_stats,
+        "rollup_flag_status": q_rollup_flag_status,
+        "cube_status_priority": q_cube_status_priority,
+        "pivot_segments": q_pivot_segments,
+        "join_semi": q_join_semi,
+        "join_anti": q_join_anti,
+        "join_two_key": q_join_two_key,
+        "top_revenue_orders": q_top_revenue_orders,
+        "region_revenue": q_region_revenue,
+        "join_range": q_join_range,
+        "join_asof": q_join_asof,
+        "lag_returns": q_lag_returns,
+        "rolling_stats": q_rolling_stats,
+        "topk_per_group": q_topk_per_group,
+        "window_rank": q_window_rank,
+        "forward_fill": q_forward_fill,
+        "resample_hourly": q_resample_hourly,
+        "weighted_index": q_weighted_index,
+        "setop_union": q_setop_union,
+        "setop_intersect": q_setop_intersect,
+        "setop_except": q_setop_except,
+        "global_topk": q_global_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "scan_filter_project": """
+            SELECT l_orderkey, l_linenumber,
+                   l_extendedprice * (1 - l_discount) AS net_price
+            FROM lineitem
+            WHERE l_discount > 0.05 AND l_quantity >= 30
+        """,
+        "derive_date_parts": """
+            SELECT o_orderkey,
+                   CAST(year(o_orderdate) AS INT) AS o_year,
+                   CAST(month(o_orderdate) AS INT) AS o_month,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_date_str,
+                   CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)
+                       AS days_since_epoch_start,
+                   o_totalprice / 30.5 AS price_per_month
+            FROM orders
+        """,
+        "dim_join_left": """
+            SELECT o_orderkey, o_custkey AS c_custkey, c_name, c_mktsegment,
+                   o_totalprice
+            FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        """,
+        "quality_offenders": """
+            SELECT DISTINCT event_type, user_id
+            FROM events WHERE value >= 400.0
+        """,
+        "distinct_flags": """
+            SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) AS sum_base_price,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS sum_disc_price,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(20,6))) AS DOUBLE) AS sum_charge,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) / count(*) AS avg_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) / count(*) AS avg_price,
+                   CAST(sum(CAST(l_discount AS DECIMAL(20,6))) AS DOUBLE) / count(*) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2001-06-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "agg_priority_stats": """
+            SELECT o_orderpriority,
+                   count(o_orderkey) AS n_orders,
+                   count(DISTINCT o_custkey) AS n_customers,
+                   median(o_totalprice) AS median_price,
+                   max(o_totalprice) AS max_price,
+                   min(o_totalprice) AS min_price
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "rollup_flag_status": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty,
+                   count(l_orderkey) AS n
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "cube_status_priority": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(o_orderkey) AS n,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE) AS sum_price
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "pivot_segments": """
+            SELECT n_name,
+                   sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 END) AS "AUTOMOBILE",
+                   sum(CASE WHEN c_mktsegment = 'BUILDING'   THEN 1 END) AS "BUILDING",
+                   sum(CASE WHEN c_mktsegment = 'FURNITURE'  THEN 1 END) AS "FURNITURE",
+                   sum(CASE WHEN c_mktsegment = 'HOUSEHOLD'  THEN 1 END) AS "HOUSEHOLD",
+                   sum(CASE WHEN c_mktsegment = 'MACHINERY'  THEN 1 END) AS "MACHINERY"
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "join_semi": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "join_anti": """
+            SELECT p_partkey, p_name FROM part
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                              WHERE l_partkey = p_partkey AND l_quantity > 45)
+        """,
+        "join_two_key": """
+            WITH stats AS (
+                SELECT l_partkey AS s_partkey, l_returnflag AS s_flag,
+                       CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS part_flag_qty
+                FROM lineitem GROUP BY 1, 2
+            )
+            SELECT l_orderkey, l_linenumber, l_partkey, l_returnflag, part_flag_qty
+            FROM lineitem JOIN stats
+              ON l_partkey = s_partkey AND l_returnflag = s_flag
+        """,
+        "top_revenue_orders": """
+            SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY l_orderkey, o_date
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "region_revenue": """
+            SELECT r_name, n_name,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        """,
+        "join_range": """
+            WITH bands(band, lo, hi) AS (
+                VALUES ('low', 0.0, 10.0), ('mid', 10.0, 25.0), ('high', 25.0, 60.0)
+            )
+            SELECT band, count(*) AS n,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS qty
+            FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
+            GROUP BY band
+        """,
+        "join_asof": """
+            SELECT c.event_id, c.user_id, p.value AS last_purchase_value
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id AND p.ts <= c.ts
+        """,
+        "lag_returns": """
+            SELECT user_id, event_id,
+                   value / lag(value, 1) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) - 1.0 AS ret
+            FROM events
+        """,
+        "rolling_stats": """
+            SELECT user_id, event_id,
+                   avg(value) OVER w AS roll_avg,
+                   stddev_samp(value) OVER w AS roll_std
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "topk_per_group": """
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   CAST(row_number() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn
+            FROM orders
+            QUALIFY rn <= 3
+        """,
+        "window_rank": """
+            SELECT c_custkey, c_mktsegment, c_acctbal,
+                   CAST(rank() OVER (PARTITION BY c_mktsegment
+                        ORDER BY c_acctbal DESC, c_custkey ASC) AS INT) AS bal_rank,
+                   CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                        ORDER BY c_acctbal DESC, c_custkey ASC) AS INT) AS quartile
+            FROM customer
+        """,
+        "forward_fill": """
+            SELECT user_id, event_id,
+                   last_value(CASE WHEN event_type = 'purchase' THEN value END
+                              IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS purchase_value
+            FROM events
+        """,
+        "resample_hourly": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+                   event_type,
+                   arg_min(value, event_id) AS open,
+                   max(value) AS high,
+                   min(value) AS low,
+                   arg_max(value, event_id) AS close,
+                   CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS volume,
+                   count(*) AS n_events
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "weighted_index": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+                   CAST(sum(CAST(value * (user_id % 10 + 1) AS DECIMAL(20,6))) AS DOUBLE)
+                     / CAST(sum(CAST((user_id % 10 + 1) AS DECIMAL(20,6))) AS DOUBLE)
+                       AS index_value
+            FROM events
+            GROUP BY 1
+        """,
+        "setop_union": """
+            SELECT c_nationkey AS nationkey FROM customer
+            UNION
+            SELECT s_nationkey AS nationkey FROM supplier
+        """,
+        "setop_intersect": """
+            SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            INTERSECT
+            SELECT o_custkey AS custkey FROM orders
+        """,
+        "setop_except": """
+            SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+            EXCEPT
+            SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        """,
+        "global_topk": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice
+            FROM lineitem
+            ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+            LIMIT 10
+        """,
+    }

@@ -1,0 +1,113 @@
+"""Aggregation surface (SURVEY.md §2C — the reference executes no
+groupBy at all; aggregation exists only as documented workload).
+
+Thin, typed wrappers over the native agg family so the engine API is
+uniform; everything stays map-side-combinable JVM aggregation.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# name → (builder, needs_column)
+_AGG_FNS = {
+    "sum": F.sum,
+    "avg": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "count": F.count,
+    "count_distinct": F.countDistinct,
+    "approx_count_distinct": F.approx_count_distinct,
+    "stddev": F.stddev_samp,
+    "stddev_pop": F.stddev_pop,
+    "var": F.var_samp,
+    "first": F.first,
+    "last": F.last,
+    "collect_list": F.collect_list,
+    "collect_set": F.collect_set,
+    "median": F.median,
+    "sum_distinct": F.sum_distinct,
+}
+
+
+def _agg_exprs(aggs: Mapping[str, tuple[str, str] | Column]) -> list[Column]:
+    out = []
+    for alias, spec in aggs.items():
+        if isinstance(spec, Column):
+            out.append(spec.alias(alias))
+        else:
+            fn, col = spec
+            if fn.startswith("percentile_"):
+                q = float(fn.split("_", 1)[1]) / 100.0
+                out.append(F.percentile(col, F.lit(q)).alias(alias))
+            else:
+                out.append(_AGG_FNS[fn](col).alias(alias))
+    return out
+
+
+def summarize(
+    df: DataFrame,
+    by: Sequence[str | Column],
+    aggs: Mapping[str, tuple[str, str] | Column],
+) -> DataFrame:
+    """groupBy().agg() with a declarative agg map:
+    ``summarize(df, ["k"], {"total": ("sum", "x"), "n": ("count", "x")})``.
+    """
+    return df.groupBy(*by).agg(*_agg_exprs(aggs))
+
+
+def rollup_agg(
+    df: DataFrame,
+    by: Sequence[str],
+    aggs: Mapping[str, tuple[str, str] | Column],
+) -> DataFrame:
+    """Hierarchical subtotals (ROLLUP): grand total + every prefix level."""
+    return df.rollup(*by).agg(*_agg_exprs(aggs))
+
+
+def cube_agg(
+    df: DataFrame,
+    by: Sequence[str],
+    aggs: Mapping[str, tuple[str, str] | Column],
+) -> DataFrame:
+    """All 2^n grouping combinations (CUBE)."""
+    return df.cube(*by).agg(*_agg_exprs(aggs))
+
+
+def grouping_sets_agg(
+    df: DataFrame,
+    sets: Sequence[Sequence[str]],
+    all_keys: Sequence[str],
+    aggs: Mapping[str, tuple[str, str] | Column],
+) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL path (no DataFrame equivalent).
+    Keys absent from a grouping set come back NULL, like SQL."""
+    spark = df.sparkSession
+    df.createOrReplaceTempView("__gs_input")
+    agg_sql = []
+    for alias, spec in aggs.items():
+        fn, col = spec  # Column specs not supported on the SQL path
+        sql_fn = {"count_distinct": "count(distinct {c})"}.get(fn, f"{fn}({{c}})")
+        agg_sql.append(f"{sql_fn.format(c=col)} AS {alias}")
+    sets_sql = ", ".join("(" + ", ".join(s) + ")" for s in sets)
+    return spark.sql(
+        f"SELECT {', '.join(all_keys)}, {', '.join(agg_sql)} "
+        f"FROM __gs_input GROUP BY GROUPING SETS ({sets_sql})"
+    )
+
+
+def pivot_agg(
+    df: DataFrame,
+    by: Sequence[str],
+    pivot_col: str,
+    pivot_values: Sequence[str],
+    agg: tuple[str, str],
+) -> DataFrame:
+    """Pivot with EXPLICIT pivot values — never let Spark collect the
+    distinct values first (that's an extra job + a driver round-trip;
+    at 100 TB it's also a cardinality hazard)."""
+    fn, col = agg
+    return df.groupBy(*by).pivot(pivot_col, list(pivot_values)).agg(_AGG_FNS[fn](col))

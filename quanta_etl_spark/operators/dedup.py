@@ -1,0 +1,348 @@
+"""Deduplication operators for large-scale document corpora.
+
+Five families, all shuffle-architected for 100 TB:
+
+* exact            — hash-groupBy on a content fingerprint (one shuffle)
+* minhash_lsh      — shingle → minhash signature → banded bucket join;
+                     candidate verification by exact Jaccard
+* simhash          — 64-bit bit-vote fingerprint; near-dup = Hamming ≤ k
+                     found via block-banding (pigeonhole), not pairwise
+* ngram_jaccard    — exact Jaccard similarity join via shingle inverted
+                     index (explode → self-join → count agreement)
+* embedding cosine — near-dup by cosine ≥ τ via sign-LSH bucketing
+                     (see similarity.py for the search variants)
+
+Everything below is pure Catalyst expressions (transform/aggregate/
+filter lambdas run JVM-side inside codegen) — no Python UDFs, so the
+hot path is scan-speed. MinHash/SimHash signatures are computed
+per-row (embarrassingly parallel); the only shuffles are the bucket
+group-joins, which key on (band, hash) — uniformly distributed by
+construction.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from quanta_etl_spark.functions.text import (
+    fingerprint,
+    normalize_text,
+    shingle_hashes,
+    ws_tokens,
+)
+from quanta_etl_spark.functions.vectors import cosine_similarity
+
+# 31-bit Mersenne prime: (a*h + b) mod P stays within signed-64 range
+# for a, h < 2^31, so the whole minhash runs in native long arithmetic.
+_MERSENNE_31 = 2_147_483_647
+
+
+def _minhash_seeds(num: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE_31), rng.randrange(0, _MERSENNE_31))
+        for _ in range(num)
+    ]
+
+
+def exact_dedup(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
+    """Exact duplicate removal — hash-aggregate on the chosen columns.
+    Generalizes the reference's ``dropDuplicates`` usage
+    (/root/reference/dags/spark/etl.py:167-168)."""
+    return df.dropDuplicates(list(subset) if subset else None)
+
+
+def exact_dedup_by_fingerprint(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Exact content dedup with DETERMINISTIC survivor selection: group
+    by md5(normalized text), keep the row with the smallest id. One
+    shuffle; survivor choice is reproducible across runs/cluster sizes
+    (plain dropDuplicates keeps an arbitrary row)."""
+    fp = df.withColumn("__fp", fingerprint(text_col))
+    survivors = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return (
+        fp.join(survivors, [ "__fp", id_col ], "left_semi").drop("__fp")
+    )
+
+
+def minhash_signature(
+    text: Column | str, num_hashes: int = 64, shingle_k: int = 5
+) -> Column:
+    """MinHash signature (array<int>, length ``num_hashes``) of the
+    document's character-k-gram set. Universal hashing
+    h_i(x) = (a_i*x + b_i) mod P over 31-bit shingle hashes; the whole
+    signature is ONE nested Catalyst expression (transform over a
+    literal seed array → array_min over shingle hashes), no UDF."""
+    seeds = _minhash_seeds(num_hashes)
+    seed_arr = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in seeds
+        ]
+    )
+    h31 = F.transform(
+        shingle_hashes(text, shingle_k), lambda h: F.pmod(h, F.lit(_MERSENNE_31))
+    )
+    return F.transform(
+        seed_arr,
+        lambda s: F.array_min(
+            F.transform(h31, lambda h: F.pmod(s["a"] * h + s["b"], F.lit(_MERSENNE_31)))
+        ).cast("int"),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """LSH candidate pairs: slice the signature into ``bands`` bands of
+    r = num_hashes/bands rows, hash each band, and self-join on
+    (band_index, band_hash). Output: (id_a, id_b) with id_a < id_b,
+    distinct. Probability a pair with Jaccard s becomes a candidate:
+    1 - (1 - s^r)^b — the classic S-curve (MMDS ch.3).
+
+    Scale: the join keys are uniform 64-bit hashes → no skew; each
+    band bucket holds only genuinely-colliding docs.
+    """
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    r = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("__id"),
+        minhash_signature(text_col, num_hashes, shingle_k).alias("__sig"),
+    )
+    banded = sig.select(
+        "__id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.slice("__sig", b * r + 1, r), b).alias("bhash"),
+                ),
+            )
+        ).alias("__band"),
+    ).select("__id", "__band.band", "__band.bhash")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bhash") == F.col("r.bhash"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .dropDuplicates()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs, VERIFIED: candidates from the
+    banded join, then exact Jaccard over the true shingle sets
+    (array_intersect/array_union) filters false positives. Returns
+    (id_a, id_b, jaccard) with jaccard >= threshold."""
+    cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, shingle_k)
+    shingled = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(shingle_hashes(text_col, shingle_k)).alias("__sh"),
+    )
+    a = shingled.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "__sh_a")
+    b = shingled.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "__sh_b")
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
+    union = F.size(F.array_union("__sh_a", "__sh_b")).cast("double")
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", inter / union)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity join via an inverted shingle
+    index: explode distinct shingles, self-join on shingle to count
+    per-pair intersections, derive the union from per-doc set sizes.
+    No signatures, no false negatives — the right tool when you need
+    exact similarity and the shingle-postings fit a shuffle (prefix
+    filtering can prune further at extreme scale).
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(shingle_hashes(text_col, shingle_k)).alias("__sh"),
+    )
+    sizes = shingled.select("__id", F.size("__sh").alias("__n"))
+    postings = shingled.select("__id", F.explode("__sh").alias("__s"))
+    l, r = postings.alias("l"), postings.alias("r")
+    inter = (
+        l.join(r, (F.col("l.__s") == F.col("r.__s")) & (F.col("l.__id") < F.col("r.__id")))
+        .groupBy(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    sa = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("__inter").cast("double")
+            / (F.col("__na") + F.col("__nb") - F.col("__inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(text: Column | str) -> Column:
+    """64-bit SimHash over whitespace tokens: for each bit position,
+    tokens vote by their xxhash64 bit; majority sets the bit. Entirely
+    native (getbit/shiftleft over a generated 0..63 sequence)."""
+    hashes = F.transform(ws_tokens(normalize_text(text)), lambda t: F.xxhash64(t))
+    n = F.size(hashes)
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(63)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.when(
+            F.size(
+                F.filter(hashes, lambda h: F.call_function("getbit", h, i) == 1)
+            )
+            * 2
+            > n,
+            F.call_function("shiftleft", F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate pairs with Hamming distance <= max_hamming.
+
+    Pigeonhole banding: split the 64-bit fingerprint into
+    ``max_hamming + 1`` blocks — any pair within distance k agrees on at
+    least one block, so an equi-join per block finds ALL such pairs
+    without a cross join. Verification = bit_count(a XOR b).
+    """
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
+    sh = df.select(F.col(id_col).alias("__id"), simhash64(text_col).alias("__sh"))
+    blocks = []
+    for i in range(nblocks):
+        lo = i * width
+        w = width if i < nblocks - 1 else 64 - lo
+        mask = ((1 << w) - 1)
+        blocks.append(
+            F.struct(
+                F.lit(i).alias("block"),
+                (F.shiftright("__sh", lo).bitwiseAND(F.lit(mask))).alias("bval"),
+            )
+        )
+    banded = sh.select(
+        "__id", "__sh", F.explode(F.array(*blocks)).alias("__b")
+    ).select("__id", "__sh", "__b.block", "__b.bval")
+    l, r = banded.alias("l"), banded.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.block") == F.col("r.block"))
+            & (F.col("l.bval") == F.col("r.bval"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            F.bit_count(
+                F.col("l.__sh").bitwiseXOR(F.col("r.__sh"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs.where(F.col("hamming") <= max_hamming)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicates: cosine >= threshold, found via
+    random-hyperplane sign-LSH bucketing + in-bucket verification.
+
+    Docs whose sign patterns agree on all ``num_planes`` hyperplanes
+    land in one bucket; cosine is evaluated only within buckets.
+    P[same bucket] = (1 - θ/π)^num_planes — tune num_planes to the
+    threshold. Approximate (a near-dup pair split by a plane is
+    missed); raise recall by repeating with several seeds and unioning.
+    """
+    dim = len(df.select(vec_col).first()[0])
+    rng = random.Random(seed)
+    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
+    plane_arr = F.array(
+        *[F.array(*[F.lit(v) for v in p]) for p in planes]
+    )
+    bucket = F.aggregate(
+        F.transform(
+            plane_arr,
+            lambda p: F.when(
+                F.aggregate(
+                    F.zip_with(p, F.col(vec_col), lambda a, b: a * b.cast("double")),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                >= 0,
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, bit: acc * 2 + bit,
+    )
+    bucketed = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), bucket.alias("__bkt")
+    )
+    l, r = bucketed.alias("l"), bucketed.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.__bkt") == F.col("r.__bkt")) & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            cosine_similarity(F.col("l.__v"), F.col("r.__v")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

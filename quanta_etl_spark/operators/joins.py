@@ -1,0 +1,210 @@
+"""Join operator library.
+
+Covers the reference's executed joins (left fact⋈dim join,
+/root/reference/dags/spark/etl.py:160-164) and documented ones (2-key
+derivative↔underlying join, reference README.md:175-176), plus the join
+variety the reference lacks (SURVEY.md §2C): semi/anti, broadcast,
+as-of, range, and skew-salted joins.
+
+Scale doctrine:
+* dimension joins BROADCAST (no shuffle of the 100-TB fact side);
+* big-big equi-joins shuffle on the join key — pre-bucketing both sides
+  on the key makes them shuffle-free across stages;
+* as-of joins are re-written to a union + forward-fill window, which is
+  one shuffle (by key) + one sort — no per-row lookups, no cross joins;
+* skewed keys get salting (`salted_join`) or AQE skew handling.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def broadcast_dim_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | list[str] | Column,
+    how: str = "left",
+    dim_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Fact ⋈ small-dimension join with an explicit broadcast hint.
+
+    Mirrors the reference's product-spec enrichment (etl.py:160-164) —
+    there the 2,728-row dim auto-broadcasts; here we hint explicitly so
+    the plan is deterministic on any cluster profile.
+    ``dim_cols`` pre-prunes the dimension (Catalyst would anyway; keeps
+    the broadcast payload minimal and the intent obvious).
+    """
+    if dim_cols is not None:
+        keys = [on] if isinstance(on, str) else (list(on) if not isinstance(on, Column) else [])
+        dim = dim.select(*dict.fromkeys([*keys, *dim_cols]))
+    return fact.join(F.broadcast(dim), on, how)
+
+
+def two_key_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_keys: Sequence[str],
+    right_keys: Sequence[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Multi-key equi-join (reference README.md:175-176: eurex joins
+    xetra on (underlying_isin, trading_ts)). Plain equi-join so Catalyst
+    plans a hash/sort-merge join on the composite key; at scale, bucket
+    both tables by the first key to keep the shuffle one-sided.
+    """
+    cond = None
+    for lk, rk in zip(left_keys, right_keys, strict=True):
+        c = left[lk] == right[rk]
+        cond = c if cond is None else cond & c
+    return left.join(right, cond, how)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: str | list[str] | Column) -> DataFrame:
+    return left.join(right, on, "left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: str | list[str] | Column) -> DataFrame:
+    return left.join(right, on, "left_anti")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """Distributed as-of join: for every left row, attach the most recent
+    right row (per ``key``) with ``right_ts <= left_ts`` (backward) or
+    the next one (forward).
+
+    Spark-first plan (no point-lookups, no range cross-join):
+      1. union both sides into one stream tagged by origin,
+      2. single window per key ordered by (ts, origin): ``last(value,
+         ignorenulls=True)`` forward-fills right-side values onto left
+         rows,
+      3. filter back to left rows.
+    Cost: ONE shuffle on ``key`` + ONE sort — the same lower bound as a
+    sort-merge join. Survives any scale where a per-key history fits a
+    sort spill (it always does; sorting spills to disk).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(direction)
+
+    lcols = left.columns
+    # 0 sorts before 1, so at equal timestamps the right row is seen
+    # first and IS visible to the left row (asof is inclusive).
+    l_tagged = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__origin"),
+        F.struct(*lcols).alias("__l"),
+        F.lit(None).cast(
+            right.select(F.struct(*value_cols).alias("s")).schema["s"].dataType
+        ).alias("__r"),
+    )
+    r_tagged = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__origin"),
+        F.lit(None).cast(
+            left.select(F.struct(*lcols).alias("s")).schema["s"].dataType
+        ).alias("__l"),
+        F.struct(*value_cols).alias("__r"),
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+
+    if direction == "backward":
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(F.col("__ts").asc(), F.col("__origin").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        filled = unioned.withColumn("__rff", F.last("__r", ignorenulls=True).over(w))
+    else:
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(F.col("__ts").desc(), F.col("__origin").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        filled = unioned.withColumn("__rff", F.last("__r", ignorenulls=True).over(w))
+
+    out = filled.where(F.col("__origin") == 1).select(
+        *[F.col(f"__l.{c}").alias(c) for c in lcols],
+        *[F.col(f"__rff.{c}").alias(c) for c in value_cols],
+    )
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str | None,
+    left_value: str,
+    right_lower: str,
+    right_upper: str,
+    bin_width: float | None = None,
+) -> DataFrame:
+    """Interval join: left.value ∈ [right.lower, right.upper), optionally
+    within an equi-key.
+
+    Without ``bin_width`` this is a conditional join (Catalyst plans
+    broadcast-nested-loop unless ``key`` gives it an equi-component).
+    With ``bin_width`` the intervals are exploded into fixed-width bins
+    and the join becomes an EQUI-join on (key, bin) + residual filter —
+    the standard trick that makes range joins shuffle-partitionable at
+    scale (each interval lands in ceil(len/width) bins).
+    """
+    if bin_width is None:
+        cond = (left[left_value] >= right[right_lower]) & (
+            left[left_value] < right[right_upper]
+        )
+        if key is not None:
+            cond = (left[key] == right[key]) & cond
+        return left.join(right, cond)
+
+    lb = left.withColumn("__bin", F.floor(F.col(left_value) / bin_width))
+    rb = right.withColumn(
+        "__bins",
+        F.sequence(
+            F.floor(F.col(right_lower) / bin_width),
+            F.floor((F.col(right_upper) - 1e-9) / bin_width),
+        ),
+    ).withColumn("__bin", F.explode("__bins")).drop("__bins")
+    on = ["__bin", key] if key is not None else ["__bin"]
+    return (
+        lb.join(rb, on)
+        .where(
+            (F.col(left_value) >= F.col(right_lower))
+            & (F.col(left_value) < F.col(right_upper))
+        )
+        .drop("__bin")
+    )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: explode the (small, replicable) right
+    side ``salt`` ways and scatter the left side's hot keys across salt
+    buckets, so one hot key no longer lands on one reducer.
+
+    Use when AQE skew-join splitting isn't enough (e.g. one key is >50%
+    of the table). ``right`` is replicated ×salt — keep it the smaller
+    side.
+    """
+    l_s = left.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
+    r_s = right.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+    out = l_s.join(r_s, [key, "__salt"], how)
+    return out.drop("__salt")

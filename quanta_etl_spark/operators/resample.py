@@ -1,0 +1,83 @@
+"""Time-bucket re-aggregation (downsampling) and index construction —
+SURVEY.md §2 B5/B6 (reference README.md:178-179).
+
+OHLCV resampling is a single keyed aggregation: one shuffle on
+(bucket, key), map-side partial aggregation for the sums/min/max, and
+``min_by``/``max_by`` for open/close (order-independent, deterministic
+given a unique order column — no window, no sort).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def time_bucket(ts: Column | str, interval: str) -> Column:
+    """Truncate a timestamp to a bucket. Supports the date_trunc units
+    plus arbitrary intervals via window()-free epoch arithmetic."""
+    c = F.col(ts) if isinstance(ts, str) else ts
+    units = {
+        "1 minute": "minute", "1 hour": "hour", "1 day": "day",
+        "1 week": "week", "1 month": "month", "1 year": "year",
+    }
+    if interval in units:
+        return F.date_trunc(units[interval], c)
+    # Arbitrary interval: floor epoch seconds to the interval length.
+    secs = F.unix_timestamp(c)
+    ivl = F.expr(f"cast(extract(epoch from interval {interval}) as bigint)")
+    return F.timestamp_seconds((secs / ivl).cast("bigint") * ivl)
+
+
+def ohlcv_resample(
+    df: DataFrame,
+    ts: str,
+    keys: Sequence[str],
+    interval: str,
+    open_col: str = "start_price",
+    high_col: str = "max_price",
+    low_col: str = "min_price",
+    close_col: str = "end_price",
+    volume_cols: Sequence[str] = ("traded_volume", "number_of_trades"),
+    order_col: str | None = None,
+) -> DataFrame:
+    """Downsample minute bars to a coarser interval (B5):
+
+    open  = first bar's open   (min_by over the in-bucket order)
+    high  = max of highs        low = min of lows
+    close = last bar's close   (max_by)
+    volume = sum per volume column
+
+    ``order_col`` breaks ties when ``ts`` alone isn't unique per key
+    (defaults to ts itself)."""
+    order = F.col(order_col) if order_col else F.col(ts)
+    bucket = time_bucket(ts, interval).alias("bucket_ts")
+    aggs = [
+        F.min_by(open_col, order).alias(open_col),
+        F.max(high_col).alias(high_col),
+        F.min(low_col).alias(low_col),
+        F.max_by(close_col, order).alias(close_col),
+        *[F.sum(v).alias(v) for v in volume_cols],
+    ]
+    return df.groupBy(bucket, *keys).agg(*aggs)
+
+
+def weighted_index(
+    df: DataFrame,
+    ts: str,
+    price: str,
+    weight: Column | str,
+    interval: str = "1 minute",
+    group_cols: Sequence[str] = (),
+    out: str = "index_value",
+) -> DataFrame:
+    """Cross-asset index (B6): weighted average price per time bucket,
+    optionally per extra grouping (e.g. sector → one index per sector).
+    One aggregation, map-side combinable."""
+    w = F.col(weight) if isinstance(weight, str) else weight
+    bucket = time_bucket(ts, interval).alias("bucket_ts")
+    return df.groupBy(bucket, *group_cols).agg(
+        (F.sum(F.col(price) * w) / F.sum(w)).alias(out)
+    )

@@ -1,0 +1,165 @@
+"""Window / time-series operator library.
+
+Implements the reference's documented analytical workload (SURVEY.md
+§2B, reference README.md:22-24,177): forward-fill (B1), lag returns
+(B3), rolling volatility (B4), plus the ranking/top-k surface the
+reference lacks (§2C).
+
+Scale doctrine: every window here partitions by the entity key (isin /
+user_id), so state per partition = one entity's history — bounded and
+sort-spillable. Never ``Window.orderBy`` without ``partitionBy`` on big
+data (single-partition sort); `global_rank` documents the exception.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _order_cols(order_by: Sequence[str | Column]) -> list[Column]:
+    return [F.col(c) if isinstance(c, str) else c for c in order_by]
+
+
+def forward_fill(
+    df: DataFrame,
+    cols: Sequence[str],
+    partition_by: Sequence[str],
+    order_by: Sequence[str | Column],
+) -> DataFrame:
+    """Carry the last non-null observation forward within each entity
+    (reference README.md:22-24: "price needs to be inferred from the
+    previous observation"). One shuffle + one sort per entity partition.
+    """
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*_order_cols(order_by))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out
+
+
+def time_spine(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    step: str = "interval 1 minute",
+) -> DataFrame:
+    """Dense (key, ts) grid from each key's min(ts) to max(ts) —
+    ``sequence()`` + ``explode``, no driver-side loops. Left-join facts
+    onto this and forward-fill to materialize "price at every minute".
+    """
+    return (
+        df.groupBy(key)
+        .agg(F.min(ts).alias("__lo"), F.max(ts).alias("__hi"))
+        .select(
+            key,
+            F.explode(
+                F.sequence(F.col("__lo"), F.col("__hi"), F.expr(step))
+            ).alias(ts),
+        )
+    )
+
+
+def densify_and_fill(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value_cols: Sequence[str],
+    step: str = "interval 1 minute",
+) -> DataFrame:
+    """B1 composed end-to-end: dense spine ⟕ facts, then forward-fill
+    the value columns. Rows that had no trade carry the previous
+    observation's values (nulls before the first observation remain)."""
+    spine = time_spine(df, key, ts, step)
+    joined = spine.join(df, [key, ts], "left")
+    return forward_fill(joined, value_cols, [key], [ts])
+
+
+def lag_returns(
+    df: DataFrame,
+    value: str,
+    partition_by: Sequence[str],
+    order_by: Sequence[str | Column],
+    out: str = "returns",
+) -> DataFrame:
+    """Per-entity simple returns: value / lag(value) - 1 (reference
+    README.md:177). NULL for each entity's first observation."""
+    w = Window.partitionBy(*partition_by).orderBy(*_order_cols(order_by))
+    prev = F.lag(value, 1).over(w)
+    return df.withColumn(out, F.col(value) / prev - 1.0)
+
+
+def rolling_agg(
+    df: DataFrame,
+    value: str,
+    partition_by: Sequence[str],
+    order_by: Sequence[str | Column],
+    window_rows: int,
+    aggs: dict[str, str],
+) -> DataFrame:
+    """Trailing-row-frame rolling aggregates (B4: rolling volatility =
+    stddev of returns over the previous N observations).
+
+    ``aggs`` maps output column → agg fn name ('stddev', 'avg', 'sum',
+    'min', 'max', 'count'). Frame = [current-window_rows+1, current].
+    """
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*_order_cols(order_by))
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    out = df
+    for name, fn in aggs.items():
+        out = out.withColumn(name, getattr(F, fn)(value).over(w))
+    return out
+
+
+def topk_per_group(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[str | Column],
+    k: int,
+    rank_col: str = "rn",
+    keep_rank: bool = False,
+) -> DataFrame:
+    """Per-group top-k via row_number. ``order_by`` must be a TOTAL order
+    (include a unique tiebreaker) for deterministic results."""
+    w = Window.partitionBy(*partition_by).orderBy(*_order_cols(order_by))
+    out = df.withColumn(rank_col, F.row_number().over(w)).where(F.col(rank_col) <= k)
+    return out if keep_rank else out.drop(rank_col)
+
+
+def ranked(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[str | Column],
+    method: str = "rank",
+    out: str = "rank",
+    ntiles: int = 4,
+) -> DataFrame:
+    """Ranking surface: row_number / rank / dense_rank / ntile / percent_rank /
+    cume_dist over a keyed window."""
+    w = Window.partitionBy(*partition_by).orderBy(*_order_cols(order_by))
+    fns: dict[str, Column] = {
+        "row_number": F.row_number().over(w),
+        "rank": F.rank().over(w),
+        "dense_rank": F.dense_rank().over(w),
+        "ntile": F.ntile(ntiles).over(w),
+        "percent_rank": F.percent_rank().over(w),
+        "cume_dist": F.cume_dist().over(w),
+    }
+    return df.withColumn(out, fns[method])
+
+
+def global_top_k(df: DataFrame, order_by: Sequence[str | Column], k: int) -> DataFrame:
+    """Global top-k: ``orderBy().limit(k)`` — Spark plans TakeOrderedAndProject
+    (per-partition heap + driver merge of k rows), NOT a global sort, so
+    it's safe at any scale for small k."""
+    return df.orderBy(*_order_cols(order_by)).limit(k)

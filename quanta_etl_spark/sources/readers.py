@@ -1,0 +1,80 @@
+"""Typed source readers.
+
+The reference reads only schema'd, headered, globbed CSV
+(/root/reference/dags/spark/etl.py:53,99,158) and writes only
+partitioned parquet. This module generalizes that into the standard
+source surface: CSV (positional schema bind), Parquet, JSON, ORC.
+
+Scale notes:
+* CSV cannot push predicates below the scan; the engine's convention is
+  "land CSV → parquet once, query parquet forever" (see pipelines/).
+* Globbed multi-file reads parallelize by file split — the same
+  mechanism that lets the reference scale S3 reads by prefix
+  (reference README.md:236).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    """Schema'd CSV scan with positional header bind.
+
+    With ``header=True`` + an explicit schema, Spark uses the header row
+    only to skip line 1 and binds columns by POSITION — so the schema is
+    simultaneously a rename and a retype, exactly the reference's trick
+    (etl.py:53 binds CSV header ``ISIN,...`` to field ``isin``).
+    No schema inference pass: one less full read of the data.
+    """
+    reader = spark.read.option("header", str(header).lower()).schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: StructType | None = None, **options: str
+) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: str | list[str],
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Hive-partitioned parquet sink (reference etl.py:62,171,174,175).
+
+    ``max_records_per_file`` bounds file size; at scale pair with AQE
+    coalescing (or a pre-write ``repartition(partition_cols)``) so each
+    (task × partition-value) pair doesn't emit a tiny file — the
+    small-files hazard the reference ignores (SURVEY.md §3.3).
+    """
+    keys = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    writer = df.write.mode(mode).partitionBy(*keys)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.parquet(path)

@@ -1,0 +1,110 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from quanta_etl_spark.operators import aggregates as A
+from quanta_etl_spark.operators import quality as Q
+from quanta_etl_spark.operators import resample as R
+from quanta_etl_spark.operators import setops as S
+
+
+def test_summarize(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 5.0)], "k string, v double"
+    )
+    out = {
+        r.k: (r.total, r.n)
+        for r in A.summarize(df, ["k"], {"total": ("sum", "v"), "n": ("count", "v")}).collect()
+    }
+    assert out == {"a": (4.0, 2), "b": (5.0, 1)}
+
+
+def test_rollup_has_grand_total(spark):
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 3)], "k1 string, k2 string, v int"
+    )
+    out = A.rollup_agg(df, ["k1", "k2"], {"s": ("sum", "v")}).collect()
+    rows = {(r.k1, r.k2): r.s for r in out}
+    assert rows[(None, None)] == 6
+    assert rows[("a", None)] == 3
+    assert len(out) == 6  # 3 leaves + 2 k1-subtotals + 1 grand total
+
+
+def test_cube_counts(spark):
+    df = spark.createDataFrame([("a", "x", 1)], "k1 string, k2 string, v int")
+    assert A.cube_agg(df, ["k1", "k2"], {"s": ("sum", "v")}).count() == 4
+
+
+def test_grouping_sets(spark):
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("b", "y", 2)], "k1 string, k2 string, v int"
+    )
+    out = A.grouping_sets_agg(df, [["k1"], ["k2"]], ["k1", "k2"], {"s": ("sum", "v")})
+    assert out.count() == 4  # 2 k1 groups + 2 k2 groups
+
+
+def test_pivot_explicit_values(spark):
+    df = spark.createDataFrame(
+        [("n1", "s1", 1.0), ("n1", "s2", 2.0), ("n2", "s1", 3.0)],
+        "k string, seg string, v double",
+    )
+    out = A.pivot_agg(df, ["k"], "seg", ["s1", "s2"], ("sum", "v"))
+    rows = {r.k: (r.s1, r.s2) for r in out.collect()}
+    assert rows == {"n1": (1.0, 2.0), "n2": (3.0, None)}
+
+
+def test_expect_and_offenders(spark):
+    df = spark.createDataFrame(
+        [("m1", "a", None), ("m1", "b", "i1"), ("m2", "c", None)],
+        "seg string, leg string, isin string",
+    )
+    res = Q.expect(df, F.col("isin").isNotNull(), name="isin_present")
+    assert res.violations == 2 and not res.passed
+    off = Q.offenders(df, "isin is null", ["seg"])
+    assert sorted(r.seg for r in off.collect()) == ["m1", "m2"]
+
+
+def test_expect_unique(spark):
+    df = spark.createDataFrame([(1,), (1,), (2,)], "k int")
+    assert not Q.expect_unique(df, ["k"]).passed
+    assert Q.expect_unique(df.distinct(), ["k"]).passed
+
+
+def test_null_report_single_row(spark):
+    df = spark.createDataFrame(
+        [(1, None), (None, None), (3, "x")], "a int, b string"
+    )
+    row = Q.null_report(df).first()
+    assert row.a == 1 and row.b == 2
+
+
+def test_ohlcv_resample(spark):
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1, 9, 0)
+    bars = [
+        ("X", base + dt.timedelta(minutes=m), o, h, l, c, v, n)
+        for m, (o, h, l, c, v, n) in enumerate(
+            [(10.0, 12.0, 9.0, 11.0, 100, 5), (11.0, 15.0, 10.0, 14.0, 200, 7),
+             (14.0, 16.0, 13.0, 13.5, 50, 2)]
+        )
+    ]
+    df = spark.createDataFrame(
+        bars,
+        "isin string, ts timestamp, start_price double, max_price double, "
+        "min_price double, end_price double, traded_volume long, number_of_trades long",
+    )
+    out = R.ohlcv_resample(df, "ts", ["isin"], "1 hour").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.start_price, r.max_price, r.min_price, r.end_price) == (10.0, 16.0, 9.0, 13.5)
+    assert (r.traded_volume, r.number_of_trades) == (350, 14)
+
+
+def test_setops(spark):
+    a = spark.createDataFrame([(1,), (2,), (2,)], "k int")
+    b = spark.createDataFrame([(2,), (3,)], "k int")
+    assert S.union_all(a, b).count() == 5
+    assert S.union_distinct(a, b).count() == 3
+    assert {r.k for r in S.intersect(a, b).collect()} == {2}
+    assert {r.k for r in S.except_(a, b).collect()} == {1}
+    assert S.except_all(a, b).count() == 2  # one 2 survives multiplicity

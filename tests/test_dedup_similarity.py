@@ -1,0 +1,101 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from quanta_etl_spark.operators import dedup as D
+from quanta_etl_spark.operators import similarity as S
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 1
+    (3, "completely different content about spark query engines and shuffles"),
+    (4, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+    (5, "yet another unrelated document mentioning minhash signatures only"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id bigint, text string")
+
+
+def test_exact_dedup_by_fingerprint(docs):
+    out = D.exact_dedup_by_fingerprint(docs, "text", "doc_id")
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [1, 2, 3, 5]  # 4 deduped, min-id survivor kept
+
+
+def test_minhash_near_dup_pairs(docs):
+    pairs = D.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.7)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 4) in got and (2, 4) in got
+    assert all(a < b for a, b in got)
+    assert not any(3 in p or 5 in p for p in got)
+
+
+def test_minhash_jaccard_estimate_close_to_exact(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.minhash_dedup_pairs(docs, "doc_id", "text", 0.5).collect()
+    }
+    assert pairs[(1, 4)] == 1.0  # identical docs → exact jaccard 1
+    assert 0.5 <= pairs[(1, 2)] < 1.0
+
+
+def test_ngram_jaccard_exact(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(docs, "doc_id", "text", 0.5).collect()
+    }
+    assert pairs[(1, 4)] == 1.0
+    assert (1, 2) in pairs
+
+
+def test_simhash_hamming_pairs(docs):
+    pairs = D.simhash_dedup_pairs(docs, "doc_id", "text", max_hamming=10)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert got[(1, 4)] == 0  # identical text → identical simhash
+    assert all(h <= 10 for h in got.values())
+
+
+def test_embedding_neardup_and_topk(spark):
+    vecs = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.99, 0.01, 0.0, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),     # orthogonal
+        (4, [-1.0, 0.0, 0.0, 0.0]),    # opposite
+    ]
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_neardup_pairs(
+            df, "vec_id", "embedding", threshold=0.95, num_planes=2
+        ).collect()
+    }
+    assert pairs == {(1, 2)}
+
+    topk = S.cosine_topk_bruteforce(df, df.where(F.col("vec_id") == 1), k=2)
+    rows = topk.orderBy("rank").collect()
+    assert [r.neighbor_id for r in rows] == [2, 3]
+    assert rows[0].cosine == pytest.approx(0.99 / (0.99**2 + 0.01**2) ** 0.5, rel=1e-9)
+
+
+def test_lsh_topk_recall_on_testdata(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = S.cosine_topk_bruteforce(emb, queries, k=5)
+    approx = S.cosine_topk_lsh(emb, queries, k=5, num_planes=4, multiprobe=True)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5  # multiprobe sign-LSH on 4 planes
+
+
+def test_ivf_topk_runs(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 3)
+    out = S.cosine_topk_ivf(emb, queries, k=3, num_centroids=8, nprobe=3)
+    rows = out.collect()
+    assert len(rows) == 9
+    assert all(-1.0001 <= r.cosine <= 1.0001 for r in rows)

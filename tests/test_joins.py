@@ -1,0 +1,82 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from quanta_etl_spark.operators import joins as J
+
+
+def test_asof_join_backward(spark):
+    left = spark.createDataFrame(
+        [("a", 5, "q1"), ("a", 10, "q2"), ("a", 1, "q0"), ("b", 7, "q3")],
+        "k string, ts int, qid string",
+    )
+    right = spark.createDataFrame(
+        [("a", 3, 30.0), ("a", 5, 50.0), ("a", 9, 90.0), ("b", 8, 80.0)],
+        "k string, ts int, px double",
+    )
+    out = J.asof_join(left, right, "k", "ts", "ts", ["px"]).collect()
+    got = {r.qid: r.px for r in out}
+    # q0 @1: nothing before → null; q1 @5: exact match 5 → 50 (inclusive);
+    # q2 @10: last <=10 is 9 → 90; q3 @7 on b: nothing <=7 → null
+    assert got == {"q0": None, "q1": 50.0, "q2": 90.0, "q3": None}
+    assert len(out) == 4  # every left row survives exactly once
+
+
+def test_asof_join_forward(spark):
+    left = spark.createDataFrame([("a", 4, "q")], "k string, ts int, qid string")
+    right = spark.createDataFrame(
+        [("a", 2, 1.0), ("a", 6, 2.0), ("a", 9, 3.0)], "k string, ts int, px double"
+    )
+    out = J.asof_join(left, right, "k", "ts", "ts", ["px"], direction="forward")
+    assert out.collect()[0].px == 2.0
+
+
+def test_range_join_binned_equals_naive(spark):
+    left = spark.createDataFrame(
+        [(float(v),) for v in [0, 4, 9, 10, 24, 25, 59]], "v double"
+    )
+    right = spark.createDataFrame(
+        [("low", 0.0, 10.0), ("mid", 10.0, 25.0), ("high", 25.0, 60.0)],
+        "band string, lo double, hi double",
+    )
+    naive = J.range_join(left, right, None, "v", "lo", "hi")
+    binned = J.range_join(left, right, None, "v", "lo", "hi", bin_width=7.0)
+    a = sorted((r.v, r.band) for r in naive.collect())
+    b = sorted((r.v, r.band) for r in binned.collect())
+    assert a == b
+    assert a == [
+        (0.0, "low"), (4.0, "low"), (9.0, "low"), (10.0, "mid"),
+        (24.0, "mid"), (25.0, "high"), (59.0, "high"),
+    ]
+
+
+def test_salted_join_matches_plain(spark):
+    left = spark.createDataFrame(
+        [(i % 3, i) for i in range(100)], "k int, v int"
+    )
+    right = spark.createDataFrame([(0, "x"), (1, "y")], "k int, tag string")
+    plain = left.join(right, "k").groupBy("tag").count().collect()
+    salted = J.salted_join(left, right, "k").groupBy("tag").count().collect()
+    assert sorted((r.tag, r["count"]) for r in plain) == sorted(
+        (r.tag, r["count"]) for r in salted
+    )
+
+
+def test_broadcast_dim_join_plan_is_broadcast(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    out = J.broadcast_dim_join(
+        o.withColumnRenamed("o_custkey", "c_custkey"), c, "c_custkey",
+        dim_cols=["c_name"],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_semi_anti_partition(spark):
+    left = spark.createDataFrame([(1,), (2,), (3,)], "k int")
+    right = spark.createDataFrame([(2,), (3,), (4,)], "k int")
+    semi = {r.k for r in J.semi_join(left, right, "k").collect()}
+    anti = {r.k for r in J.anti_join(left, right, "k").collect()}
+    assert semi == {2, 3} and anti == {1}
+    assert semi | anti == {1, 2, 3}

@@ -1,0 +1,68 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from quanta_etl_spark.functions import text as T
+
+
+@pytest.fixture(scope="module")
+def tdf(spark):
+    rows = [
+        (1, "The cat sat on the mat and it was happy."),
+        (2, "Der Hund und die Katze sind auf der Straße."),
+        (3, "Le chat est dans la maison avec le chien."),
+        (4, ""),
+        (5, "xyzzy plugh 12345 !!!"),
+    ]
+    return spark.createDataFrame(rows, "id int, text string")
+
+
+def test_token_count(tdf):
+    out = {r.id: r.n for r in tdf.select("id", T.token_count("text").alias("n")).collect()}
+    assert out[1] == 10
+    assert out[4] == 0
+    assert out[5] == 4
+
+
+def test_bpe_ish_tokens(tdf):
+    out = {
+        r.id: r.toks
+        for r in tdf.select("id", T.bpe_ish_tokens("text").alias("toks")).collect()
+    }
+    assert out[5] == ["xyzzy", "plugh", "12345", "!", "!", "!"]
+
+
+def test_lang_id(tdf):
+    out = {r.id: r.lang for r in tdf.select("id", T.lang_id("text").alias("lang")).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "fr"
+    assert out[5] == "und"
+
+
+def test_quality_score_bounds_and_monotonicity(spark):
+    rows = [
+        (1, "the " * 300 + "of and to in is that it was for on"),  # long, stopword-rich
+        (2, "!!!! ???? ;;;; ((((" * 5),  # pure punctuation
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    out = {r.id: r.q for r in df.select("id", T.quality_score("text").alias("q")).collect()}
+    assert 0.0 <= out[2] < out[1] <= 1.0
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "  HELLO\tWORLD ")],
+        "id int, text string",
+    )
+    fps = [r.fp for r in df.select(T.fingerprint("text").alias("fp")).collect()]
+    assert fps[0] == fps[1] == fps[2]
+
+
+def test_char_shingles(spark):
+    df = spark.createDataFrame([(1, "abcdef")], "id int, text string")
+    sh = df.select(T.char_shingles("text", 3).alias("s")).first().s
+    assert sh == ["abc", "bcd", "cde", "def"]
+    short = spark.createDataFrame([(1, "ab")], "id int, text string")
+    assert short.select(T.char_shingles("text", 5).alias("s")).first().s == ["ab"]

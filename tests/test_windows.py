@@ -1,0 +1,90 @@
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from quanta_etl_spark.operators import windows as W
+
+
+def test_forward_fill(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, None), ("a", 3, None), ("a", 4, 40.0),
+         ("b", 1, None), ("b", 2, 5.0)],
+        "k string, t int, v double",
+    )
+    out = W.forward_fill(df, ["v"], ["k"], ["t"])
+    got = {(r.k, r.t): r.v for r in out.collect()}
+    assert got == {
+        ("a", 1): 10.0, ("a", 2): 10.0, ("a", 3): 10.0, ("a", 4): 40.0,
+        ("b", 1): None, ("b", 2): 5.0,
+    }
+
+
+def test_forward_fill_idempotent(spark):
+    df = spark.createDataFrame(
+        [("a", i, None if i % 3 else float(i)) for i in range(1, 20)],
+        "k string, t int, v double",
+    )
+    once = W.forward_fill(df, ["v"], ["k"], ["t"])
+    twice = W.forward_fill(once, ["v"], ["k"], ["t"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_time_spine_dense(spark):
+    base = dt.datetime(2024, 1, 1, 0, 0)
+    df = spark.createDataFrame(
+        [("x", base), ("x", base + dt.timedelta(minutes=5))],
+        "k string, ts timestamp",
+    )
+    spine = W.time_spine(df, "k", "ts", "interval 1 minute")
+    assert spine.count() == 6  # inclusive grid 0..5
+
+
+def test_densify_and_fill(spark):
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("x", base, 1.0), ("x", base + dt.timedelta(minutes=3), 4.0)],
+        "k string, ts timestamp, px double",
+    )
+    out = W.densify_and_fill(df, "k", "ts", ["px"])
+    vals = [r.px for r in out.orderBy("ts").collect()]
+    assert vals == [1.0, 1.0, 1.0, 4.0]
+
+
+def test_lag_returns_constant_price_is_zero(spark):
+    df = spark.createDataFrame(
+        [("a", i, 50.0) for i in range(1, 6)], "k string, t int, px double"
+    )
+    out = W.lag_returns(df, "px", ["k"], ["t"], out="ret")
+    rets = [r.ret for r in out.orderBy("t").collect()]
+    assert rets[0] is None and all(r == 0.0 for r in rets[1:])
+
+
+def test_rolling_agg_window_size(spark):
+    df = spark.createDataFrame(
+        [("a", i, float(i)) for i in range(1, 8)], "k string, t int, v double"
+    )
+    out = W.rolling_agg(df, "v", ["k"], ["t"], 3, {"m": "avg", "n": "count"})
+    rows = {r.t: (r.m, r.n) for r in out.collect()}
+    assert rows[1] == (1.0, 1)
+    assert rows[3] == (2.0, 3)
+    assert rows[7] == (6.0, 3)  # frame capped at 3 trailing rows
+
+
+def test_topk_per_group(spark):
+    df = spark.createDataFrame(
+        [("g1", i) for i in range(10)] + [("g2", i) for i in range(3)],
+        "g string, v int",
+    )
+    out = W.topk_per_group(df, ["g"], [F.col("v").desc()], 2)
+    got = sorted((r.g, r.v) for r in out.collect())
+    assert got == [("g1", 8), ("g1", 9), ("g2", 1), ("g2", 2)]
+
+
+def test_global_top_k_plan_avoids_global_sort(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = W.global_top_k(li, [F.col("l_extendedprice").desc()], 5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert out.count() == 5

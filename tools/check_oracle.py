@@ -1,0 +1,135 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` counterpart on DuckDB over the same parquet tables,
+then compares row count, column names, and an order-insensitive
+value hash (canonical column order, rows sorted, doubles rounded to 6
+decimals — FIXTURES.md §5 protocol).
+
+Usage:  python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import hashlib
+import math
+import os
+import sys
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _canon_value(v: object) -> str:
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        r = round(v, 6)
+        return "0" if r == 0 else f"{r:.6f}"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon_value(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def canonicalize(rows: list[dict], cols: list[str]) -> tuple[str, int]:
+    order = sorted(cols)
+    mat = sorted(
+        "|".join(_canon_value(r[c]) for c in order) for r in rows
+    )
+    h = hashlib.md5("\n".join(mat).encode()).hexdigest()
+    return h, len(mat)
+
+
+def spark_result(df) -> tuple[list[dict], list[str]]:
+    cols = df.columns
+    rows = [r.asDict(recursive=True) for r in df.collect()]
+    return rows, cols
+
+
+def duckdb_result(con, sql: str) -> tuple[list[dict], list[str]]:
+    rel = con.sql(sql)
+    cols = rel.columns
+    rows = [dict(zip(cols, t)) for t in rel.fetchall()]
+    return rows, cols
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry_mod
+    from quanta_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="oracle-check")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures: list[str] = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        try:
+            s_rows, s_cols = spark_result(fn(spark, sf_dir))
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"weak  {name}: rows={len(s_rows)} (no oracle; rows-only check)")
+            continue
+        try:
+            d_rows, d_cols = duckdb_result(con, oracles[name])
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {e}")
+            continue
+        if sorted(s_cols) != sorted(d_cols):
+            failures.append(name)
+            print(f"FAIL  {name}: columns {sorted(s_cols)} != {sorted(d_cols)}")
+            continue
+        sh, sn = canonicalize(s_rows, s_cols)
+        dh, dn = canonicalize(d_rows, d_cols)
+        if sn != dn:
+            failures.append(name)
+            print(f"FAIL  {name}: rowcount spark={sn} duckdb={dn}")
+        elif sh != dh:
+            failures.append(name)
+            print(f"FAIL  {name}: hash mismatch ({sn} rows)")
+            for i, (a, b) in enumerate(
+                zip(
+                    sorted("|".join(_canon_value(r[c]) for c in sorted(s_cols)) for r in s_rows),
+                    sorted("|".join(_canon_value(r[c]) for c in sorted(d_cols)) for r in d_rows),
+                )
+            ):
+                if a != b:
+                    print(f"      first diff row {i}:\n      spark : {a}\n      duckdb: {b}")
+                    break
+        else:
+            print(f"ok    {name}: {sn} rows, hash {sh[:12]}")
+    spark.stop()
+    print(f"\n{len(failures)} failure(s)" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
