@@ -468,6 +468,110 @@ def q_global_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# North-star: dedup / text analysis / similarity search (BASELINE.json)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact content dedup with deterministic min-id survivors, exercised
+    on documents ∪ (documents re-keyed) so real duplicates exist."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    dupes = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    out = dedup_ops.exact_dedup_by_fingerprint(
+        docs.unionByName(dupes), "text", "doc_id"
+    )
+    return out.select("doc_id", T.fingerprint("text").alias("fp"))
+
+
+def q_text_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish subword-boundary tokens."""
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_ws_tokens"),
+        T.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars_measured"),
+    )
+
+
+def q_text_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    """Stopword-vote language identification (deterministic heuristic)."""
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", T.lang_id("text").alias("lang_pred"))
+
+
+def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Composite quality scoring: length + stopword ratio - punctuation."""
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.quality_score("text").alias("quality"),
+    )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity join (inverted shingle index) over
+    a 100-doc slice; pairs with jaccard >= 0.2."""
+    docs = load_table(spark, sf, "documents").where(F.col("doc_id") < 100)
+    return dedup_ops.ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.2, shingle_k=5
+    )
+
+
+def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified by exact Jaccard (no SQL
+    oracle — signature hashing isn't reproducible engine-independently;
+    correctness is covered by unit tests + the exact-Jaccard verify)."""
+    docs = load_table(spark, sf, "documents")
+    return dedup_ops.minhash_dedup_pairs(
+        docs, "doc_id", "text", threshold=0.5, num_hashes=64, bands=16
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming distance <= 3 (no SQL oracle)."""
+    docs = load_table(spark, sf, "documents")
+    return dedup_ops.simhash_dedup_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+def q_emb_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for the first 10 vectors."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return sim_ops.cosine_topk_bruteforce(emb, queries, k=5)
+
+
+def q_emb_neardup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact embedding near-duplicates (cosine >= 0.2) within a 100-vector
+    slice — the oracle-checkable baseline for the LSH variant."""
+    emb = load_table(spark, sf, "embeddings").where(F.col("vec_id") < 100)
+    e = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"))
+    f_ = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"))
+    from quanta_etl_spark.functions.vectors import cosine_similarity
+
+    return (
+        e.crossJoin(f_)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine_similarity(F.col("__va"), F.col("__vb")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.2)
+    )
+
+
+def q_emb_neardup_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Sign-LSH bucketed embedding near-dup pairs (scale path; no SQL
+    oracle — bucket assignment depends on engine-side hashing)."""
+    emb = load_table(spark, sf, "embeddings")
+    return dedup_ops.embedding_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=0.2, num_planes=4
+    )
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 
@@ -507,6 +611,16 @@ def queries() -> dict[str, QueryFn]:
         "setop_intersect": q_setop_intersect,
         "setop_except": q_setop_except,
         "global_topk": q_global_topk,
+        "dedup_exact": q_dedup_exact,
+        "text_token_stats": q_text_token_stats,
+        "text_lang_id": q_text_lang_id,
+        "text_quality": q_text_quality,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "emb_cosine_topk": q_emb_cosine_topk,
+        "emb_neardup_exact": q_emb_neardup_exact,
+        "emb_neardup_lsh": q_emb_neardup_lsh,
     }
 
 
@@ -721,5 +835,131 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
             LIMIT 10
+        """,
+        "dedup_exact": """
+            WITH dup AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000 AS doc_id, text FROM documents
+            )
+            SELECT min(doc_id) AS doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+            FROM dup GROUP BY fp
+        """,
+        "text_token_stats": """
+            SELECT doc_id,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS INT)
+                       AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(text,
+                        '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INT) AS n_bpe_tokens,
+                   CAST(length(text) AS INT) AS n_chars_measured
+            FROM documents
+        """,
+        "text_lang_id": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                            ELSE string_split_regex(trim(lower(text)), '\\s+') END AS tk
+                FROM documents
+            ), scores AS (
+                SELECT doc_id,
+                  len(list_filter(tk, x -> list_contains(['der','die','und','das','ist','von','mit','den','nicht','ein','eine','auf','sich','des','im','dem','für','als','auch','es'], x))) AS s_de,
+                  len(list_filter(tk, x -> list_contains(['the','of','and','to','in','is','that','it','was','for','on','are','as','with','his','they','at','be','this','have'], x))) AS s_en,
+                  len(list_filter(tk, x -> list_contains(['el','la','los','las','de','que','y','en','un','una','es','por','con','para','su','se','del','al','lo','como'], x))) AS s_es,
+                  len(list_filter(tk, x -> list_contains(['le','la','les','de','des','et','est','en','que','qui','dans','pour','pas','une','au','sur','avec','son','ne','se'], x))) AS s_fr
+                FROM toks
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(s_de, s_en, s_es, s_fr) > 0 AND s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                        WHEN greatest(s_de, s_en, s_es, s_fr) > 0 AND s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                        WHEN greatest(s_de, s_en, s_es, s_fr) > 0 AND s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                        WHEN greatest(s_de, s_en, s_es, s_fr) > 0 AND s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr'
+                        ELSE 'und' END AS lang_pred
+            FROM scores
+        """,
+        "text_quality": """
+            WITH base AS (
+                SELECT doc_id, text,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+')) END AS n,
+                       len(list_filter(
+                           CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                                ELSE string_split_regex(trim(lower(text)), '\\s+') END,
+                           x -> list_contains(['the','of','and','to','in','is','that','it','was','for','on','are','as','with','his','they','at','be','this','have'], x))) AS hits,
+                       length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}\\-]', '', 'g')) AS punct,
+                       length(text) AS nchars
+                FROM documents
+            ), ratios AS (
+                SELECT doc_id, n,
+                       CASE WHEN n = 0 THEN 0.0 ELSE CAST(hits AS DOUBLE) / n END AS sw_ratio,
+                       CASE WHEN nchars = 0 THEN 0.0 ELSE CAST(punct AS DOUBLE) / nchars END AS punct_ratio,
+                       nchars
+                FROM base
+            )
+            SELECT doc_id, CAST(n AS INT) AS n_tokens,
+                   0.4 * least(CAST(nchars AS DOUBLE) / 2000.0, 1.0)
+                 + 0.4 * least(sw_ratio / 0.4, 1.0)
+                 + 0.2 * (1.0 - least(greatest(punct_ratio - 0.1, 0.0) / 0.4, 1.0))
+                       AS quality
+            FROM ratios
+        """,
+        "dedup_ngram_jaccard": """
+            WITH norm AS (
+                SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                FROM documents WHERE doc_id < 100
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct([substr(t, CAST(i AS INT), 5)
+                                      FOR i IN generate_series(1, greatest(len(t) - 4, 1))]) AS shingles
+                FROM norm
+            ), sizes AS (
+                SELECT doc_id, len(shingles) AS n FROM sh
+            ), post AS (
+                SELECT doc_id, unnest(shingles) AS s FROM sh
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+        """,
+        "emb_cosine_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id < 10
+            ), c AS (
+                SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+                FROM embeddings
+            ), s AS (
+                SELECT query_id, neighbor_id,
+                       list_dot_product(qv, cv)
+                         / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+                           AS cosine
+                FROM c CROSS JOIN q
+                WHERE query_id != neighbor_id
+            )
+            SELECT query_id, neighbor_id, cosine,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+            FROM s QUALIFY rank <= 5
+        """,
+        "emb_neardup_exact": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id < 100
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                       AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                  >= 0.2
         """,
     }

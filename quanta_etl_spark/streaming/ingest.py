@@ -1,0 +1,167 @@
+"""Structured Streaming adapters for the minute-bar data model.
+
+The reference is batch-only (schedule ``@once``, /root/reference/
+dags/dag.py:31), but its minute-bar model is naturally streamable
+(SURVEY.md §2C). These adapters make every batch operator in this
+engine available on an unbounded stream:
+
+* file-source ingest with the same explicit schemas as batch,
+* event-time watermarking + in-watermark dedup for late/duplicate bars,
+* tumbling/sliding OHLCV window aggregation (same semantics as the
+  batch ``ohlcv_resample``),
+* a custom stateful operator (running last-price) via
+  ``applyInPandasWithState`` — the escape hatch for semantics the
+  built-in operators can't express.
+
+Scale notes: state size is bounded by (keys × watermark horizon);
+watermarks let Spark drop state for closed windows. Use
+``trigger(availableNow=True)`` for backfill-style runs.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+
+def read_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream with an explicit schema (inference is illegal
+    on streams anyway). ``max_files_per_trigger`` bounds micro-batch
+    size — the knob that keeps 100-TB backfills incremental."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.format(fmt).load(path)
+
+
+def with_late_data_policy(
+    df: DataFrame,
+    ts_col: str,
+    delay: str = "10 minutes",
+    dedup_keys: Sequence[str] = (),
+) -> DataFrame:
+    """Watermark + in-watermark exact dedup: late bars beyond ``delay``
+    are dropped; duplicate (key, ts) bars inside the watermark are
+    deduplicated with bounded state."""
+    out = df.withWatermark(ts_col, delay)
+    if dedup_keys:
+        out = out.dropDuplicates([*dedup_keys, ts_col])
+    return out
+
+
+def windowed_ohlcv(
+    df: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    window: str = "1 hour",
+    slide: str | None = None,
+    price_col: str = "end_price",
+    volume_col: str = "traded_volume",
+) -> DataFrame:
+    """Event-time windowed OHLCV — streaming twin of
+    ``operators.resample.ohlcv_resample`` (first/last by event time)."""
+    win = (
+        F.window(ts_col, window) if slide is None else F.window(ts_col, window, slide)
+    )
+    return df.groupBy(win.alias("win"), *keys).agg(
+        F.min_by(price_col, ts_col).alias("open"),
+        F.max(price_col).alias("high"),
+        F.min(price_col).alias("low"),
+        F.max_by(price_col, ts_col).alias("close"),
+        F.sum(volume_col).alias("volume"),
+        F.count(F.lit(1)).alias("n_bars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: running last observation per key
+# ---------------------------------------------------------------------------
+
+_LAST_PRICE_STATE = "last_price double, last_ts timestamp"
+_LAST_PRICE_OUTPUT = (
+    "isin string, trading_ts timestamp, end_price double, filled_price double"
+)
+
+
+def _last_price_fn(
+    key: tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Forward-fill across micro-batches: remember each key's last
+    (price, ts) in GroupState; null prices inherit it."""
+    (isin,) = key
+    last_price, last_ts = state.get if state.exists else (None, None)
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values("trading_ts")
+        filled = []
+        for price, ts in zip(pdf["end_price"], pdf["trading_ts"]):
+            if pd.notna(price):
+                last_price, last_ts = float(price), ts
+                filled.append(float(price))
+            else:
+                filled.append(last_price)
+        yield pd.DataFrame(
+            {
+                "isin": isin,
+                "trading_ts": pdf["trading_ts"],
+                "end_price": pdf["end_price"],
+                "filled_price": filled,
+            }
+        )
+    if last_price is not None:
+        state.update((last_price, pd.Timestamp(last_ts).to_pydatetime()))
+
+
+def running_forward_fill(df: DataFrame, key: str = "isin") -> DataFrame:
+    """Stateful streaming forward-fill (B1 on an unbounded stream):
+    ``applyInPandasWithState`` keeps one (price, ts) pair per key —
+    O(keys) state, no watermark needed for correctness."""
+    return df.groupBy(key).applyInPandasWithState(
+        _last_price_fn,
+        outputStructType=_LAST_PRICE_OUTPUT,
+        stateStructType=_LAST_PRICE_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def write_stream_parquet(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_by: Sequence[str] = (),
+    available_now: bool = True,
+):
+    """Parquet sink with checkpointing; availableNow processes the
+    current backlog then stops (batch-like runs on streaming lineage)."""
+    writer = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def write_stream_memory(df: DataFrame, name: str, output_mode: str = "append"):
+    """In-memory sink for tests/debug (never for production data)."""
+    return (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )

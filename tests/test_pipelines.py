@@ -1,0 +1,77 @@
+"""End-to-end golden tests of the rebuilt reference pipelines over the
+reference's own sample data (read-only at /root/reference/sample-data;
+row counts per SURVEY.md §5: xetra 15,057, eurex 3,546, dim 2,728)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from quanta_etl_spark.pipelines import eurex as EX
+from quanta_etl_spark.pipelines import xetra as XT
+
+SAMPLE = "/root/reference/sample-data"
+XETRA_CSV = f"{SAMPLE}/2020-11-24_BINS_XETR08.csv"
+EUREX_CSV = f"{SAMPLE}/2020-11-24_BINS_XEUR08.csv"
+DIM_CSV = "/root/reference/dags/dimension_data/eurex_product_specification.csv"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(XETRA_CSV), reason="reference sample data unavailable"
+)
+
+
+def test_xetra_pipeline_golden(spark, tmp_path):
+    out = XT.process_xetra(spark, XETRA_CSV, str(tmp_path / "xetra"))
+    assert out.count() == 15057
+    # positional header bind: CSV header ISIN,... lands in field isin
+    row = out.where(F.col("mnemonic") == "SANT").orderBy("trading_time").first()
+    assert row.isin == "AT0000A0E9W5"
+    # typed derivation: real timestamp, hour-08 file
+    assert isinstance(row.trading_ts, dt.datetime)
+    assert row.trading_ts.hour == 8
+    # reference-format string view
+    sref = XT.as_reference_strings(out).where(F.col("mnemonic") == "SANT")
+    assert sref.first().trading_ts.startswith("2020-11-24 08:")
+    # partitioned parquet sink round-trips
+    back = spark.read.parquet(str(tmp_path / "xetra"))
+    assert back.count() == 15057
+    assert any(f.name.startswith("trading_date=") for f in (tmp_path / "xetra").iterdir())
+
+
+def test_eurex_pipeline_golden(spark):
+    res = EX.process_eurex(spark, EUREX_CSV, DIM_CSV)
+    df = res.enriched
+    assert df.count() == 3546
+    # dimension enrichment (positional bind of 25-col dim; 2,729 data
+    # rows — the file's last line has no trailing newline, so wc -l
+    # undercounts by one vs the actual data rows)
+    assert EX.load_product_spec(spark, DIM_CSV).count() == 2729
+    enriched = df.where(F.col("product_name").isNotNull())
+    assert enriched.count() > 0
+    # maturity semantics: date-typed, days/months arithmetic
+    r = df.where(F.col("maturity_string") == "20201218").first()
+    assert r.maturity_date == dt.date(2020, 12, 18)
+    assert r.maturity_days == (dt.date(2020, 12, 18) - dt.date(2020, 11, 24)).days
+    assert r.maturity_months == pytest.approx(r.maturity_days / 30.5)
+
+
+def test_eurex_quality_checks_match_reference_shape(spark):
+    res = EX.process_eurex(spark, EUREX_CSV, DIM_CSV)
+    for qc in (res.missing_isin, res.missing_underlying):
+        assert qc.columns == ["market_segment", "mleg"]
+        # distinct: no duplicate offender pairs
+        assert qc.count() == qc.dropDuplicates().count()
+
+
+def test_derivative_underlying_join(spark):
+    xetra = XT.process_xetra(spark, XETRA_CSV)
+    res = EX.process_eurex(spark, EUREX_CSV, DIM_CSV)
+    joined = EX.join_derivative_to_underlying(res.enriched, xetra)
+    n = joined.count()
+    assert n > 0  # sample hour has overlapping (underlying_isin, minute) pairs
+    assert "underlying_end_price" in joined.columns
+    # inner-join semantics: rows with null underlying_isin are dropped
+    assert joined.where(F.col("underlying_isin").isNull()).count() == 0
