@@ -758,8 +758,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lag_returns": """
             SELECT user_id, event_id,
-                   value / lag(value, 1) OVER (
-                       PARTITION BY user_id ORDER BY ts, event_id) - 1.0 AS ret
+                   value / nullif(lag(value, 1) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id), 0) - 1.0 AS ret
             FROM events
         """,
         "rolling_stats": """

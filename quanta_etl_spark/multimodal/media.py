@@ -1,0 +1,300 @@
+"""Multimodal (image/audio/video) column handling.
+
+The reference has no multimodal support (it is a flat relational ETL —
+SURVEY.md §1); this module adds the north-star capability: media as
+opaque ``binary`` columns with typed metadata, processed by
+Arrow-batched pandas iterators (``mapInPandas``) so decode /
+feature-extract / resize / frame-sample distribute like any other
+operator.
+
+Design rules for 100 TB media tables:
+
+* the binary payload travels in the SAME row as its metadata — one
+  scan, no N+1 fetches; Parquet stores it as a byte-array column
+  that is column-pruned away when a query touches only metadata;
+* partition by content size bands (``repartition_for_media``) so one
+  task never holds a skewed set of huge payloads;
+* every transform is ``mapInPandas`` over an iterator of batches —
+  constant memory per task regardless of partition size;
+* decode is pluggable: the real codecs (Pillow/ffmpeg/torchaudio) are
+  NOT in this container, so the default decoder is a clearly-marked
+  DETERMINISTIC STUB (pseudo-pixels derived from the payload bytes).
+  The Spark-side plumbing — schemas, batch iteration, partitioning —
+  is real and is what these functions test.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = [
+    "MEDIA_SCHEMA",
+    "media_table",
+    "repartition_for_media",
+    "decode_image",
+    "image_features",
+    "resize_images",
+    "sample_video_frames",
+    "audio_features",
+]
+
+# Canonical layout of a media table: opaque payload + typed metadata.
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("content", BinaryType(), True),
+        StructField("mime_type", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_channels", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("size_bytes", LongType(), True),
+    ]
+)
+
+
+def media_table(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Normalize an arbitrary frame holding a binary column into the
+    canonical media layout: fills ``size_bytes`` from the payload and
+    null-pads any missing metadata columns."""
+    out = df
+    if "size_bytes" not in out.columns:
+        out = out.withColumn("size_bytes", F.octet_length(content_col).cast("long"))
+    for field in MEDIA_SCHEMA.fields:
+        if field.name not in out.columns:
+            out = out.withColumn(field.name, F.lit(None).cast(field.dataType))
+    return out.select([f.name for f in MEDIA_SCHEMA.fields])
+
+
+def repartition_for_media(
+    df: DataFrame, target_partition_bytes: int = 128 * 1024 * 1024
+) -> DataFrame:
+    """Repartition so each task holds ~``target_partition_bytes`` of
+    payload. Media rows are wildly skewed (a 4 KB thumbnail vs a 2 GB
+    video); row-count-based splits starve or OOM tasks. We salt by
+    size band: large payloads spread round-robin, small ones pack."""
+    total = df.agg(F.sum(F.octet_length("content"))).first()[0] or 0
+    n = max(1, int(total / target_partition_bytes) + 1)
+    return df.repartition(n, F.xxhash64("media_id"))
+
+
+# ---------------------------------------------------------------------------
+# Decode stubs — the container has no Pillow/ffmpeg. Each stub is
+# deterministic in the payload bytes so tests are reproducible; swap in
+# a real decoder by passing ``decoder=`` to the public operators.
+# ---------------------------------------------------------------------------
+
+
+def _stub_decode_image(data: bytes, width: int, height: int) -> np.ndarray:
+    """DETERMINISTIC STUB (no real codec in this container): expands the
+    payload bytes into a (height, width, 3) uint8 array by tiling.
+    Replace with ``PIL.Image.open`` when Pillow is available."""
+    if not data:
+        return np.zeros((height, width, 3), dtype=np.uint8)
+    raw = np.frombuffer(data, dtype=np.uint8)
+    need = height * width * 3
+    reps = -(-need // len(raw))  # ceil
+    return np.tile(raw, reps)[:need].reshape(height, width, 3)
+
+
+def _default_dims(row: "pd.Series") -> tuple[int, int]:
+    w = int(row["width"]) if pd.notna(row.get("width")) else 8
+    h = int(row["height"]) if pd.notna(row.get("height")) else 8
+    return max(w, 1), max(h, 1)
+
+
+DECODE_SCHEMA = (
+    "media_id long, width int, height int, n_channels int, pixels binary"
+)
+
+
+def decode_image(
+    df: DataFrame,
+    decoder: Callable[[bytes, int, int], np.ndarray] | None = None,
+) -> DataFrame:
+    """Decode payloads to raw pixel buffers — ``mapInPandas`` so each
+    Arrow batch is decoded inside the executor, never on the driver.
+    Output: (media_id, width, height, n_channels, pixels) with pixels
+    a C-order uint8 buffer."""
+    decode = decoder or _stub_decode_image
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list[Any]] = {
+                "media_id": [], "width": [], "height": [],
+                "n_channels": [], "pixels": [],
+            }
+            for _, row in pdf.iterrows():
+                w, h = _default_dims(row)
+                arr = decode(row["content"] or b"", w, h)
+                out["media_id"].append(row["media_id"])
+                out["height"].append(arr.shape[0])
+                out["width"].append(arr.shape[1])
+                out["n_channels"].append(arr.shape[2])
+                out["pixels"].append(arr.tobytes())
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "content", "width", "height").mapInPandas(
+        run, schema=DECODE_SCHEMA
+    )
+
+
+FEATURE_SCHEMA = (
+    "media_id long, mean_intensity double, std_intensity double, "
+    "channel_means array<double>, histogram array<long>"
+)
+
+
+def image_features(df: DataFrame) -> DataFrame:
+    """Cheap pixel statistics over decoded buffers (operates on the
+    output of :func:`decode_image`): mean/std intensity, per-channel
+    means, 16-bin histogram. Pure numpy per Arrow batch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                arr = np.frombuffer(row["pixels"], dtype=np.uint8).reshape(
+                    row["height"], row["width"], row["n_channels"]
+                )
+                hist = np.histogram(arr, bins=16, range=(0, 256))[0]
+                rows.append(
+                    {
+                        "media_id": row["media_id"],
+                        "mean_intensity": float(arr.mean()),
+                        "std_intensity": float(arr.std()),
+                        "channel_means": arr.mean(axis=(0, 1)).tolist(),
+                        "histogram": hist.tolist(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def resize_images(df: DataFrame, out_width: int, out_height: int) -> DataFrame:
+    """Nearest-neighbor resize of decoded pixel buffers (numpy index
+    arithmetic — no codec needed, exact and deterministic)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list[Any]] = {
+                "media_id": [], "width": [], "height": [],
+                "n_channels": [], "pixels": [],
+            }
+            for _, row in pdf.iterrows():
+                arr = np.frombuffer(row["pixels"], dtype=np.uint8).reshape(
+                    row["height"], row["width"], row["n_channels"]
+                )
+                ys = (np.arange(out_height) * row["height"]) // out_height
+                xs = (np.arange(out_width) * row["width"]) // out_width
+                resized = arr[ys][:, xs]
+                out["media_id"].append(row["media_id"])
+                out["height"].append(out_height)
+                out["width"].append(out_width)
+                out["n_channels"].append(row["n_channels"])
+                out["pixels"].append(resized.tobytes())
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=DECODE_SCHEMA)
+
+
+FRAME_SCHEMA = "media_id long, frame_index int, frame_ms long, frame binary"
+
+
+def sample_video_frames(
+    df: DataFrame,
+    every_ms: int = 1000,
+    decoder: Callable[[bytes, int], list[bytes]] | None = None,
+) -> DataFrame:
+    """Frame sampling: one output row per sampled frame. The real
+    implementation shells to a video codec; the STUB slices the payload
+    into byte windows — one per ``every_ms`` of ``duration_ms`` — so
+    row-explosion, scheduling, and schema are exercised for real."""
+
+    def stub(data: bytes, n_frames: int) -> list[bytes]:
+        if not data or n_frames <= 0:
+            return []
+        step = max(1, len(data) // n_frames)
+        return [data[i * step : (i + 1) * step] for i in range(n_frames)]
+
+    decode = decoder or stub
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                dur = int(row["duration_ms"]) if pd.notna(row["duration_ms"]) else 0
+                n = max(dur // every_ms, 0)
+                for i, frame in enumerate(decode(row["content"] or b"", n)):
+                    rows.append(
+                        {
+                            "media_id": row["media_id"],
+                            "frame_index": i,
+                            "frame_ms": i * every_ms,
+                            "frame": frame,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_index", "frame_ms", "frame"]
+            )
+
+    return df.select("media_id", "content", "duration_ms").mapInPandas(
+        run, schema=FRAME_SCHEMA
+    )
+
+
+AUDIO_SCHEMA = (
+    "media_id long, n_samples long, rms double, peak double, zero_crossings long"
+)
+
+
+def audio_features(df: DataFrame, sample_width: int = 2) -> DataFrame:
+    """Audio summary features, treating the payload as raw PCM of
+    ``sample_width`` bytes per sample (a real build would decode the
+    container format first — NOT available here; int16 PCM interpretation
+    is exact for WAV-style payloads and a deterministic stand-in
+    otherwise)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                data = row["content"] or b""
+                usable = len(data) - (len(data) % sample_width)
+                samples = np.frombuffer(data[:usable], dtype=np.int16).astype(
+                    np.float64
+                )
+                if samples.size == 0:
+                    samples = np.zeros(1)
+                signs = np.sign(samples)
+                rows.append(
+                    {
+                        "media_id": row["media_id"],
+                        "n_samples": int(samples.size),
+                        "rms": float(np.sqrt(np.mean(samples**2))),
+                        "peak": float(np.max(np.abs(samples))),
+                        "zero_crossings": int(
+                            np.count_nonzero(np.diff(signs[signs != 0]))
+                            if samples.size > 1
+                            else 0
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "content").mapInPandas(run, schema=AUDIO_SCHEMA)

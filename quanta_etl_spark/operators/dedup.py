@@ -41,6 +41,16 @@ from quanta_etl_spark.functions.vectors import cosine_similarity
 _MERSENNE_31 = 2_147_483_647
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition to full cluster parallelism before per-row heavy
+    compute (signatures are CPU-bound higher-order expressions). A
+    corpus read from few parquet files otherwise runs on few tasks —
+    at 100 TB the scan supplies parallelism, but a signature stage
+    should never inherit a narrow upstream layout."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target)
+
+
 def _minhash_seeds(num: int, seed: int = 42) -> list[tuple[int, int]]:
     rng = random.Random(seed)
     return [
@@ -75,9 +85,15 @@ def minhash_signature(
 ) -> Column:
     """MinHash signature (array<int>, length ``num_hashes``) of the
     document's character-k-gram set. Universal hashing
-    h_i(x) = (a_i*x + b_i) mod P over 31-bit shingle hashes; the whole
-    signature is ONE nested Catalyst expression (transform over a
-    literal seed array → array_min over shingle hashes), no UDF."""
+    h_i(x) = (a_i*x + b_i) mod P over 31-bit shingle hashes.
+
+    Shaped as ONE ``aggregate`` fold over the shingle-hash array so the
+    shingle extraction is evaluated exactly once per row (an expression
+    referenced inside a higher-order lambda is re-evaluated per lambda
+    call — the naive transform-over-seeds form recomputes the shingles
+    ``num_hashes`` times). Per shingle the fold does ``num_hashes``
+    long multiply-mod-mins via ``zip_with`` against the literal seed
+    array; the finish lambda casts once at the end. No UDF."""
     seeds = _minhash_seeds(num_hashes)
     seed_arr = F.array(
         *[
@@ -88,11 +104,17 @@ def minhash_signature(
     h31 = F.transform(
         shingle_hashes(text, shingle_k), lambda h: F.pmod(h, F.lit(_MERSENNE_31))
     )
-    return F.transform(
-        seed_arr,
-        lambda s: F.array_min(
-            F.transform(h31, lambda h: F.pmod(s["a"] * h + s["b"], F.lit(_MERSENNE_31)))
-        ).cast("int"),
+    return F.aggregate(
+        h31,
+        F.array_repeat(F.lit(_MERSENNE_31).cast("long"), num_hashes),
+        lambda acc, h: F.zip_with(
+            acc,
+            seed_arr,
+            lambda m, s: F.least(
+                m, F.pmod(s["a"] * h + s["b"], F.lit(_MERSENNE_31))
+            ),
+        ),
+        lambda acc: F.transform(acc, lambda m: m.cast("int")),
     )
 
 
@@ -116,7 +138,7 @@ def minhash_lsh_candidates(
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     r = num_hashes // bands
-    sig = df.select(
+    sig = _spread(df).select(
         F.col(id_col).alias("__id"),
         minhash_signature(text_col, num_hashes, shingle_k).alias("__sig"),
     )
@@ -160,7 +182,7 @@ def minhash_dedup_pairs(
     (array_intersect/array_union) filters false positives. Returns
     (id_a, id_b, jaccard) with jaccard >= threshold."""
     cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, shingle_k)
-    shingled = df.select(
+    shingled = _spread(df).select(
         F.col(id_col).alias("__id"),
         F.array_distinct(shingle_hashes(text_col, shingle_k)).alias("__sh"),
     )
@@ -193,7 +215,7 @@ def ngram_jaccard_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
-    shingled = df.select(
+    shingled = _spread(df).select(
         F.col(id_col).alias("__id"),
         F.array_distinct(shingle_hashes(text_col, shingle_k)).alias("__sh"),
     )
@@ -222,22 +244,40 @@ def ngram_jaccard_pairs(
 
 def simhash64(text: Column | str) -> Column:
     """64-bit SimHash over whitespace tokens: for each bit position,
-    tokens vote by their xxhash64 bit; majority sets the bit. Entirely
-    native (getbit/shiftleft over a generated 0..63 sequence)."""
+    tokens vote by their xxhash64 bit; majority sets the bit.
+
+    ONE ``aggregate`` fold over the token-hash array (tokenization runs
+    once per row — see minhash_signature for why the fold shape
+    matters): the accumulator carries 64 bit-counters plus the token
+    count; the finish lambda assembles the fingerprint. Entirely
+    native (getbit/shiftleft), no UDF."""
     hashes = F.transform(ws_tokens(normalize_text(text)), lambda t: F.xxhash64(t))
-    n = F.size(hashes)
+    bit_idx = F.sequence(F.lit(0), F.lit(63))
     return F.aggregate(
-        F.sequence(F.lit(0), F.lit(63)),
-        F.lit(0).cast("long"),
-        lambda acc, i: acc
-        + F.when(
-            F.size(
-                F.filter(hashes, lambda h: F.call_function("getbit", h, i) == 1)
-            )
-            * 2
-            > n,
-            F.call_function("shiftleft", F.lit(1).cast("long"), i),
-        ).otherwise(F.lit(0).cast("long")),
+        hashes,
+        F.struct(
+            F.array_repeat(F.lit(0).cast("long"), 64).alias("counts"),
+            F.lit(0).cast("long").alias("n"),
+        ),
+        lambda acc, h: F.struct(
+            F.zip_with(
+                acc["counts"],
+                bit_idx,
+                lambda c, i: c + F.call_function("getbit", h, i).cast("long"),
+            ).alias("counts"),
+            (acc["n"] + 1).alias("n"),
+        ),
+        lambda acc: F.aggregate(
+            F.zip_with(
+                acc["counts"], bit_idx, lambda c, i: F.struct(c.alias("c"), i.alias("i"))
+            ),
+            F.lit(0).cast("long"),
+            lambda bits, s: bits
+            + F.when(
+                s["c"] * 2 > acc["n"],
+                F.call_function("shiftleft", F.lit(1).cast("long"), s["i"]),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
     )
 
 
@@ -256,7 +296,7 @@ def simhash_dedup_pairs(
     """
     nblocks = max_hamming + 1
     width = 64 // nblocks
-    sh = df.select(F.col(id_col).alias("__id"), simhash64(text_col).alias("__sh"))
+    sh = _spread(df).select(F.col(id_col).alias("__id"), simhash64(text_col).alias("__sh"))
     blocks = []
     for i in range(nblocks):
         lo = i * width
@@ -330,7 +370,7 @@ def embedding_neardup_pairs(
         F.lit(0).cast("long"),
         lambda acc, bit: acc * 2 + bit,
     )
-    bucketed = df.select(
+    bucketed = _spread(df).select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), bucket.alias("__bkt")
     )
     l, r = bucketed.alias("l"), bucketed.alias("r")

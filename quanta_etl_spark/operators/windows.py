@@ -90,10 +90,12 @@ def lag_returns(
     out: str = "returns",
 ) -> DataFrame:
     """Per-entity simple returns: value / lag(value) - 1 (reference
-    README.md:177). NULL for each entity's first observation."""
+    README.md:177). NULL for each entity's first observation and wherever
+    the previous value is 0 (try_divide — keeps ANSI mode enabled without
+    failing the whole job on one degenerate tick)."""
     w = Window.partitionBy(*partition_by).orderBy(*_order_cols(order_by))
     prev = F.lag(value, 1).over(w)
-    return df.withColumn(out, F.col(value) / prev - 1.0)
+    return df.withColumn(out, F.try_divide(F.col(value), prev) - 1.0)
 
 
 def rolling_agg(

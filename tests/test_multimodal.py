@@ -1,0 +1,111 @@
+"""Multimodal column handling (multimodal/media.py).
+
+The decode step is a deterministic stub (no Pillow/ffmpeg in this
+container) — what these tests verify is the REAL part: canonical
+schema, Arrow-batched mapInPandas plumbing, payload-size-aware
+partitioning, row-explosion for frame sampling, and numpy feature
+math over decoded buffers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from quanta_etl_spark.multimodal import media
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    rows = [
+        (1, b"\x10\x20\x30" * 100, "image/png", 4, 3, 3, None),
+        (2, b"\xff" * 16, "image/png", 2, 2, 3, None),
+        (3, None, "image/png", None, None, None, None),
+        (4, bytes(range(200)) * 10, "video/mp4", None, None, None, 3500),
+        (5, (b"\x00\x01\xfe\xff" * 64), "audio/wav", None, None, None, 1000),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, content binary, mime_type string, width int, "
+        "height int, n_channels int, duration_ms long",
+    )
+    return media.media_table(df)
+
+
+def test_media_table_canonical_schema(media_df):
+    assert [f.name for f in media_df.schema.fields] == [
+        f.name for f in media.MEDIA_SCHEMA.fields
+    ]
+    sizes = {r["media_id"]: r["size_bytes"] for r in media_df.collect()}
+    assert sizes[1] == 300
+    assert sizes[3] is None  # null payload -> null size
+
+
+def test_repartition_for_media(media_df):
+    out = media.repartition_for_media(media_df, target_partition_bytes=1024)
+    assert out.count() == 5
+    assert out.rdd.getNumPartitions() >= 2
+
+
+def test_decode_image_stub_shapes(media_df):
+    decoded = media.decode_image(media_df.where(F.col("mime_type") == "image/png"))
+    rows = {r["media_id"]: r for r in decoded.collect()}
+    assert rows[1]["width"] == 4 and rows[1]["height"] == 3
+    arr = np.frombuffer(rows[1]["pixels"], dtype=np.uint8)
+    assert arr.shape == (4 * 3 * 3,)
+    # stub tiles payload bytes deterministically
+    assert arr[0] == 0x10 and arr[1] == 0x20 and arr[2] == 0x30
+    # null payload decodes to zeros at default 8x8
+    null_arr = np.frombuffer(rows[3]["pixels"], dtype=np.uint8)
+    assert null_arr.sum() == 0 and null_arr.size == 8 * 8 * 3
+
+
+def test_image_features(media_df):
+    feats = media.image_features(
+        media.decode_image(media_df.where(F.col("media_id") == 2))
+    ).collect()[0]
+    assert feats["mean_intensity"] == 255.0
+    assert feats["std_intensity"] == 0.0
+    assert feats["channel_means"] == [255.0, 255.0, 255.0]
+    assert feats["histogram"][-1] == 12  # all 12 pixels in top bin
+
+
+def test_resize_images(media_df):
+    decoded = media.decode_image(media_df.where(F.col("media_id") == 1))
+    resized = media.resize_images(decoded, out_width=2, out_height=2).collect()[0]
+    assert resized["width"] == 2 and resized["height"] == 2
+    arr = np.frombuffer(resized["pixels"], dtype=np.uint8).reshape(2, 2, 3)
+    src = np.frombuffer(
+        media.decode_image(media_df.where(F.col("media_id") == 1))
+        .collect()[0]["pixels"],
+        dtype=np.uint8,
+    ).reshape(3, 4, 3)
+    # nearest-neighbor: out[0,0] == src[0,0], out[1,1] == src[1,2]
+    assert (arr[0, 0] == src[0, 0]).all()
+    assert (arr[1, 1] == src[1, 2]).all()
+
+
+def test_sample_video_frames(media_df):
+    frames = media.sample_video_frames(
+        media_df.where(F.col("media_id") == 4), every_ms=1000
+    ).collect()
+    assert len(frames) == 3  # 3500ms at 1 fps -> 3 frames
+    assert [f["frame_index"] for f in frames] == [0, 1, 2]
+    assert [f["frame_ms"] for f in frames] == [0, 1000, 2000]
+    assert all(len(f["frame"]) > 0 for f in frames)
+    # media without duration yields no frames
+    none = media.sample_video_frames(
+        media_df.where(F.col("media_id") == 1), every_ms=1000
+    ).count()
+    assert none == 0
+
+
+def test_audio_features(media_df):
+    feats = media.audio_features(media_df.where(F.col("media_id") == 5)).collect()[0]
+    # payload = [0x0100, 0xfffe] little-endian int16 = [256, -2] repeated
+    assert feats["n_samples"] == 128
+    assert feats["peak"] == 256.0
+    assert feats["zero_crossings"] == 127  # alternating sign every sample
+    expected_rms = float(np.sqrt((256.0**2 + 2.0**2) / 2))
+    assert abs(feats["rms"] - expected_rms) < 1e-9

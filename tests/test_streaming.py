@@ -1,0 +1,131 @@
+"""Structured Streaming adapters (streaming/ingest.py).
+
+The reference is batch-only (/root/reference/dags/dag.py:31 schedules
+``@once``); these tests prove the minute-bar model streams: file-source
+ingest with explicit schema, watermark + in-watermark dedup, windowed
+OHLCV, and the stateful forward-fill operator — each run with
+``availableNow`` triggers against a temp parquet directory so the full
+micro-batch path (planning, state store, sink commit) executes.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from quanta_etl_spark.streaming import ingest
+
+BAR_SCHEMA = StructType(
+    [
+        StructField("isin", StringType()),
+        StructField("trading_ts", TimestampType()),
+        StructField("end_price", DoubleType()),
+        StructField("traded_volume", DoubleType()),
+    ]
+)
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2020, 11, 24, 8, 0) + dt.timedelta(minutes=minute)
+
+
+@pytest.fixture(scope="module")
+def bar_dir(spark, tmp_path_factory):
+    rows = [
+        ("DE0001", _ts(0), 10.0, 100.0),
+        ("DE0001", _ts(1), 11.0, 50.0),
+        ("DE0001", _ts(1), 11.0, 50.0),  # exact duplicate bar
+        ("DE0001", _ts(2), None, 0.0),  # silent minute -> forward-fill
+        ("DE0002", _ts(0), 5.0, 10.0),
+        ("DE0002", _ts(61), 6.0, 20.0),  # second hour window
+    ]
+    path = str(tmp_path_factory.mktemp("bars") / "bars.parquet")
+    spark.createDataFrame(rows, BAR_SCHEMA).write.parquet(path)
+    return path
+
+
+def _run_to_memory(spark, df, name, output_mode="append"):
+    q = ingest.write_stream_memory(df, name, output_mode=output_mode)
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_read_stream_is_streaming(spark, bar_dir):
+    df = ingest.read_stream(spark, bar_dir, BAR_SCHEMA, max_files_per_trigger=1)
+    assert df.isStreaming
+    assert df.schema == BAR_SCHEMA
+
+
+def test_watermark_dedup_drops_duplicate_bars(spark, bar_dir):
+    df = ingest.read_stream(spark, bar_dir, BAR_SCHEMA)
+    deduped = ingest.with_late_data_policy(
+        df, "trading_ts", delay="10 minutes", dedup_keys=["isin"]
+    )
+    out = _run_to_memory(spark, deduped, "dedup_bars")
+    assert out.count() == 5  # 6 input bars, 1 duplicate dropped
+    assert (
+        out.where((F.col("isin") == "DE0001") & (F.col("trading_ts") == _ts(1))).count()
+        == 1
+    )
+
+
+def test_windowed_ohlcv_stream(spark, bar_dir):
+    df = ingest.read_stream(spark, bar_dir, BAR_SCHEMA)
+    agg = ingest.windowed_ohlcv(
+        ingest.with_late_data_policy(df, "trading_ts", delay="10 minutes"),
+        "trading_ts",
+        ["isin"],
+        window="1 hour",
+    )
+    # complete mode: append would hold windows open until the watermark
+    # passes window end, which a single availableNow batch never does.
+    out = _run_to_memory(spark, agg, "ohlcv_bars", output_mode="complete").collect()
+    by_key = {(r["isin"], r["win"]["start"].hour): r for r in out}
+    first = by_key[("DE0001", 8)]
+    assert first["open"] == 10.0
+    assert first["high"] == 11.0
+    assert first["low"] == 10.0
+    assert first["volume"] == 200.0
+    assert first["n_bars"] == 4
+    assert by_key[("DE0002", 9)]["close"] == 6.0
+
+
+def test_stateful_forward_fill_stream(spark, bar_dir):
+    df = ingest.read_stream(spark, bar_dir, BAR_SCHEMA).select(
+        "isin", "trading_ts", "end_price"
+    )
+    filled = ingest.running_forward_fill(df, key="isin")
+    out = _run_to_memory(spark, filled, "ffill_bars")
+    silent = out.where(
+        (F.col("isin") == "DE0001") & (F.col("trading_ts") == _ts(2))
+    ).collect()
+    assert len(silent) == 1
+    assert silent[0]["end_price"] is None
+    assert silent[0]["filled_price"] == 11.0
+
+
+def test_write_stream_parquet_partitioned(spark, bar_dir, tmp_path):
+    df = ingest.read_stream(spark, bar_dir, BAR_SCHEMA)
+    out_path = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = ingest.write_stream_parquet(
+        df.withColumn("trading_date", F.to_date("trading_ts")),
+        out_path,
+        ckpt,
+        partition_by=["trading_date"],
+    )
+    q.awaitTermination(120)
+    back = spark.read.parquet(out_path)
+    assert back.count() == 6
+    assert "trading_date=2020-11-24" in str(
+        [f.name for f in __import__("pathlib").Path(out_path).iterdir()]
+    )
