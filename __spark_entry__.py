@@ -416,6 +416,76 @@ def q_weighted_index(spark: SparkSession, sf: str) -> DataFrame:
     return weighted
 
 
+def q_densify_fill(spark: SparkSession, sf: str) -> DataFrame:
+    """B1 end-to-end: daily aggregate → dense per-user day spine
+    (sequence + explode, no driver loops) → forward-fill over gaps."""
+    ev = load_table(spark, sf, "events").where(F.col("user_id") < 50)
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(_dsum("value", "day_value"))
+    filled = win_ops.densify_and_fill(
+        daily, "user_id", "day", ["day_value"], step="interval 1 day"
+    )
+    return filled.select(
+        "user_id", F.date_format("day", "yyyy-MM-dd").alias("day_str"), "day_value"
+    )
+
+
+def q_join_theta(spark: SparkSession, sf: str) -> DataFrame:
+    """Theta join (§2C): pure inequality predicate — suppliers paired
+    with customers whose balance is within (0, 10] above theirs."""
+    s = load_table(spark, sf, "supplier")
+    c = load_table(spark, sf, "customer")
+    return join_ops.theta_join(
+        c.select("c_custkey", "c_acctbal"),
+        s.select("s_suppkey", "s_acctbal"),
+        (F.col("c_acctbal") > F.col("s_acctbal"))
+        & (F.col("c_acctbal") <= F.col("s_acctbal") + 10.0),
+    ).select("c_custkey", "s_suppkey", "c_acctbal", "s_acctbal")
+
+
+def q_agg_collect_sorted(spark: SparkSession, sf: str) -> DataFrame:
+    """collect_list made deterministic: sort_array + concat_ws (a bare
+    collect_list is order-nondeterministic under parallelism — never
+    hashable, never reproducible)."""
+    li = load_table(spark, sf, "lineitem").where(F.col("l_orderkey") < 200)
+    return li.groupBy("l_orderkey").agg(
+        F.concat_ws(
+            ",",
+            F.sort_array(F.collect_list(F.col("l_linenumber").cast("string"))),
+        ).alias("line_numbers"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q_emb_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-flat ANN top-k (scale path; no SQL oracle — centroid
+    assignment is engine-side; recall vs brute force is unit-tested)."""
+    emb = load_table(spark, sf, "embeddings")
+    return sim_ops.cosine_topk_ivf(
+        emb, emb.where(F.col("vec_id") < 10), k=5, num_centroids=16, nprobe=4
+    )
+
+
+def q_media_pixel_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal plumbing over testdata: documents' bytes as opaque
+    media payloads → canonical media table → stub decode → numpy
+    feature extraction via mapInPandas (no SQL oracle — the decode stub
+    is engine-side; plumbing is unit-tested in test_multimodal.py)."""
+    from quanta_etl_spark.multimodal import media as mm
+
+    docs = load_table(spark, sf, "documents").where(F.col("doc_id") < 200)
+    payloads = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.lit("image/fake").alias("mime_type"),
+        F.lit(8).alias("width"),
+        F.lit(8).alias("height"),
+    )
+    feats = mm.image_features(mm.decode_image(mm.media_table(payloads)))
+    return feats.select("media_id", "mean_intensity", "std_intensity")
+
+
 # ---------------------------------------------------------------------------
 # Set operations / global sort (§2C)
 # ---------------------------------------------------------------------------
@@ -607,6 +677,11 @@ def queries() -> dict[str, QueryFn]:
         "forward_fill": q_forward_fill,
         "resample_hourly": q_resample_hourly,
         "weighted_index": q_weighted_index,
+        "densify_fill": q_densify_fill,
+        "join_theta": q_join_theta,
+        "agg_collect_sorted": q_agg_collect_sorted,
+        "emb_topk_ivf": q_emb_topk_ivf,
+        "media_pixel_stats": q_media_pixel_stats,
         "setop_union": q_setop_union,
         "setop_intersect": q_setop_intersect,
         "setop_except": q_setop_except,
@@ -814,6 +889,36 @@ def oracle_sql() -> dict[str, str]:
                        AS index_value
             FROM events
             GROUP BY 1
+        """,
+        "densify_fill": """
+            WITH daily AS (
+                SELECT user_id, date_trunc('day', ts) AS day,
+                       CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS day_value
+                FROM events WHERE user_id < 50 GROUP BY 1, 2
+            ), spine AS (
+                SELECT user_id,
+                       unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS day
+                FROM daily GROUP BY user_id
+            )
+            SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day_str,
+                   last_value(d.day_value IGNORE NULLS) OVER (
+                       PARTITION BY s.user_id ORDER BY s.day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS day_value
+            FROM spine s LEFT JOIN daily d
+              ON s.user_id = d.user_id AND s.day = d.day
+        """,
+        "join_theta": """
+            SELECT c_custkey, s_suppkey, c_acctbal, s_acctbal
+            FROM customer JOIN supplier
+              ON c_acctbal > s_acctbal AND c_acctbal <= s_acctbal + 10.0
+        """,
+        "agg_collect_sorted": """
+            SELECT l_orderkey,
+                   array_to_string(list_sort(list(CAST(l_linenumber AS VARCHAR))), ',')
+                       AS line_numbers,
+                   count(*) AS n_lines
+            FROM lineitem WHERE l_orderkey < 200
+            GROUP BY l_orderkey
         """,
         "setop_union": """
             SELECT c_nationkey AS nationkey FROM customer

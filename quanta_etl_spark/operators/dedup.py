@@ -42,12 +42,15 @@ _MERSENNE_31 = 2_147_483_647
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Repartition to full cluster parallelism before per-row heavy
-    compute (signatures are CPU-bound higher-order expressions). A
-    corpus read from few parquet files otherwise runs on few tasks —
-    at 100 TB the scan supplies parallelism, but a signature stage
-    should never inherit a narrow upstream layout."""
+    """Ensure full cluster parallelism before per-row heavy compute
+    (signatures are CPU-bound expressions). A corpus read from few
+    parquet files/row-groups otherwise runs on few tasks. Conditional:
+    when the upstream layout is already parallel (the normal case at
+    scale — a 100 TB scan has ~10^6 splits) this is a no-op, so the
+    extra round-robin shuffle is only paid when it buys CPU."""
     target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
     return df.repartition(target)
 
 

@@ -151,6 +151,7 @@ def range_join(
     right_lower: str,
     right_upper: str,
     bin_width: float | None = None,
+    broadcast_intervals: bool = True,
 ) -> DataFrame:
     """Interval join: left.value ∈ [right.lower, right.upper), optionally
     within an equi-key.
@@ -161,6 +162,13 @@ def range_join(
     and the join becomes an EQUI-join on (key, bin) + residual filter —
     the standard trick that makes range joins shuffle-partitionable at
     scale (each interval lands in ceil(len/width) bins).
+
+    ``broadcast_intervals`` (default) hints the interval side: it is
+    usually a small driver-created table with UNKNOWN stats, and without
+    the hint Catalyst may build the broadcast from the known-size FACT
+    side — shipping the big table to every executor. Set False only
+    when the interval table is genuinely large (then the bin equi-join
+    shuffles both sides on __bin, which is the scalable path).
     """
     if bin_width is None:
         cond = (left[left_value] >= right[right_lower]) & (
@@ -168,7 +176,9 @@ def range_join(
         )
         if key is not None:
             cond = (left[key] == right[key]) & cond
-        return left.join(right, cond)
+        return left.join(
+            F.broadcast(right) if broadcast_intervals else right, cond
+        )
 
     lb = left.withColumn("__bin", F.floor(F.col(left_value) / bin_width))
     rb = right.withColumn(
@@ -178,6 +188,8 @@ def range_join(
             F.floor((F.col(right_upper) - 1e-9) / bin_width),
         ),
     ).withColumn("__bin", F.explode("__bins")).drop("__bins")
+    if broadcast_intervals:
+        rb = F.broadcast(rb)
     on = ["__bin", key] if key is not None else ["__bin"]
     return (
         lb.join(rb, on)
@@ -187,6 +199,22 @@ def range_join(
         )
         .drop("__bin")
     )
+
+
+def theta_join(
+    left: DataFrame,
+    right: DataFrame,
+    condition: Column,
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """General theta join (arbitrary predicate, SURVEY.md §2C): cross
+    join + filter, planned as BroadcastNestedLoopJoin when one side is
+    small. There is no scalable general theta join — at scale, first
+    extract an equi- or band-component from the predicate (see
+    ``range_join`` for the banded rewrite); keep this for small-×-big
+    shapes only, and broadcast the small side."""
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, condition)
 
 
 def salted_join(

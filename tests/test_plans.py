@@ -1,0 +1,92 @@
+"""Plan-shape assertions (plans/inspect.py).
+
+These tests pin the SCALE properties of the plans — pushdown, pruning,
+broadcast, shuffle counts — so a refactor that silently de-optimizes a
+query fails here instead of on a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+from quanta_etl_spark.plans import inspect as P
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = E.q_scan_filter_project(spark, sf_dir)
+    pushed = " ".join(P.pushed_filters(df))
+    assert "l_discount" in pushed
+    assert "l_quantity" in pushed
+
+
+def test_column_pruning(spark, sf_dir):
+    df = E.q_scan_filter_project(spark, sf_dir)
+    scans = P.scan_columns(df)
+    assert scans, "expected a parquet scan in the plan"
+    (cols,) = scans.values()
+    # 16-column table, 5 referenced columns read at most
+    assert set(cols) <= {
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_quantity"
+    }
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    df = E.q_dim_join_left(spark, sf_dir)
+    assert P.has_broadcast_join(df)
+    assert not P.has_cartesian(df)
+
+
+def test_snowflake_join_no_cartesian(spark, sf_dir):
+    df = E.q_region_revenue(spark, sf_dir)
+    assert not P.has_cartesian(df)
+    # 3 dims broadcast; the lineitem⋈orders join may shuffle
+    assert P.join_strategies(df).count("BroadcastHashJoin") >= 3
+
+
+def test_range_join_builds_interval_side(spark, sf_dir):
+    df = E.q_join_range(spark, sf_dir)
+    assert P.has_broadcast_join(df)
+    assert not P.has_cartesian(df)
+    plan = P.simple_plan(df)
+    assert "BuildRight" in plan  # the intervals, not the fact table
+
+
+def test_single_agg_one_shuffle(spark, sf_dir):
+    df = E.q_pricing_summary(spark, sf_dir)
+    # partial agg -> exchange on group keys -> final agg: exactly 1 shuffle
+    assert P.count_shuffles(df) == 1
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    df = E.q_join_asof(spark, sf_dir)
+    # union + window = one hash exchange on the key; no join shuffle pair
+    assert P.count_shuffles(df) <= 2
+    assert not P.has_cartesian(df)
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    df = E.q_global_topk(spark, sf_dir)
+    assert "TakeOrderedAndProject" in P.simple_plan(df)
+    assert P.count_shuffles(df) == 0
+
+
+def test_codegen_covers_scan_filter(spark, sf_dir):
+    df = E.q_scan_filter_project(spark, sf_dir)
+    assert P.codegen_stage_count(df) >= 1
+
+
+def test_partition_pruning_on_partitioned_write(spark, tmp_path, sf_dir):
+    from quanta_etl_spark.sources.readers import write_partitioned_parquet
+    from quanta_etl_spark.sources.testdata import load_table
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    out = str(tmp_path / "orders_by_year")
+    write_partitioned_parquet(orders, out, "o_year")
+    back = spark.read.parquet(out).where(F.col("o_year") == 1995)
+    plan = P.formatted_plan(back)
+    assert "PartitionFilters" in plan
+    # the o_year filter must prune partitions, not filter rows post-scan
+    assert "o_year" not in " ".join(P.pushed_filters(back))
