@@ -416,6 +416,64 @@ def q_weighted_index(spark: SparkSession, sf: str) -> DataFrame:
     return weighted
 
 
+def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization of the event stream (30-min inactivity
+    closes a session)."""
+    ev = load_table(spark, sf, "events")
+    out = win_ops.sessionize(
+        ev, "user_id", "ts", gap_seconds=1800, order_tiebreak=["event_id"]
+    )
+    return out.select("user_id", "event_id", "session_id")
+
+
+def q_join_salted(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-salted equi-join — salting must be semantics-preserving, so
+    the oracle is the PLAIN join: any result drift means the salt leaked
+    into the semantics."""
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    out = join_ops.salted_join(
+        o.select("o_orderkey", F.col("o_custkey").alias("custkey"), "o_totalprice"),
+        c.select(F.col("c_custkey").alias("custkey"), "c_mktsegment"),
+        "custkey",
+        salt=8,
+    )
+    return out.select("o_orderkey", "custkey", "o_totalprice", "c_mktsegment")
+
+
+def q_stream_hourly_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Structured Streaming end-to-end (readStream → watermark →
+    event-time windowed agg → memory sink, availableNow): hourly
+    high/low/count per event type. Deterministic aggregates only, so
+    the BATCH SQL oracle must match — streaming and batch semantics
+    agree on bounded input."""
+    from quanta_etl_spark.streaming import ingest
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    # file streams take a directory/glob, not a bare file path
+    stream = ingest.read_stream(spark, f"{sf}/events.parque[t]", raw_schema)
+    ev = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        ingest.with_late_data_policy(ev, "ts", delay="1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    q = ingest.write_stream_memory(agg, "stream_hourly_stats", output_mode="complete")
+    q.awaitTermination()
+    return spark.table("stream_hourly_stats").select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+        "event_type",
+        "high",
+        "low",
+        "n_events",
+    )
+
+
 def q_densify_fill(spark: SparkSession, sf: str) -> DataFrame:
     """B1 end-to-end: daily aggregate → dense per-user day spine
     (sequence + explode, no driver loops) → forward-fill over gaps."""
@@ -677,6 +735,9 @@ def queries() -> dict[str, QueryFn]:
         "forward_fill": q_forward_fill,
         "resample_hourly": q_resample_hourly,
         "weighted_index": q_weighted_index,
+        "sessionize": q_sessionize,
+        "join_salted": q_join_salted,
+        "stream_hourly_stats": q_stream_hourly_stats,
         "densify_fill": q_densify_fill,
         "join_theta": q_join_theta,
         "agg_collect_sorted": q_agg_collect_sorted,
@@ -889,6 +950,35 @@ def oracle_sql() -> dict[str, str]:
                        AS index_value
             FROM events
             GROUP BY 1
+        """,
+        "sessionize": """
+            WITH flags AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id, event_id,
+                   CAST(sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+                       AS session_id
+            FROM flags
+        """,
+        "join_salted": """
+            SELECT o_orderkey, o_custkey AS custkey, o_totalprice, c_mktsegment
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "stream_hourly_stats": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+                   event_type,
+                   max(value) AS high,
+                   min(value) AS low,
+                   count(*) AS n_events
+            FROM events
+            GROUP BY 1, 2
         """,
         "densify_fill": """
             WITH daily AS (

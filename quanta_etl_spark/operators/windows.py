@@ -98,6 +98,31 @@ def lag_returns(
     return df.withColumn(out, F.try_divide(F.col(value), prev) - 1.0)
 
 
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap_seconds: int = 1800,
+    order_tiebreak: Sequence[str] = (),
+    out: str = "session_id",
+) -> DataFrame:
+    """Gap-based sessionization: within each key, a new session starts
+    when the time since the previous event exceeds ``gap_seconds``.
+    Two stacked windows over ONE shuffle+sort (lag flag, then running
+    sum) — the standard distributed sessionize; at scale the state per
+    partition is one key's ordered history."""
+    order = [F.col(ts), *_order_cols(order_tiebreak)]
+    w = Window.partitionBy(key).orderBy(*order)
+    prev = F.lag(F.col(ts).cast("long")).over(w)
+    is_new = F.when(
+        prev.isNull() | ((F.col(ts).cast("long") - prev) > gap_seconds), 1
+    ).otherwise(0)
+    running = Window.partitionBy(key).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return df.withColumn(out, F.sum(is_new).over(running).cast("int"))
+
+
 def rolling_agg(
     df: DataFrame,
     value: str,
