@@ -171,6 +171,18 @@ def q_cube_status_priority(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS (each status total, each priority total,
+    grand total — but NOT the cross product, unlike CUBE)."""
+    o = load_table(spark, sf, "orders")
+    return agg_ops.grouping_sets_agg(
+        o,
+        sets=[["o_orderstatus"], ["o_orderpriority"], []],
+        all_keys=["o_orderstatus", "o_orderpriority"],
+        aggs={"n": ("count", "o_orderkey"), "max_price": ("max", "o_totalprice")},
+    )
+
+
 def q_pivot_segments(spark: SparkSession, sf: str) -> DataFrame:
     """Pivot with explicit values (conditional aggregation under the hood)."""
     c = load_table(spark, sf, "customer")
@@ -720,6 +732,7 @@ def queries() -> dict[str, QueryFn]:
         "agg_priority_stats": q_agg_priority_stats,
         "rollup_flag_status": q_rollup_flag_status,
         "cube_status_priority": q_cube_status_priority,
+        "grouping_sets": q_grouping_sets,
         "pivot_segments": q_pivot_segments,
         "join_semi": q_join_semi,
         "join_anti": q_join_anti,
@@ -824,6 +837,12 @@ def oracle_sql() -> dict[str, str]:
                    count(o_orderkey) AS n,
                    CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE) AS sum_price
             FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "grouping_sets": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(o_orderkey) AS n, max(o_totalprice) AS max_price
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """,
         "pivot_segments": """
             SELECT n_name,

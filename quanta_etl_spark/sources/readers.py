@@ -59,6 +59,30 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_by: str | list[str],
+    num_buckets: int,
+    sort_by: str | list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (and optionally sorted) parquet table in the session
+    catalog. Joins/aggregations between tables bucketed on the same key
+    with the same bucket count skip the shuffle entirely — the §7 scale
+    play for repeated big⋈big joins (e.g. eurex⋈xetra on isin): pay one
+    write-side shuffle, then every downstream join is exchange-free.
+
+    Requires a metastore table (``saveAsTable``) — bucket metadata does
+    not survive a bare ``.parquet(path)`` write."""
+    keys = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+    writer = df.write.mode(mode).format("parquet").bucketBy(num_buckets, *keys)
+    if sort_by is not None:
+        sorts = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        writer = writer.sortBy(*sorts)
+    writer.saveAsTable(table)
+
+
 def write_partitioned_parquet(
     df: DataFrame,
     path: str,

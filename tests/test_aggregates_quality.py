@@ -108,3 +108,21 @@ def test_setops(spark):
     assert {r.k for r in S.intersect(a, b).collect()} == {2}
     assert {r.k for r in S.except_(a, b).collect()} == {1}
     assert S.except_all(a, b).count() == 2  # one 2 survives multiplicity
+
+
+def test_approx_aggregates_within_tolerance(spark, sf_dir):
+    """approx_count_distinct (HLL++) and percentile approximations can't
+    hash-match an oracle; pin them to tolerance bands vs exact instead."""
+    from pyspark.sql import functions as F
+
+    from quanta_etl_spark.sources.testdata import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    row = o.agg(
+        F.countDistinct("o_custkey").alias("exact"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50_exact"),
+        F.expr("percentile_approx(o_totalprice, 0.5, 10000)").alias("p50_approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
+    assert abs(row["p50_approx"] - row["p50_exact"]) / row["p50_exact"] < 0.01
