@@ -47,8 +47,12 @@ def main() -> None:
     # charged for session startup.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
+    # One warmup execution per query (pays JIT/codegen compilation and
+    # python-worker startup), then the timed steady-state run — the
+    # number that scales to a long-lived cluster session.
     timings: dict[str, float] = {}
     for name, fn in qs.items():
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()

@@ -99,6 +99,41 @@ def grouping_sets_agg(
     )
 
 
+def sketch_distinct(
+    df: DataFrame,
+    by: Sequence[str],
+    col: str,
+    lg_k: int = 12,
+    sketch_col: str | None = None,
+) -> DataFrame:
+    """Per-group distinct-count via HLL sketches (Apache DataSketches,
+    native in Spark 3.5+). Unlike ``count_distinct`` — which shuffles
+    every distinct value — the sketch is a fixed 2^lg_k-byte register
+    set, combined map-side: the 100-TB pattern for distinct users/day
+    across billions of rows. ``sketch_col`` additionally keeps the
+    binary sketch for later re-aggregation (see ``sketch_merge``)."""
+    aggs = [F.hll_sketch_estimate(F.hll_sketch_agg(col, F.lit(lg_k))).alias(
+        f"approx_distinct_{col}"
+    )]
+    if sketch_col is not None:
+        aggs.append(F.hll_sketch_agg(col, F.lit(lg_k)).alias(sketch_col))
+    return df.groupBy(*by).agg(*aggs)
+
+
+def sketch_merge(
+    df: DataFrame,
+    by: Sequence[str],
+    sketch_col: str,
+    out: str = "approx_distinct",
+) -> DataFrame:
+    """Re-aggregate persisted HLL sketches to a coarser grouping WITHOUT
+    touching the raw data — e.g. daily sketches → monthly distincts.
+    This mergeability is the whole point of sketch-based rollups."""
+    return df.groupBy(*by).agg(
+        F.hll_sketch_estimate(F.hll_union_agg(sketch_col)).alias(out)
+    )
+
+
 def pivot_agg(
     df: DataFrame,
     by: Sequence[str],

@@ -126,3 +126,26 @@ def test_approx_aggregates_within_tolerance(spark, sf_dir):
     ).collect()[0]
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
     assert abs(row["p50_approx"] - row["p50_exact"]) / row["p50_exact"] < 0.01
+
+
+def test_hll_sketch_distinct_and_merge(spark, sf_dir):
+    """Sketch estimate within 5% of exact; daily sketches merged to a
+    global estimate match a directly-computed global sketch."""
+    from pyspark.sql import functions as F
+
+    from quanta_etl_spark.operators.aggregates import sketch_distinct, sketch_merge
+    from quanta_etl_spark.sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    daily = sketch_distinct(ev, ["day"], "user_id", sketch_col="sk")
+    exact_daily = ev.groupBy("day").agg(F.countDistinct("user_id").alias("exact"))
+    joined = daily.join(exact_daily, "day").collect()
+    assert joined
+    for r in joined:
+        assert abs(r["approx_distinct_user_id"] - r["exact"]) / max(r["exact"], 1) < 0.05
+
+    merged = sketch_merge(daily, [], "sk").collect()[0]["approx_distinct"]
+    exact_total = ev.agg(F.countDistinct("user_id")).collect()[0][0]
+    assert abs(merged - exact_total) / exact_total < 0.05
