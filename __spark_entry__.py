@@ -594,6 +594,20 @@ def q_setop_except(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_setop_except_all(spark: SparkSession, sf: str) -> DataFrame:
+    """EXCEPT ALL — multiplicity-preserving difference (one survivor per
+    unmatched duplicate), vs the set semantics of setop_except."""
+    li = load_table(spark, sf, "lineitem")
+    return set_ops.except_all(
+        li.where(F.col("l_quantity") >= 48).select(
+            F.col("l_partkey").alias("partkey")
+        ),
+        li.where(F.col("l_returnflag") == "R").select(
+            F.col("l_partkey").alias("partkey")
+        ),
+    )
+
+
 def q_global_topk(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
     return win_ops.global_top_k(
@@ -759,6 +773,7 @@ def queries() -> dict[str, QueryFn]:
         "setop_union": q_setop_union,
         "setop_intersect": q_setop_intersect,
         "setop_except": q_setop_except,
+        "setop_except_all": q_setop_except_all,
         "global_topk": q_global_topk,
         "dedup_exact": q_dedup_exact,
         "text_token_stats": q_text_token_stats,
@@ -1043,6 +1058,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
             EXCEPT
             SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        """,
+        "setop_except_all": """
+            SELECT l_partkey AS partkey FROM lineitem WHERE l_quantity >= 48
+            EXCEPT ALL
+            SELECT l_partkey AS partkey FROM lineitem WHERE l_returnflag = 'R'
         """,
         "global_topk": """
             SELECT l_orderkey, l_linenumber, l_extendedprice

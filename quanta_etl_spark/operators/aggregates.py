@@ -99,6 +99,35 @@ def grouping_sets_agg(
     )
 
 
+def two_stage_agg(
+    df: DataFrame,
+    by: Sequence[str],
+    aggs: Mapping[str, tuple[str, str]],
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-resistant aggregation: pre-aggregate on (keys, salt) so a
+    hot key's rows split across ``salt`` reducers, then combine the
+    partials. Only ALGEBRAIC aggregates (sum/count/min/max) decompose
+    this way. Spark's own partial aggregation usually makes this
+    unnecessary — reach for it when a high-cardinality-input/low-
+    cardinality-output agg funnels one hot key into one task and AQE
+    can't help (AQE splits skewed JOIN partitions, not agg groups)."""
+    decompose = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    for alias, (fn, _) in aggs.items():
+        if fn not in decompose:
+            raise ValueError(f"{fn} is not algebraic; cannot two-stage {alias!r}")
+    salted = df.withColumn("__salt", F.pmod(F.xxhash64(*by, F.rand(42)), F.lit(salt)))
+    partial = salted.groupBy(*by, "__salt").agg(
+        *[_AGG_FNS[fn](col).alias(alias) for alias, (fn, col) in aggs.items()]
+    )
+    return partial.groupBy(*by).agg(
+        *[
+            decompose[fn](alias).alias(alias)
+            for alias, (fn, _) in aggs.items()
+        ]
+    )
+
+
 def sketch_distinct(
     df: DataFrame,
     by: Sequence[str],

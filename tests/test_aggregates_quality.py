@@ -149,3 +149,33 @@ def test_hll_sketch_distinct_and_merge(spark, sf_dir):
     merged = sketch_merge(daily, [], "sk").collect()[0]["approx_distinct"]
     exact_total = ev.agg(F.countDistinct("user_id")).collect()[0][0]
     assert abs(merged - exact_total) / exact_total < 0.05
+
+
+def test_two_stage_agg_matches_plain(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from quanta_etl_spark.operators.aggregates import two_stage_agg
+    from quanta_etl_spark.sources.testdata import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    staged = two_stage_agg(
+        li, ["l_returnflag"],
+        {"n": ("count", "l_orderkey"), "max_qty": ("max", "l_quantity")},
+        salt=8,
+    )
+    plain = li.groupBy("l_returnflag").agg(
+        F.count("l_orderkey").alias("n"), F.max("l_quantity").alias("max_qty")
+    )
+    assert sorted(tuple(r) for r in staged.collect()) == \
+        sorted(tuple(r) for r in plain.collect())
+
+
+def test_two_stage_agg_rejects_non_algebraic(spark, sf_dir):
+    import pytest as _pytest
+
+    from quanta_etl_spark.operators.aggregates import two_stage_agg
+    from quanta_etl_spark.sources.testdata import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    with _pytest.raises(ValueError):
+        two_stage_agg(li, ["l_returnflag"], {"m": ("median", "l_quantity")})
