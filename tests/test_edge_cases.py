@@ -1,0 +1,84 @@
+"""Edge-case semantics the reference's data model depends on
+(SURVEY.md §5): null join keys, empty inputs, degenerate text.
+
+Null-key semantics matter because the reference's quality checks exist
+precisely BECAUSE null isins/underlyings occur (etl.py:166-175): a left
+join must KEEP null-key fact rows (unmatched), an inner join must DROP
+them — SQL null-equality is never true.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from quanta_etl_spark.functions import text as T
+from quanta_etl_spark.operators import dedup as dedup_ops
+from quanta_etl_spark.operators import joins as join_ops
+from quanta_etl_spark.operators import windows as win_ops
+
+
+def test_null_keys_kept_by_left_dropped_by_inner(spark):
+    fact = spark.createDataFrame(
+        [(1, "A"), (2, None), (3, "B"), (4, None)], "id long, k string"
+    )
+    dim = spark.createDataFrame([("A", "dimA"), ("B", "dimB")], "k string, v string")
+    left = join_ops.broadcast_dim_join(fact, dim, "k", "left")
+    inner = join_ops.broadcast_dim_join(fact, dim, "k", "inner")
+    assert left.count() == 4
+    assert inner.count() == 2
+    null_rows = left.where(F.col("k").isNull()).collect()
+    assert {r["id"] for r in null_rows} == {2, 4}
+    assert all(r["v"] is None for r in null_rows)
+
+
+def test_two_key_join_null_never_matches(spark):
+    l = spark.createDataFrame([(1, "A", None), (2, "A", "t1")], "id long, k string, ts string")
+    r = spark.createDataFrame([("A", None, 9.0), ("A", "t1", 1.0)], "k string, ts string, v double")
+    out = join_ops.two_key_join(l, r, ["k", "ts"], ["k", "ts"])
+    rows = out.collect()
+    # only the (A, t1) pair joins; (A, NULL) = (A, NULL) is NOT a match
+    assert len(rows) == 1 and rows[0]["v"] == 1.0
+
+
+def test_empty_input_operators(spark):
+    empty = spark.createDataFrame([], "isin string, ts timestamp, price double")
+    assert win_ops.forward_fill(empty, ["price"], ["isin"], ["ts"]).count() == 0
+    assert win_ops.lag_returns(empty, "price", ["isin"], ["ts"]).count() == 0
+    assert win_ops.sessionize(empty, "isin", "ts").count() == 0
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert dedup_ops.exact_dedup_by_fingerprint(empty_docs, "text", "doc_id").count() == 0
+    assert dedup_ops.minhash_dedup_pairs(empty_docs, "doc_id", "text").count() == 0
+
+
+def test_degenerate_text(spark):
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "a"), (4, None), (5, "über café 日本語")],
+        "doc_id long, text string",
+    )
+    out = docs.select(
+        "doc_id",
+        T.token_count("text").alias("n"),
+        T.lang_id("text").alias("lang"),
+        T.quality_score("text").alias("q"),
+        T.fingerprint("text").alias("fp"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["n"] == 0 and by_id[2]["n"] == 0
+    assert by_id[3]["n"] == 1
+    assert by_id[1]["lang"] == "und"
+    assert 0.0 <= by_id[3]["q"] <= 1.0
+    assert by_id[5]["n"] == 3  # unicode whitespace tokenization
+    # null text: expressions propagate null rather than erroring
+    assert by_id[4]["n"] is None or by_id[4]["n"] == 0
+
+
+def test_dropduplicates_deterministic_survivor(spark):
+    """exact_dedup_by_fingerprint picks the MIN id, run after run —
+    unlike bare dropDuplicates whose survivor is partition-order luck."""
+    docs = spark.createDataFrame(
+        [(10, "same text"), (3, "same  text"), (7, "SAME TEXT"), (1, "other")],
+        "doc_id long, text string",
+    )
+    for _ in range(3):
+        out = dedup_ops.exact_dedup_by_fingerprint(docs, "text", "doc_id")
+        assert {r["doc_id"] for r in out.collect()} == {1, 3}
