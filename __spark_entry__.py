@@ -529,8 +529,10 @@ def q_agg_collect_sorted(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_emb_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF-flat ANN top-k (scale path; no SQL oracle — centroid
-    assignment is engine-side; recall vs brute force is unit-tested)."""
+    """IVF-flat ANN top-k. Fully deterministic (centroids = every 7th of
+    the first 112 vectors by id; nearest-centroid ties break by centroid
+    id), so the inverted-list probe is reproducible in the SQL oracle —
+    the approximate index is hash-match-checkable, not just rows-only."""
     emb = load_table(spark, sf, "embeddings")
     return sim_ops.cosine_topk_ivf(
         emb, emb.where(F.col("vec_id") < 10), k=5, num_centroids=16, nprobe=4
@@ -540,8 +542,9 @@ def q_emb_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
 def q_media_pixel_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal plumbing over testdata: documents' bytes as opaque
     media payloads → canonical media table → stub decode → numpy
-    feature extraction via mapInPandas (no SQL oracle — the decode stub
-    is engine-side; plumbing is unit-tested in test_multimodal.py)."""
+    feature extraction via mapInPandas. The decode stub is
+    deterministic (tiled payload bytes), so even this path is
+    oracle-checked against a SQL twin of the tiling."""
     from quanta_etl_spark.multimodal import media as mm
 
     docs = load_table(spark, sf, "documents").where(F.col("doc_id") < 200)
@@ -717,8 +720,9 @@ def q_emb_neardup_exact(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_emb_neardup_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """Sign-LSH bucketed embedding near-dup pairs (scale path; no SQL
-    oracle — bucket assignment depends on engine-side hashing)."""
+    """Sign-LSH bucketed embedding near-dup pairs (scale path). The
+    hyperplanes are seeded, so the oracle inlines them as literals and
+    reproduces bucketing + verification exactly."""
     emb = load_table(spark, sf, "embeddings")
     return dedup_ops.embedding_neardup_pairs(
         emb, "vec_id", "embedding", threshold=0.2, num_planes=4
@@ -788,8 +792,59 @@ def queries() -> dict[str, QueryFn]:
     }
 
 
+def _lsh_neardup_oracle() -> str:
+    """SQL twin of embedding_neardup_pairs(num_planes=4, seed=42): the
+    hyperplanes are deterministic (seeded Python RNG), so their literals
+    are inlined here — the 'engine-side randomness' is reproducible."""
+    import random
+
+    rng = random.Random(42)
+    planes = [[rng.gauss(0.0, 1.0) for _ in range(64)] for _ in range(4)]
+    lits = ["[" + ", ".join(repr(v) for v in p) + "]" for p in planes]
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {lit}) >= 0 THEN 1 ELSE 0 END) * {1 << (3 - i)}"
+        for i, lit in enumerate(lits)
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), b AS (
+            SELECT vec_id, v, {bits} AS bkt FROM e
+        )
+        SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+               list_cosine_similarity(a.v, c.v) AS cosine
+        FROM b a JOIN b c ON a.bkt = c.bkt AND a.vec_id < c.vec_id
+        WHERE list_cosine_similarity(a.v, c.v) >= 0.2
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "emb_neardup_lsh": _lsh_neardup_oracle(),
+        "media_pixel_stats": """
+            -- SQL twin of the deterministic decode stub: UTF-8 payload
+            -- bytes tiled cyclically to an 8x8x3 buffer. Valid while the
+            -- corpus is ASCII (true for the driver testdata), where
+            -- ord(char) == payload byte.
+            WITH d AS (
+                SELECT doc_id AS media_id, text,
+                       CAST(length(text) AS INT) AS L
+                FROM documents WHERE doc_id < 200
+            ), px AS (
+                SELECT media_id,
+                       CASE WHEN L = 0
+                            THEN [0 FOR i IN generate_series(0, 191)]
+                            ELSE [ord(substr(text, CAST(i % L AS INT) + 1, 1))
+                                  FOR i IN generate_series(0, 191)]
+                       END AS p
+                FROM d
+            )
+            SELECT media_id,
+                   list_avg(p) AS mean_intensity,
+                   sqrt(list_avg([CAST(x AS DOUBLE) * x FOR x IN p])
+                        - list_avg(p) * list_avg(p)) AS std_intensity
+            FROM px
+        """,
         "scan_filter_project": """
             SELECT l_orderkey, l_linenumber,
                    l_extendedprice * (1 - l_discount) AS net_price
@@ -1161,6 +1216,39 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+        """,
+        "emb_topk_ivf": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ), cent AS (
+                SELECT CAST((rn - 1) // 7 AS INT) AS cid, v AS cv
+                FROM (SELECT v, row_number() OVER (ORDER BY vec_id) AS rn FROM e)
+                WHERE rn <= 112 AND (rn - 1) % 7 = 0
+            ), dists AS (
+                SELECT e.vec_id, e.v, c.cid, list_distance(e.v, c.cv) AS d
+                FROM e CROSS JOIN cent c
+            ), assign AS (
+                SELECT vec_id, v, cid FROM (
+                    SELECT vec_id, v, cid,
+                           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r
+                    FROM dists
+                ) WHERE r = 1
+            ), probes AS (
+                SELECT vec_id AS query_id, v AS qv, cid FROM (
+                    SELECT vec_id, v, cid,
+                           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r
+                    FROM dists WHERE vec_id < 10
+                ) WHERE r <= 4
+            ), scored AS (
+                SELECT p.query_id, a.vec_id AS neighbor_id,
+                       list_cosine_similarity(p.qv, a.v) AS cosine
+                FROM probes p JOIN assign a ON p.cid = a.cid
+                WHERE p.query_id != a.vec_id
+            )
+            SELECT query_id, neighbor_id, cosine,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+            FROM scored QUALIFY rank <= 5
         """,
         "emb_cosine_topk": """
             WITH q AS (
