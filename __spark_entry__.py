@@ -667,6 +667,18 @@ def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_text_winnow(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (MOSS algorithm) — per-doc
+    fingerprint counts (rows-only check: selection depends on xxhash64
+    values, which no other engine reproduces; the algorithm's guarantees
+    are property-tested in test_text_functions)."""
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(T.winnow_fingerprints("text", k=7, window=4)).alias("n_fingerprints"),
+    )
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """Exact n-gram Jaccard similarity join (inverted shingle index) over
     a 100-doc slice; pairs with jaccard >= 0.2."""
@@ -783,6 +795,7 @@ def queries() -> dict[str, QueryFn]:
         "text_token_stats": q_text_token_stats,
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
+        "text_winnow": q_text_winnow,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,

@@ -146,3 +146,41 @@ def char_shingles(text: Column | str, k: int = 5) -> Column:
 def shingle_hashes(text: Column | str, k: int = 5) -> Column:
     """Distinct 64-bit hashes of character k-grams → array<bigint>."""
     return F.transform(char_shingles(text, k), lambda s: F.xxhash64(s))
+
+
+def rolling_kgram_hashes(text: Column | str, k: int = 7) -> Column:
+    """ORDERED (non-distinct) rolling k-gram hashes of the normalized
+    text — position matters, unlike ``shingle_hashes``."""
+    t = normalize_text(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(t) - (k - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.xxhash64(t.substr(i, F.lit(k))))
+
+
+def winnow_fingerprints(
+    text: Column | str, k: int = 7, window: int = 4
+) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): take the min rolling-hash from
+    every window of ``window`` consecutive k-gram hashes; the distinct
+    selected hashes are the fingerprint set. Guarantee: any shared
+    substring of length >= window + k - 1 yields a shared fingerprint,
+    with density ~2/(window+1) of all hashes.
+
+    Implementation note — the let-binding idiom: the hash array is
+    wrapped in a 1-element array and consumed through a lambda VARIABLE
+    (``transform(array(h), arr -> ...)[0]``). Lambda variables are bound
+    values, so ``arr`` is referenced per window for free; inlining the
+    hash expression directly into the window lambda would re-hash the
+    whole document once per window (O(n²))."""
+    h = rolling_kgram_hashes(text, k)
+    return F.transform(
+        F.array(h),
+        lambda arr: F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size(arr) - (window - 1), F.lit(1))
+                ),
+                lambda i: F.array_min(F.slice(arr, i, window)),
+            )
+        ),
+    )[0]

@@ -66,3 +66,35 @@ def test_char_shingles(spark):
     assert sh == ["abc", "bcd", "cde", "def"]
     short = spark.createDataFrame([(1, "ab")], "id int, text string")
     assert short.select(T.char_shingles("text", 5).alias("s")).first().s == ["ab"]
+
+
+def test_winnow_fingerprints_properties(spark):
+    """Winnowing guarantees: identical (normalized) docs have identical
+    fingerprints; docs sharing a long substring share >=1 fingerprint;
+    fingerprint density is ~2/(w+1) of the hash count."""
+    from pyspark.sql import functions as F
+
+    from quanta_etl_spark.functions.text import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (1, shared),
+        (2, "THE  quick   brown fox jumps over the lazy dog near the river bank"),
+        (3, "completely different content about database query optimization"),
+        (4, "intro text then " + shared + " and some trailing words"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    fps = {
+        r["id"]: set(r["fp"])
+        for r in df.select(
+            "id", winnow_fingerprints("text", k=7, window=4).alias("fp")
+        ).collect()
+    }
+    assert fps[1] == fps[2]  # normalization: case + whitespace invariant
+    assert fps[1] & fps[4]  # shared substring -> shared fingerprint
+    assert not (fps[1] & fps[3])
+    assert len(fps[5]) == 1  # degenerate doc -> single hash of ''
+    # density: selected fingerprints are a small fraction of all hashes
+    n_hashes = len(shared) - 6
+    assert len(fps[1]) < n_hashes * 0.6
