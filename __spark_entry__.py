@@ -15,6 +15,18 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# Python-UDF closures (pandas_udf / mapInPandas) from this package must
+# pickle BY VALUE: the driver may run this module from any cwd, and the
+# executors' python workers have no /root/repo on sys.path — a
+# by-reference pickle would fail to unpickle there.
+try:  # pragma: no cover - environment guard
+    import quanta_etl_spark as _pkg
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(_pkg)
+except Exception:
+    pass
+
 from quanta_etl_spark.functions import text as T
 from quanta_etl_spark.operators import aggregates as agg_ops
 from quanta_etl_spark.operators import dedup as dedup_ops
