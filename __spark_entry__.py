@@ -565,6 +565,16 @@ def q_emb_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_emb_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Sign-LSH multiprobe ANN top-k (the other scale path beside IVF):
+    probe the query's bucket plus all Hamming-1 neighbors. Seeded
+    hyperplanes → bucketing reproducible in the SQL oracle."""
+    emb = load_table(spark, sf, "embeddings")
+    return sim_ops.cosine_topk_lsh(
+        emb, emb.where(F.col("vec_id") < 10), k=5, num_planes=6, multiprobe=True
+    )
+
+
 def q_media_pixel_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal plumbing over testdata: documents' bytes as opaque
     media payloads → canonical media table → stub decode → numpy
@@ -698,7 +708,7 @@ def q_text_winnow(spark: SparkSession, sf: str) -> DataFrame:
     fingerprint counts (rows-only check: selection depends on xxhash64
     values, which no other engine reproduces; the algorithm's guarantees
     are property-tested in test_text_functions)."""
-    docs = load_table(spark, sf, "documents")
+    docs = dedup_ops._spread(load_table(spark, sf, "documents"))
     return docs.select(
         "doc_id",
         F.size(T.winnow_fingerprints("text", k=7, window=4)).alias("n_fingerprints"),
@@ -812,6 +822,7 @@ def queries() -> dict[str, QueryFn]:
         "join_theta": q_join_theta,
         "agg_collect_sorted": q_agg_collect_sorted,
         "emb_topk_ivf": q_emb_topk_ivf,
+        "emb_topk_lsh": q_emb_topk_lsh,
         "media_pixel_stats": q_media_pixel_stats,
         "setop_union": q_setop_union,
         "setop_intersect": q_setop_intersect,
@@ -858,9 +869,47 @@ def _lsh_neardup_oracle() -> str:
     """
 
 
+def _lsh_topk_oracle(num_planes: int = 6, k: int = 5) -> str:
+    """SQL twin of cosine_topk_lsh(num_planes=6, multiprobe=True)."""
+    import random
+
+    rng = random.Random(42)
+    planes = [[rng.gauss(0.0, 1.0) for _ in range(64)] for _ in range(num_planes)]
+    lits = ["[" + ", ".join(repr(v) for v in p) + "]" for p in planes]
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {lit}) >= 0 THEN 1 ELSE 0 END)"
+        f" * {1 << (num_planes - 1 - i)}"
+        for i, lit in enumerate(lits)
+    )
+    probe_list = ", ".join(
+        ["qbkt"] + [f"xor(qbkt, {1 << i})" for i in range(num_planes)]
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), b AS (
+            SELECT vec_id, v, {bits} AS bkt FROM e
+        ), q AS (
+            SELECT vec_id AS query_id, v AS qv, bkt AS qbkt FROM b WHERE vec_id < 10
+        ), probes AS (
+            SELECT query_id, qv, unnest([{probe_list}]) AS bkt FROM q
+        ), scored AS (
+            SELECT p.query_id, c.vec_id AS neighbor_id,
+                   list_cosine_similarity(p.qv, c.v) AS cosine
+            FROM probes p JOIN b c ON p.bkt = c.bkt
+            WHERE p.query_id != c.vec_id
+        )
+        SELECT query_id, neighbor_id, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+        FROM scored QUALIFY rank <= {k}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "emb_neardup_lsh": _lsh_neardup_oracle(),
+        "emb_topk_lsh": _lsh_topk_oracle(),
         "media_pixel_stats": """
             -- SQL twin of the deterministic decode stub: UTF-8 payload
             -- bytes tiled cyclically to an 8x8x3 buffer. Valid while the
