@@ -177,6 +177,7 @@ def cosine_topk_ivf(
     assigned to their nearest centroid (one scan), queries probe the
     ``nprobe`` nearest centroid lists. Candidate volume ≈
     corpus × nprobe / num_centroids."""
+    # one driver job: the sample rows also reveal the dimension
     sample = [
         (i, [float(v) for v in r[1]])
         for i, r in enumerate(
