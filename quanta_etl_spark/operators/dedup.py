@@ -40,23 +40,11 @@ from quanta_etl_spark.functions.text import (
     ws_tokens,
 )
 from quanta_etl_spark.functions.vectors import cosine_similarity
+from quanta_etl_spark.operators.util import spread as _spread
 
 # 31-bit Mersenne prime: (a*h + b) mod P stays within signed-64 range
 # for a, h < 2^31, so the whole minhash runs in native long arithmetic.
 _MERSENNE_31 = 2_147_483_647
-
-
-def _spread(df: DataFrame) -> DataFrame:
-    """Ensure full cluster parallelism before per-row heavy compute
-    (signatures are CPU-bound expressions). A corpus read from few
-    parquet files/row-groups otherwise runs on few tasks. Conditional:
-    when the upstream layout is already parallel (the normal case at
-    scale — a 100 TB scan has ~10^6 splits) this is a no-op, so the
-    extra round-robin shuffle is only paid when it buys CPU."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target)
 
 
 def _minhash_seeds(num: int, seed: int = 42) -> list[tuple[int, int]]:

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from quanta_etl_spark.functions.vectors import cosine_similarity, l2_distance
+from quanta_etl_spark.operators.util import spread as _spread
 
 
 def _scored(
@@ -44,7 +45,7 @@ def _scored(
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
     )
-    c = corpus.select(
+    c = _spread(corpus).select(
         F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv")
     )
     return c.crossJoin(F.broadcast(q)).select(
@@ -128,7 +129,7 @@ def cosine_topk_lsh(
     rng = random.Random(seed)
     planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
 
-    c = corpus.select(
+    c = _spread(corpus).select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(corpus_vec).alias("__cv"),
         _sign_bucket(corpus_vec, planes).alias("__bkt"),
@@ -213,7 +214,7 @@ def cosine_topk_ivf(
         )
         return F.transform(F.slice(F.array_sort(dists), 1, n), lambda s: s["cid"])
 
-    c = corpus.select(
+    c = _spread(corpus).select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(corpus_vec).alias("__cv"),
         nearest_cid(corpus_vec).alias("__cid"),
