@@ -99,3 +99,29 @@ def test_ivf_topk_runs(spark, sf_dir):
     rows = out.collect()
     assert len(rows) == 9
     assert all(-1.0001 <= r.cosine <= 1.0001 for r in rows)
+
+
+def test_ann_recall_floors(spark, sf_dir):
+    """Recall@5 of the approximate tiers vs the exact baseline. The
+    testdata embeddings are RANDOM vectors — the ANN worst case (no
+    cluster structure for buckets to exploit) — so the floors are
+    deliberately loose; they guard against regressions that break the
+    probe logic entirely (recall ~0), not tune quality."""
+    from pyspark.sql import functions as F
+
+    from quanta_etl_spark.operators import similarity as S
+    from quanta_etl_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 20)
+    bf = {(r.query_id, r.neighbor_id)
+          for r in S.cosine_topk_bruteforce(emb, q, k=5).collect()}
+    assert bf
+    lsh = {(r.query_id, r.neighbor_id)
+           for r in S.cosine_topk_lsh(emb, q, k=5).collect()}
+    ivf = {(r.query_id, r.neighbor_id)
+           for r in S.cosine_topk_ivf(emb, q, k=5).collect()}
+    assert len(lsh & bf) / len(bf) >= 0.1
+    assert len(ivf & bf) / len(bf) >= 0.3
+    # every approximate hit must be a real vector pair with correct score
+    assert all(qid != nid for qid, nid in lsh | ivf)
