@@ -114,10 +114,19 @@ def minhash_signature(
     )
 
 
+_SIG_UDF_CACHE: dict[tuple[int, int, int], object] = {}
+
+
 def minhash_signature_arrow(
     num_hashes: int = 64, shingle_k: int = 5, seed: int = 42
 ):
     """Vectorized MinHash signature as an Arrow-batched pandas UDF.
+
+    The udf OBJECT is cached per (num_hashes, shingle_k, seed): two plan
+    subtrees are only exchange-reusable if they are EQUAL, and a fresh
+    udf instance never equals the previous one — without the cache the
+    banded self-join and the estimate stage each re-evaluated the
+    signatures (4 Arrow passes instead of 1-2).
 
     The pure-expression form (:func:`minhash_signature`) is correct but
     runs interpreted — Catalyst does not codegen higher-order lambdas,
@@ -131,6 +140,9 @@ def minhash_signature_arrow(
     which is invariant to the (consistent) shingle hash function; the
     verification step always recomputes exact Jaccard JVM-side.
     """
+    cache_key = (num_hashes, shingle_k, seed)
+    if cache_key in _SIG_UDF_CACHE:
+        return _SIG_UDF_CACHE[cache_key]
     seeds = _minhash_seeds(num_hashes, seed)
     a_vec = np.array([a for a, _ in seeds], dtype=np.int64)[:, None]
     b_vec = np.array([b for _, b in seeds], dtype=np.int64)[:, None]
@@ -160,6 +172,7 @@ def minhash_signature_arrow(
             )
         return pd.Series(out)
 
+    _SIG_UDF_CACHE[cache_key] = sig
     return sig
 
 
