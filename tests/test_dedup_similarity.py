@@ -52,6 +52,28 @@ def test_ngram_jaccard_exact(docs):
     assert (1, 2) in pairs
 
 
+def test_ngram_jaccard_df_cap(spark):
+    """A shingle shared by EVERY doc must not quadratically explode the
+    posting self-join: with max_df set below the corpus size, the hot
+    shingle is excluded from candidate generation, pairs that share only
+    it are dropped, and pairs that also share a rare shingle keep their
+    EXACT jaccard (the hot shingle still counts in the intersection)."""
+    common = "zzzzz"  # one 5-char shingle present in every doc
+    rows = [(i, f"{common} unique-{i:03d}-text-{i:03d}") for i in range(40)]
+    # docs 0/1 share their rare shingles too (true near-dups)
+    rows[1] = (1, rows[0][1])
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    capped = D.ngram_jaccard_pairs(df, "doc_id", "text", 0.9, max_df=5)
+    got = {(r.id_a, r.id_b): r.jaccard for r in capped.collect()}
+    assert got == {(0, 1): 1.0}  # exact value, hot shingle included
+
+    # uncapped finds the same high-jaccard pairs (cap only prunes
+    # candidates that share nothing rare)
+    uncapped = D.ngram_jaccard_pairs(df, "doc_id", "text", 0.9, max_df=None)
+    assert {(r.id_a, r.id_b) for r in uncapped.collect()} == {(0, 1)}
+
+
 def test_simhash_hamming_pairs(docs):
     pairs = D.simhash_dedup_pairs(docs, "doc_id", "text", max_hamming=10)
     got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
