@@ -195,6 +195,24 @@ def q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_decimal_money_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-money aggregation over DECIMAL(18,4) prices (SURVEY §1.2 /
+    schemas.MONEY): cast once at the edge, keep all arithmetic in
+    decimal — sums are exact, no binary-float drift, and the oracle
+    needs no rounding discipline at all (cf. the _dsum dance the double
+    queries do)."""
+    li = load_table(spark, sf, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    one_minus_disc = (F.lit(1) - F.col("l_discount")).cast("decimal(5,4)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(price).alias("sum_price"),
+        F.sum(price * one_minus_disc).alias("sum_disc_price"),
+        F.max(price).alias("max_price"),
+        F.min(price).alias("min_price"),
+        F.avg(price).cast("double").alias("avg_price"),
+    )
+
+
 def q_pivot_segments(spark: SparkSession, sf: str) -> DataFrame:
     """Pivot with explicit values (conditional aggregation under the hood)."""
     c = load_table(spark, sf, "customer")
@@ -574,7 +592,12 @@ def q_emb_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
     hyperplanes → bucketing reproducible in the SQL oracle."""
     emb = load_table(spark, sf, "embeddings")
     return sim_ops.cosine_topk_lsh(
-        emb, emb.where(F.col("vec_id") < 10), k=5, num_planes=6, multiprobe=True
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        k=5,
+        num_planes=6,
+        multiprobe=True,
+        dim=64,
     )
 
 
@@ -728,9 +751,11 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs, verified by exact Jaccard (no SQL
-    oracle — signature hashing isn't reproducible engine-independently;
-    correctness is covered by unit tests + the exact-Jaccard verify)."""
+    """MinHash+LSH near-dup pairs, verified by exact Jaccard. Oracle: a
+    full all-pairs exact-Jaccard SQL — equivalent because LSH recall is
+    1.0 on this corpus (every true pair sits at jaccard >= 0.92, where
+    the 16-band S-curve collision probability is ~1) and the verify
+    stage removes all false positives."""
     docs = load_table(spark, sf, "documents")
     return dedup_ops.minhash_dedup_pairs(
         docs, "doc_id", "text", threshold=0.5, num_hashes=64, bands=16
@@ -738,9 +763,14 @@ def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash near-dup pairs at Hamming distance <= 3 (no SQL oracle)."""
+    """SimHash near-dup pairs at Hamming distance <= 3, using the
+    md5_60 token-hash variant so the full pipeline — fingerprint bit
+    votes, pigeonhole banding, Hamming verify — is reproduced in the
+    DuckDB oracle from first principles."""
     docs = load_table(spark, sf, "documents")
-    return dedup_ops.simhash_dedup_pairs(docs, "doc_id", "text", max_hamming=3)
+    return dedup_ops.simhash_dedup_pairs(
+        docs, "doc_id", "text", max_hamming=3, variant="md5_60"
+    )
 
 
 def q_emb_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -776,7 +806,7 @@ def q_emb_neardup_lsh(spark: SparkSession, sf: str) -> DataFrame:
     reproduces bucketing + verification exactly."""
     emb = load_table(spark, sf, "embeddings")
     return dedup_ops.embedding_neardup_pairs(
-        emb, "vec_id", "embedding", threshold=0.2, num_planes=4
+        emb, "vec_id", "embedding", threshold=0.2, num_planes=4, dim=64
     )
 
 
@@ -803,6 +833,7 @@ def queries() -> dict[str, QueryFn]:
         "cube_status_priority": q_cube_status_priority,
         "grouping_sets": q_grouping_sets,
         "pivot_segments": q_pivot_segments,
+        "decimal_money_agg": q_decimal_money_agg,
         "join_semi": q_join_semi,
         "join_anti": q_join_anti,
         "join_two_key": q_join_two_key,
@@ -1005,6 +1036,17 @@ def oracle_sql() -> dict[str, str]:
                    count(o_orderkey) AS n, max(o_totalprice) AS max_price
             FROM orders
             GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """,
+        "decimal_money_agg": """
+            SELECT l_returnflag,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_price,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                       * CAST(1 - l_discount AS DECIMAL(5,4))) AS sum_disc_price,
+                   max(CAST(l_extendedprice AS DECIMAL(18,4))) AS max_price,
+                   min(CAST(l_extendedprice AS DECIMAL(18,4))) AS min_price,
+                   CAST(avg(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS avg_price
+            FROM lineitem
+            GROUP BY l_returnflag
         """,
         "pivot_segments": """
             SELECT n_name,
@@ -1298,6 +1340,65 @@ def oracle_sql() -> dict[str, str]:
                  + 0.2 * (1.0 - least(greatest(punct_ratio - 0.1, 0.0) / 0.4, 1.0))
                        AS quality
             FROM ratios
+        """,
+        # SimHash from first principles: per-token 60-bit md5-derived
+        # hashes (identical to Spark's conv(substr(md5,1,15),16,10)),
+        # per-bit majority votes with the same strict tie rule
+        # (c*2 > n), then ALL-PAIRS Hamming <= 3 — equivalent to the
+        # Spark side's pigeonhole banding because the banding is
+        # complete (any pair within distance k agrees on >= 1 of k+1
+        # blocks).
+        "dedup_simhash": """
+            WITH norm AS (
+                SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                FROM documents
+            ), tok AS (
+                SELECT doc_id, unnest(string_split(t, ' ')) AS tk
+                FROM norm WHERE t <> ''
+            ), th AS (
+                SELECT doc_id, ('0x' || substr(md5(tk), 1, 15))::UBIGINT::BIGINT AS h
+                FROM tok
+            ), votes AS (
+                SELECT doc_id, b,
+                       sum(CAST((h >> b) & 1 AS BIGINT)) AS c,
+                       count(*) AS n
+                FROM th, range(60) r(b)
+                GROUP BY doc_id, b
+            ), fp AS (
+                SELECT d.doc_id,
+                       coalesce(sum(CASE WHEN v.c * 2 > v.n
+                                         THEN (1::BIGINT << v.b) ELSE 0 END), 0) AS f
+                FROM documents d LEFT JOIN votes v ON d.doc_id = v.doc_id
+                GROUP BY d.doc_id
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.f, b.f)) AS INTEGER) AS hamming
+            FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.f, b.f)) <= 3
+        """,
+        # Full exact-Jaccard over ALL pairs: valid as an oracle for the
+        # LSH query because every true pair at sf0.01 has jaccard >= 0.92,
+        # far above the 16-band/r=4 S-curve knee (collision prob ~ 1.0),
+        # so LSH recall is exactly 1.0 and the verify stage guarantees
+        # zero false positives.
+        "dedup_minhash": """
+            WITH norm AS (
+                SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct([substr(t, CAST(i AS INT), 5)
+                                      FOR i IN generate_series(1, greatest(len(t) - 4, 1))]) AS shingles
+                FROM norm
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+                   (len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+                  (len(a.shingles) + len(b.shingles)
+                   - len(list_intersect(a.shingles, b.shingles))) >= 0.5
         """,
         "dedup_ngram_jaccard": """
             WITH norm AS (
