@@ -85,11 +85,22 @@ def repartition_for_media(
 ) -> DataFrame:
     """Repartition so each task holds ~``target_partition_bytes`` of
     payload. Media rows are wildly skewed (a 4 KB thumbnail vs a 2 GB
-    video); row-count-based splits starve or OOM tasks. We salt by
-    size band: large payloads spread round-robin, small ones pack."""
+    video); row-count-based splits starve or OOM tasks. Size-band
+    salting: rows at or above half the target size each get a distinct
+    round-robin partition key (``monotonically_increasing_id`` is
+    consecutive within an input split, so neighbors scatter), while
+    small rows pack by media-id hash. A single payload is still atomic
+    — one row can never split across tasks — so worst-case task size is
+    max(target, largest payload), not a pile of large payloads that
+    happened to hash together (ADVICE r1: the code previously hashed
+    media_id uniformly and the promised banding didn't exist)."""
     total = df.agg(F.sum(F.octet_length("content"))).first()[0] or 0
     n = max(1, int(total / target_partition_bytes) + 1)
-    return df.repartition(n, F.xxhash64("media_id"))
+    big = F.octet_length("content").cast("long") >= target_partition_bytes // 2
+    pkey = F.when(
+        big, F.pmod(F.monotonically_increasing_id(), F.lit(n))
+    ).otherwise(F.pmod(F.xxhash64("media_id"), F.lit(n)))
+    return df.withColumn("__pkey", pkey).repartition(n, "__pkey").drop("__pkey")
 
 
 # ---------------------------------------------------------------------------
@@ -263,12 +274,23 @@ AUDIO_SCHEMA = (
 )
 
 
+_PCM_DTYPES = {1: np.int8, 2: np.int16, 4: np.int32}
+
+
 def audio_features(df: DataFrame, sample_width: int = 2) -> DataFrame:
     """Audio summary features, treating the payload as raw PCM of
-    ``sample_width`` bytes per sample (a real build would decode the
-    container format first — NOT available here; int16 PCM interpretation
-    is exact for WAV-style payloads and a deterministic stand-in
-    otherwise)."""
+    ``sample_width`` bytes per sample — 1/2/4 map to int8/int16/int32
+    (ADVICE r1: the width previously didn't pick the dtype, so widths
+    other than 2 mis-parsed). A real build would decode the container
+    format first — NOT available here; the PCM interpretation is exact
+    for WAV-style payloads and a deterministic stand-in otherwise."""
+    try:
+        dtype = _PCM_DTYPES[sample_width]
+    except KeyError:
+        raise ValueError(
+            f"sample_width must be one of {sorted(_PCM_DTYPES)}, "
+            f"got {sample_width}"
+        ) from None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -276,7 +298,7 @@ def audio_features(df: DataFrame, sample_width: int = 2) -> DataFrame:
             for _, row in pdf.iterrows():
                 data = row["content"] or b""
                 usable = len(data) - (len(data) % sample_width)
-                samples = np.frombuffer(data[:usable], dtype=np.int16).astype(
+                samples = np.frombuffer(data[:usable], dtype=dtype).astype(
                     np.float64
                 )
                 if samples.size == 0:

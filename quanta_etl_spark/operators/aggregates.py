@@ -84,9 +84,10 @@ def grouping_sets_agg(
     aggs: Mapping[str, tuple[str, str] | Column],
 ) -> DataFrame:
     """Explicit GROUPING SETS via the SQL path (no DataFrame equivalent).
-    Keys absent from a grouping set come back NULL, like SQL."""
+    Keys absent from a grouping set come back NULL, like SQL. The input
+    frame is passed as a spark.sql DataFrame parameter — no shared temp
+    view name to clobber or race on (ADVICE r1)."""
     spark = df.sparkSession
-    df.createOrReplaceTempView("__gs_input")
     agg_sql = []
     for alias, spec in aggs.items():
         fn, col = spec  # Column specs not supported on the SQL path
@@ -95,7 +96,8 @@ def grouping_sets_agg(
     sets_sql = ", ".join("(" + ", ".join(s) + ")" for s in sets)
     return spark.sql(
         f"SELECT {', '.join(all_keys)}, {', '.join(agg_sql)} "
-        f"FROM __gs_input GROUP BY GROUPING SETS ({sets_sql})"
+        f"FROM {{__gs_input}} GROUP BY GROUPING SETS ({sets_sql})",
+        __gs_input=df,
     )
 
 

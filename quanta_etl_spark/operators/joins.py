@@ -40,7 +40,16 @@ def broadcast_dim_join(
     the broadcast payload minimal and the intent obvious).
     """
     if dim_cols is not None:
-        keys = [on] if isinstance(on, str) else (list(on) if not isinstance(on, Column) else [])
+        if isinstance(on, Column):
+            # A Column condition references dim columns by attribute —
+            # pruning could drop the join keys and break analysis, and
+            # we cannot see which columns the condition needs. Leave
+            # pruning to Catalyst in that case (ADVICE r1).
+            raise ValueError(
+                "dim_cols requires string join keys; with a Column "
+                "condition pass dim pre-selected instead"
+            )
+        keys = [on] if isinstance(on, str) else list(on)
         dim = dim.select(*dict.fromkeys([*keys, *dim_cols]))
     return fact.join(F.broadcast(dim), on, how)
 
@@ -231,7 +240,20 @@ def salted_join(
     Use when AQE skew-join splitting isn't enough (e.g. one key is >50%
     of the table). ``right`` is replicated ×salt — keep it the smaller
     side.
+
+    Only inner/left-flavored joins are semantics-preserving: with
+    right/full outer joins every UNMATCHED replicated right row would be
+    emitted ``salt`` times (ADVICE r1). Those are rejected — salt the
+    other side instead (swap the inputs).
     """
+    safe = {"inner", "left", "leftouter", "leftsemi", "semi",
+            "leftanti", "anti"}
+    if how.lower().replace("_", "") not in safe:
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched "
+            "replicated right rows; use inner/left/left_semi/left_anti "
+            "(swap sides for right-flavored joins)"
+        )
     l_s = left.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
     r_s = right.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
     out = l_s.join(r_s, [key, "__salt"], how)

@@ -62,6 +62,31 @@ def test_salted_join_matches_plain(spark):
     )
 
 
+def test_salted_join_rejects_right_outer(spark):
+    left = spark.createDataFrame([(1, 1)], "k int, v int")
+    right = spark.createDataFrame([(1, "x")], "k int, tag string")
+    import pytest
+
+    for bad in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError):
+            J.salted_join(left, right, "k", how=bad)
+    # left-flavored joins still accepted
+    assert J.salted_join(left, right, "k", how="left_anti").count() == 0
+
+
+def test_broadcast_dim_join_rejects_column_cond_with_dim_cols(spark):
+    left = spark.createDataFrame([(1,)], "k int")
+    dim = spark.createDataFrame([(1, "x")], "dk int, name string")
+    import pytest
+
+    with pytest.raises(ValueError):
+        J.broadcast_dim_join(
+            left, dim, left["k"] == dim["dk"], dim_cols=["name"]
+        )
+    # Column condition without dim_cols still works
+    assert J.broadcast_dim_join(left, dim, left["k"] == dim["dk"]).count() == 1
+
+
 def test_broadcast_dim_join_plan_is_broadcast(spark, sf_dir):
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")

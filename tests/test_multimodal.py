@@ -48,6 +48,37 @@ def test_repartition_for_media(media_df):
     assert out.rdd.getNumPartitions() >= 2
 
 
+def test_repartition_for_media_spreads_large_payloads(spark):
+    """Size-band salting: many large payloads must not pile into one
+    task (they previously could — uniform media-id hashing)."""
+    rows = [(i, b"L" * 4096) for i in range(8)]  # 8 large payloads
+    rows += [(100 + i, b"s" * 8) for i in range(64)]  # tiny ones
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = media.repartition_for_media(df, target_partition_bytes=4096)
+    per_part = (
+        out.where(F.octet_length("content") >= 2048)
+        .groupBy(F.spark_partition_id().alias("p"))
+        .count()
+        .collect()
+    )
+    # 8 large rows across >= 4 distinct partitions, no pileup > 3
+    assert len(per_part) >= 4
+    assert max(r["count"] for r in per_part) <= 3
+
+
+def test_audio_features_sample_width(spark):
+    df = spark.createDataFrame(
+        [(1, b"\x01\xff\x80\x7f\x00")], "media_id long, content binary"
+    )
+    w1 = media.audio_features(df, sample_width=1).collect()[0]
+    # int8: [1, -1, -128, 127, 0]
+    assert w1["n_samples"] == 5 and w1["peak"] == 128.0
+    w4 = media.audio_features(df, sample_width=4).collect()[0]
+    assert w4["n_samples"] == 1  # one int32 sample, last byte dropped
+    with pytest.raises(ValueError):
+        media.audio_features(df, sample_width=3)
+
+
 def test_decode_image_stub_shapes(media_df):
     decoded = media.decode_image(media_df.where(F.col("mime_type") == "image/png"))
     rows = {r["media_id"]: r for r in decoded.collect()}
