@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql.types import (
     DateType,
+    DecimalType,
     DoubleType,
     IntegerType,
     LongType,
@@ -30,6 +31,38 @@ from pyspark.sql.types import (
 
 def _schema(fields: list[tuple[str, object]]) -> StructType:
     return StructType([StructField(n, t(), True) for n, t in fields])
+
+
+# Money as DECIMAL(18,4): exact cents, no binary-float drift in sums —
+# SURVEY.md §1.2's cheap improvement over the reference's DoubleType
+# prices (/root/reference/dags/spark/etl.py:42-45). 18 digits cover any
+# realistic notional; scale 4 covers sub-cent ticks. Doubles stay the
+# DEFAULT (the reference's published semantics, and what most contract
+# queries oracle-check); wrap a schema in ``with_decimal_prices`` for
+# the exact variant.
+MONEY = DecimalType(18, 4)
+
+_PRICE_FIELDS = frozenset(
+    {"start_price", "max_price", "min_price", "end_price",
+     "strike_price", "tick_size", "tick_value"}
+)
+
+
+def with_decimal_prices(schema: StructType) -> StructType:
+    """The same schema with every price-typed column switched from
+    DoubleType to DECIMAL(18,4)."""
+    return StructType(
+        [
+            StructField(
+                f.name,
+                MONEY if f.name in _PRICE_FIELDS else f.dataType,
+                f.nullable,
+            )
+            for f in schema.fields
+        ]
+    )
+
+
 
 
 # Cash-market minute bars (etl.py:33-48). CSV header:

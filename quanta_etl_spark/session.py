@@ -18,7 +18,7 @@ import os
 
 from pyspark.sql import SparkSession
 
-__all__ = ["get_spark", "stop_spark"]
+__all__ = ["get_spark", "s3a_conf", "stop_spark"]
 
 _DEFAULTS: dict[str, str] = {
     # Adaptive query execution: runtime re-planning, partition coalescing,
@@ -44,16 +44,58 @@ _DEFAULTS: dict[str, str] = {
 }
 
 
+def s3a_conf(
+    endpoint: str | None = None,
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    path_style_access: bool = True,
+    anonymous: bool = False,
+) -> dict[str, str]:
+    """Hadoop-S3A configuration block for ``get_spark(cloud_conf=...)``.
+
+    Parity with the reference's session bootstrap, which wires s3a
+    endpoint/path-style/V4-signing directly into the builder
+    (/root/reference/dags/spark/etl.py:12-21) — its primary deployment
+    reads ``s3a://`` URIs (etl.py:50,96). Credentials default to the
+    AWS provider chain (env vars / instance profile); pass keys only
+    for explicit-credential setups, or ``anonymous=True`` for public
+    buckets like the reference's open datasets.
+
+    NOTE: the hadoop-aws + aws-sdk jars must be on the cluster
+    classpath (spark.jars.packages or a bundled distro) — not pinned
+    here because the right version tracks the cluster's Hadoop."""
+    conf = {
+        "spark.hadoop.fs.s3a.impl": "org.apache.hadoop.fs.s3a.S3AFileSystem",
+        "spark.hadoop.fs.s3a.path.style.access": str(path_style_access).lower(),
+    }
+    if endpoint:
+        conf["spark.hadoop.fs.s3a.endpoint"] = endpoint
+    if access_key:
+        conf["spark.hadoop.fs.s3a.access.key"] = access_key
+    if secret_key:
+        conf["spark.hadoop.fs.s3a.secret.key"] = secret_key
+    if anonymous:
+        conf["spark.hadoop.fs.s3a.aws.credentials.provider"] = (
+            "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider"
+        )
+    return conf
+
+
 def get_spark(
     app_name: str = "quanta-etl-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    cloud_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with engine defaults.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
     cluster leave it None and let spark-submit inject it.
+
+    ``cloud_conf`` is an object-store configuration block, e.g.
+    ``get_spark(cloud_conf=s3a_conf(endpoint="s3.eu-central-1.amazonaws.com"))``
+    — applied before ``extra_conf`` so callers can still override keys.
     """
     builder = SparkSession.builder.appName(app_name)
     if master is None and "SPARK_GRAFT_CPUS" in os.environ:
@@ -64,6 +106,8 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if cloud_conf:
+        conf.update(cloud_conf)
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

@@ -80,3 +80,25 @@ def test_partitioned_sink_layout(spark, tmp_path):
     assert back.count() == 10
     # partition column survives the hive layout round-trip
     assert back.where(F.col("part") == "x").count() == 5
+
+
+def test_decimal_price_schema_variant(spark, tmp_path):
+    """with_decimal_prices swaps every price column to DECIMAL(18,4) and
+    decimal sums are exact (no binary-float drift)."""
+    from decimal import Decimal
+
+    from quanta_etl_spark import schemas
+
+    dec = schemas.with_decimal_prices(schemas.XETRA_SCHEMA)
+    by_name = {f.name: f.dataType for f in dec.fields}
+    assert str(by_name["start_price"]) == "DecimalType(18,4)"
+    assert str(by_name["end_price"]) == "DecimalType(18,4)"
+    assert str(by_name["isin"]) == "StringType()"  # untouched
+    assert str(by_name["traded_volume"]) == "LongType()"
+
+    # 0.1 summed 100x: exact 10.0000 in decimal (would be 9.99..98 in double)
+    df = spark.createDataFrame(
+        [(Decimal("0.1000"),)] * 100, schema="p decimal(18,4)"
+    )
+    total = df.agg(F.sum("p").alias("s")).collect()[0]["s"]
+    assert total == Decimal("10.0000")
