@@ -383,6 +383,29 @@ def q_rolling_stats(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("user_id", "event_id", "roll_avg", "roll_std")
 
 
+def q_rolling_time_window(spark: SparkSession, sf: str) -> DataFrame:
+    """B4 time-based frame: trailing 10-MINUTE window by timestamp value
+    (rangeBetween), not row position — correct on gappy series. Decimal
+    sums so the oracle needs no float-ordering discipline."""
+    ev = load_table(spark, sf, "events").withColumn(
+        "__v", F.col("value").cast("decimal(20,6)")
+    )
+    out = win_ops.rolling_time_agg(
+        ev,
+        "__v",
+        ["user_id"],
+        "ts",
+        lookback_seconds=600,
+        aggs={"n_10m": "count", "sum_10m": "sum"},
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("n_10m").cast("long").alias("n_10m"),
+        F.col("sum_10m"),
+    )
+
+
 def q_rolling_volatility(spark: SparkSession, sf: str) -> DataFrame:
     """B4 verbatim (reference README.md:177): rolling volatility =
     stddev of lag-returns over a trailing window, composed from the two
@@ -843,6 +866,7 @@ def queries() -> dict[str, QueryFn]:
         "join_asof": q_join_asof,
         "lag_returns": q_lag_returns,
         "rolling_stats": q_rolling_stats,
+        "rolling_time_window": q_rolling_time_window,
         "rolling_volatility": q_rolling_volatility,
         "topk_per_group": q_topk_per_group,
         "window_rank": q_window_rank,
@@ -1128,6 +1152,15 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "rolling_time_window": """
+            SELECT user_id, event_id,
+                   count(CAST(value AS DECIMAL(20,6))) OVER w AS n_10m,
+                   sum(CAST(value AS DECIMAL(20,6))) OVER w AS sum_10m
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                         RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
         """,
         "rolling_volatility": """
             WITH rets AS (

@@ -148,6 +148,37 @@ def rolling_agg(
     return out
 
 
+def rolling_time_agg(
+    df: DataFrame,
+    value: str,
+    partition_by: Sequence[str],
+    ts_col: str,
+    lookback_seconds: int,
+    aggs: dict[str, str],
+) -> DataFrame:
+    """Trailing TIME-frame rolling aggregates (B4's other frame type):
+    the frame holds every row whose timestamp lies within
+    ``lookback_seconds`` BEFORE the current row's — by value, not by
+    row position, so irregular/gappy series aggregate correctly
+    (a 10-row frame spans 10 minutes on a dense series but hours on a
+    sparse one; a time frame always spans exactly the window).
+
+    Implemented with ``Window.rangeBetween`` over the timestamp cast to
+    epoch seconds — one shuffle on the partition keys, same as any
+    window; the range frame is evaluated with a sliding pointer inside
+    each sorted partition, no self-join.
+    """
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(F.unix_timestamp(F.col(ts_col)))
+        .rangeBetween(-lookback_seconds, 0)
+    )
+    out = df
+    for name, fn in aggs.items():
+        out = out.withColumn(name, getattr(F, fn)(value).over(w))
+    return out
+
+
 def topk_per_group(
     df: DataFrame,
     partition_by: Sequence[str],

@@ -88,3 +88,27 @@ def test_global_top_k_plan_avoids_global_sort(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert out.count() == 5
+
+
+def test_rolling_time_agg_gappy_series(spark):
+    """Time frame counts by timestamp VALUE: a 60s lookback sees only
+    rows within the last minute, regardless of row positions."""
+    rows = [
+        (1, "2024-01-01 00:00:00", 1.0),
+        (1, "2024-01-01 00:00:30", 2.0),   # 30s later  -> frame {1,2}
+        (1, "2024-01-01 00:01:00", 4.0),   # 60s after r1 -> frame {1,2,4}
+        (1, "2024-01-01 01:00:00", 8.0),   # big gap -> frame {8} only
+        (2, "2024-01-01 00:00:10", 16.0),  # other partition untouched
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts string, value double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    out = W.rolling_time_agg(
+        df, "value", ["user_id"], "ts", lookback_seconds=60,
+        aggs={"n": "count", "s": "sum"},
+    )
+    got = {(r.user_id, r.value): (r.n, r.s) for r in out.collect()}
+    assert got[(1, 1.0)] == (1, 1.0)
+    assert got[(1, 2.0)] == (2, 3.0)
+    assert got[(1, 4.0)] == (3, 7.0)   # inclusive 60s boundary
+    assert got[(1, 8.0)] == (1, 8.0)   # row frame would have seen 3 rows
+    assert got[(2, 16.0)] == (1, 16.0)
