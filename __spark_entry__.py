@@ -35,6 +35,9 @@ from quanta_etl_spark.operators import quality as quality_ops
 from quanta_etl_spark.operators import resample as resample_ops
 from quanta_etl_spark.operators import setops as set_ops
 from quanta_etl_spark.operators import similarity as sim_ops
+from quanta_etl_spark.operators import reshape as reshape_ops
+from quanta_etl_spark.operators import sampling as samp_ops
+from quanta_etl_spark.operators import text_stats as ts_ops
 from quanta_etl_spark.operators import windows as win_ops
 from quanta_etl_spark.sources.testdata import load_table
 
@@ -381,6 +384,95 @@ def q_rolling_stats(spark: SparkSession, sf: str) -> DataFrame:
         aggs={"roll_avg": "avg", "roll_std": "stddev_samp"},
     )
     return out.select("user_id", "event_id", "roll_avg", "roll_std")
+
+
+def q_unpivot_measures(spark: SparkSession, sf: str) -> DataFrame:
+    """Wide→long melt of the four lineitem measures (§2C reshape — the
+    inverse of pivot_segments)."""
+    li = load_table(spark, sf, "lineitem").where(F.col("l_orderkey") < 200)
+    return reshape_ops.unpivot(
+        li,
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        var_name="measure",
+        value_name="value",
+    )
+
+
+def q_sample_hash_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val/test assignment by md5 key hash —
+    reproducible row-for-row in any engine (the oracle recomputes every
+    bucket and split from first principles)."""
+    c = load_table(spark, sf, "customer").where(F.col("c_custkey") <= 500)
+    out = samp_ops.hash_split(
+        c, "c_custkey", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return out.select(
+        "c_custkey",
+        samp_ops.hash_bucket("c_custkey", 100).alias("bucket"),
+        "split",
+    )
+
+
+def q_text_tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (smoothed idf, sklearn
+    formulation), ties broken by term for a total order."""
+    docs = load_table(spark, sf, "documents").where(F.col("doc_id") < 100)
+    return ts_ops.tfidf(docs, "doc_id", "text", top_k=5)
+
+
+def q_window_cumulative(spark: SparkSession, sf: str) -> DataFrame:
+    """Running count/sum/max per user (unbounded-preceding frame);
+    decimal running sums so the oracle is drift-free."""
+    ev = load_table(spark, sf, "events").withColumn(
+        "__v", F.col("value").cast("decimal(20,6)")
+    )
+    out = win_ops.cumulative_agg(
+        ev,
+        "__v",
+        ["user_id"],
+        ["ts", "event_id"],
+        aggs={"run_n": "count", "run_sum": "sum", "run_max": "max"},
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("run_n").cast("long").alias("run_n"),
+        "run_sum",
+        "run_max",
+    )
+
+
+def q_agg_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ≡
+    DuckDB `quantile_cont`)."""
+    li = load_table(spark, sf, "lineitem")
+    return agg_ops.summarize(
+        li,
+        ["l_returnflag"],
+        {
+            "p25": ("percentile_25", "l_extendedprice"),
+            "p50": ("percentile_50", "l_extendedprice"),
+            "p75": ("percentile_75", "l_extendedprice"),
+            "p95": ("percentile_95", "l_extendedprice"),
+            "med_qty": ("median", "l_quantity"),
+        },
+    )
+
+
+def q_agg_corr_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Bivariate statistics per group: Pearson correlation, sample
+    covariance, sample stddev."""
+    li = load_table(spark, sf, "lineitem")
+    return agg_ops.summarize(
+        li,
+        ["l_linestatus"],
+        {
+            "corr_qty_price": F.corr("l_quantity", "l_extendedprice"),
+            "covar_qty_price": F.covar_samp("l_quantity", "l_extendedprice"),
+            "std_price": ("stddev", "l_extendedprice"),
+        },
+    )
 
 
 def q_rolling_time_window(spark: SparkSession, sf: str) -> DataFrame:
@@ -867,6 +959,12 @@ def queries() -> dict[str, QueryFn]:
         "lag_returns": q_lag_returns,
         "rolling_stats": q_rolling_stats,
         "rolling_time_window": q_rolling_time_window,
+        "unpivot_measures": q_unpivot_measures,
+        "sample_hash_split": q_sample_hash_split,
+        "text_tfidf": q_text_tfidf,
+        "window_cumulative": q_window_cumulative,
+        "agg_percentiles": q_agg_percentiles,
+        "agg_corr_stats": q_agg_corr_stats,
         "rolling_volatility": q_rolling_volatility,
         "topk_per_group": q_topk_per_group,
         "window_rank": q_window_rank,
@@ -1152,6 +1250,85 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "unpivot_measures": """
+            SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+                   CAST(l_quantity AS DOUBLE) AS value
+            FROM lineitem WHERE l_orderkey < 200
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+                   CAST(l_extendedprice AS DOUBLE)
+            FROM lineitem WHERE l_orderkey < 200
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount',
+                   CAST(l_discount AS DOUBLE)
+            FROM lineitem WHERE l_orderkey < 200
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_tax',
+                   CAST(l_tax AS DOUBLE)
+            FROM lineitem WHERE l_orderkey < 200
+        """,
+        "sample_hash_split": """
+            WITH b AS (
+                SELECT c_custkey,
+                       CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::UBIGINT
+                            % 100 AS BIGINT) AS bucket
+                FROM customer WHERE c_custkey <= 500
+            )
+            SELECT c_custkey, bucket,
+                   CASE WHEN bucket < 80 THEN 'train'
+                        WHEN bucket < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b
+        """,
+        "text_tfidf": """
+            WITH d AS (
+                SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                FROM documents WHERE doc_id < 100
+            ), tok AS (
+                SELECT doc_id, unnest(string_split(t, ' ')) AS term
+                FROM d WHERE t <> ''
+            ), tf AS (
+                SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+            ), dfq AS (
+                SELECT term, count(*) AS df FROM tf GROUP BY 1
+            ), n AS (
+                SELECT CAST(count(*) AS DOUBLE) AS nd FROM d
+            ), scored AS (
+                SELECT doc_id, term, tf, df,
+                       tf * (ln((nd + 1) / (df + 1)) + 1.0) AS tfidf
+                FROM tf JOIN dfq USING (term) CROSS JOIN n
+            ), ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+                FROM scored
+            )
+            SELECT doc_id, term, tf, df, tfidf FROM ranked WHERE rn <= 5
+        """,
+        "window_cumulative": """
+            SELECT user_id, event_id,
+                   count(CAST(value AS DECIMAL(20,6))) OVER w AS run_n,
+                   sum(CAST(value AS DECIMAL(20,6))) OVER w AS run_sum,
+                   max(CAST(value AS DECIMAL(20,6))) OVER w AS run_max
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "agg_percentiles": """
+            SELECT l_returnflag,
+                   quantile_cont(l_extendedprice, 0.25) AS p25,
+                   quantile_cont(l_extendedprice, 0.50) AS p50,
+                   quantile_cont(l_extendedprice, 0.75) AS p75,
+                   quantile_cont(l_extendedprice, 0.95) AS p95,
+                   quantile_cont(l_quantity, 0.50) AS med_qty
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "agg_corr_stats": """
+            SELECT l_linestatus,
+                   corr(l_quantity, l_extendedprice) AS corr_qty_price,
+                   covar_samp(l_quantity, l_extendedprice) AS covar_qty_price,
+                   stddev_samp(l_extendedprice) AS std_price
+            FROM lineitem GROUP BY l_linestatus
         """,
         "rolling_time_window": """
             SELECT user_id, event_id,

@@ -1,0 +1,85 @@
+"""Corpus-level text statistics: term frequencies, TF-IDF, n-gram
+counts — the operators behind quality filtering and boilerplate
+detection in a training-data pipeline.
+
+Pipeline shape (100 TB honest): tokenization is a map-side expression;
+the only shuffles are the (doc, term) and (term) aggregations, both
+keyed by uniform-cardinality terms. The document count is a scalar
+broadcast, not a driver collect of data rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from quanta_etl_spark.functions.text import normalize_text, ws_tokens
+
+
+def term_frequencies(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(doc, term, tf): whitespace-token counts per document over
+    normalized text. One explode + one aggregation."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(ws_tokens(normalize_text(text_col))).alias("term"),
+    )
+    return toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+
+def document_frequencies(tf: DataFrame) -> DataFrame:
+    """(term, df): number of documents containing each term, from a
+    term-frequency table. tf is already distinct per (doc, term), so a
+    plain count per term is the document frequency."""
+    return tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+
+def tfidf(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_k: int | None = None,
+) -> DataFrame:
+    """TF-IDF scores: tf × (ln((N+1)/(df+1)) + 1) — the smoothed idf
+    (sklearn's formulation), never negative or divide-by-zero.
+
+    Returns (doc_id, term, tf, df, tfidf); with ``top_k`` set, only the
+    k highest-scoring terms per document survive (ties broken by term
+    so results are total-ordered and reproducible).
+
+    The corpus size N enters as a scalar subquery-style crossjoin of a
+    1-row aggregate — Catalyst broadcasts it; no driver round-trip.
+    """
+    from pyspark.sql.window import Window
+
+    tf = term_frequencies(df, id_col, text_col)
+    dfreq = document_frequencies(tf)
+    n_docs = df.select(
+        F.count(F.lit(1)).cast("double").alias("__n")
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (
+                F.log((F.col("__n") + 1) / (F.col("df") + 1))
+                + F.lit(1.0)
+            ),
+        )
+        .select("doc_id", "term", "tf", "df", "tfidf")
+    )
+    if top_k is None:
+        return scored
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= top_k)
+        .drop("__rn")
+    )

@@ -179,6 +179,27 @@ def rolling_time_agg(
     return out
 
 
+def cumulative_agg(
+    df: DataFrame,
+    value: str,
+    partition_by: Sequence[str],
+    order_by: Sequence[str | Column],
+    aggs: dict[str, str],
+) -> DataFrame:
+    """Running (cumulative) aggregates: frame = [unbounded preceding,
+    current row]. ``order_by`` must be a total order for deterministic
+    running values (include a unique tiebreaker)."""
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*_order_cols(order_by))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = df
+    for name, fn in aggs.items():
+        out = out.withColumn(name, getattr(F, fn)(value).over(w))
+    return out
+
+
 def topk_per_group(
     df: DataFrame,
     partition_by: Sequence[str],
