@@ -386,6 +386,25 @@ def q_rolling_stats(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("user_id", "event_id", "roll_avg", "roll_std")
 
 
+def q_stream_stateful_running(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom STATEFUL streaming operator end-to-end
+    (applyInPandasWithState): per-user running count/max across
+    micro-batches. Bounded single-batch input ⇒ equals the batch
+    cumulative window, so this streaming path is hash-checked against
+    a plain SQL window oracle."""
+    from quanta_etl_spark.streaming import ingest
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = ingest.read_stream(spark, f"{sf}/events.parque[t]", raw_schema)
+    out = ingest.running_event_stats(stream)
+    q = ingest.write_stream_memory(
+        out, "stream_stateful_running", output_mode="append"
+    )
+    q.awaitTermination()
+    return spark.table("stream_stateful_running")
+
+
 def q_unpivot_measures(spark: SparkSession, sf: str) -> DataFrame:
     """Wide→long melt of the four lineitem measures (§2C reshape — the
     inverse of pivot_segments)."""
@@ -959,6 +978,7 @@ def queries() -> dict[str, QueryFn]:
         "lag_returns": q_lag_returns,
         "rolling_stats": q_rolling_stats,
         "rolling_time_window": q_rolling_time_window,
+        "stream_stateful_running": q_stream_stateful_running,
         "unpivot_measures": q_unpivot_measures,
         "sample_hash_split": q_sample_hash_split,
         "text_tfidf": q_text_tfidf,
@@ -1250,6 +1270,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "stream_stateful_running": """
+            SELECT user_id, event_id,
+                   count(*) OVER w AS run_n,
+                   max(value) OVER w AS run_max
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         """,
         "unpivot_measures": """
             SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,

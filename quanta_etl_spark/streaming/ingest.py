@@ -135,6 +135,59 @@ def running_forward_fill(df: DataFrame, key: str = "isin") -> DataFrame:
     )
 
 
+_RUN_STATS_STATE = "n bigint, mx double"
+_RUN_STATS_OUTPUT = "user_id bigint, event_id bigint, run_n bigint, run_max double"
+
+
+def _running_stats_fn(
+    key: tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Running per-key count and max across micro-batches. Within a
+    batch rows are processed in (ts, event_id) order, so on bounded
+    single-batch input the output is EXACTLY the batch cumulative
+    window — which is what the SQL oracle checks."""
+    import numpy as np
+
+    (uid,) = key
+    n, mx = state.get if state.exists else (0, None)
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        vals = pdf["value"].astype(float).to_numpy()
+        seed = -np.inf if mx is None else mx
+        run_max = np.maximum.accumulate(np.concatenate(([seed], vals)))[1:]
+        run_n = n + np.arange(1, len(vals) + 1, dtype="int64")
+        n += len(vals)
+        mx = float(run_max[-1]) if len(vals) else mx
+        yield pd.DataFrame(
+            {
+                "user_id": uid,
+                "event_id": pdf["event_id"].to_numpy(),
+                "run_n": run_n,
+                "run_max": run_max,
+            }
+        )
+    state.update((int(n), mx))
+
+
+def running_event_stats(df: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator over the events stream:
+    per-user running event count and running max value via
+    ``applyInPandasWithState`` — O(keys) state (two scalars per user),
+    no watermark needed. On bounded input the result equals the batch
+    cumulative window, so it is fully oracle-checkable; on a live
+    stream, cross-batch ordering follows arrival order (document the
+    usual event-time caveat)."""
+    return df.select("user_id", "event_id", "ts", "value").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        _running_stats_fn,
+        outputStructType=_RUN_STATS_OUTPUT,
+        stateStructType=_RUN_STATS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def write_stream_parquet(
     df: DataFrame,
     path: str,

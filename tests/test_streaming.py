@@ -129,3 +129,44 @@ def test_write_stream_parquet_partitioned(spark, bar_dir, tmp_path):
     assert "trading_date=2020-11-24" in str(
         [f.name for f in __import__("pathlib").Path(out_path).iterdir()]
     )
+
+
+def test_running_event_stats_state_across_batches(spark, tmp_path):
+    """applyInPandasWithState carries (count, max) across micro-batches:
+    two files streamed one-per-trigger must produce the same running
+    stats as one global cumulative pass (files are time-ordered)."""
+    from pyspark.sql.types import LongType
+
+    ev_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_id", LongType()),
+            StructField("ts", LongType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    d = tmp_path / "ev"
+    d.mkdir()
+    batch1 = [(1, 1, 100, 5.0), (1, 2, 200, 3.0), (2, 10, 150, 1.0)]
+    batch2 = [(1, 3, 300, 9.0), (2, 11, 250, 0.5)]
+    spark.createDataFrame(batch1, ev_schema).coalesce(1).write.parquet(
+        str(d / "b0")
+    )
+    spark.createDataFrame(batch2, ev_schema).coalesce(1).write.parquet(
+        str(d / "b1")
+    )
+    stream = ingest.read_stream(
+        spark, f"{d}/b*/part-*.parquet", ev_schema, max_files_per_trigger=1
+    )
+    out = ingest.running_event_stats(stream)
+    got = {
+        (r.user_id, r.event_id): (r.run_n, r.run_max)
+        for r in _run_to_memory(spark, out, "run_stats").collect()
+    }
+    assert got == {
+        (1, 1): (1, 5.0),
+        (1, 2): (2, 5.0),
+        (1, 3): (3, 9.0),   # state carried: count continues, max kept
+        (2, 10): (1, 1.0),
+        (2, 11): (2, 1.0),  # 0.5 < carried max 1.0
+    }
