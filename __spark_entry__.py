@@ -386,6 +386,30 @@ def q_rolling_stats(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("user_id", "event_id", "roll_avg", "roll_std")
 
 
+def q_text_cleanup(spark: SparkSession, sf: str) -> DataFrame:
+    """Scrape-cleanup pipeline: HTML strip → entity decode → PII
+    redaction → URL/domain extraction. The documents corpus is clean
+    text, so markup/PII/URLs are injected deterministically per doc and
+    the whole chain is reproduced in the oracle (all patterns are
+    RE2-compatible by design)."""
+    docs = load_table(spark, sf, "documents").where(F.col("doc_id") < 100)
+    key = F.col("doc_id").cast("string")
+    marked = F.concat(
+        F.lit("<p>"),
+        F.col("text"),
+        F.lit('</p> <a href="https://ex'),
+        key,
+        F.lit('.example.com/d">link</a> contact: user'),
+        F.lit("@example.com or +1 415-555-0100 &amp; more"),
+    )
+    return docs.select(
+        "doc_id",
+        T.redact_pii(T.strip_html(marked)).alias("clean"),
+        F.size(T.extract_urls(marked)).cast("long").alias("n_urls"),
+        T.url_domains(marked).alias("domains"),
+    )
+
+
 def q_stream_stateful_running(spark: SparkSession, sf: str) -> DataFrame:
     """Custom STATEFUL streaming operator end-to-end
     (applyInPandasWithState): per-user running count/max across
@@ -978,6 +1002,7 @@ def queries() -> dict[str, QueryFn]:
         "lag_returns": q_lag_returns,
         "rolling_stats": q_rolling_stats,
         "rolling_time_window": q_rolling_time_window,
+        "text_cleanup": q_text_cleanup,
         "stream_stateful_running": q_stream_stateful_running,
         "unpivot_measures": q_unpivot_measures,
         "sample_hash_split": q_sample_hash_split,
@@ -1270,6 +1295,36 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "text_cleanup": """
+            WITH m AS (
+                SELECT doc_id,
+                       '<p>' || text || '</p> <a href="https://ex'
+                       || CAST(doc_id AS VARCHAR)
+                       || '.example.com/d">link</a> contact: user'
+                       || '@example.com or +1 415-555-0100 &amp; more' AS t
+                FROM documents WHERE doc_id < 100
+            ), stripped AS (
+                SELECT doc_id, t,
+                       trim(regexp_replace(
+                           replace(replace(replace(replace(replace(replace(
+                               regexp_replace(t, '<[^>]+>', ' ', 'g'),
+                               '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'),
+                               '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+                           '\\s+', ' ', 'g')) AS s
+                FROM m
+            )
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(s,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '[REDACTED]', 'g'),
+                       '\\+?[0-9][0-9()\\s.-]{7,}[0-9]',
+                       '[REDACTED]', 'g') AS clean,
+                   CAST(len(regexp_extract_all(t, 'https?://[^\\s<>"'')\\]]+')) AS BIGINT) AS n_urls,
+                   [lower(regexp_extract(u, 'https?://([^/:?#]+)', 1))
+                    FOR u IN regexp_extract_all(t, 'https?://[^\\s<>"'')\\]]+')] AS domains
+            FROM stripped
         """,
         "stream_stateful_running": """
             SELECT user_id, event_id,

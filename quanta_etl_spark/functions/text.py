@@ -125,6 +125,57 @@ def normalize_text(text: Column | str) -> Column:
     return F.trim(F.regexp_replace(F.lower(_c(text)), r"\s+", " "))
 
 
+# ---------------------------------------------------------------------------
+# Corpus cleanup: markup stripping, URL extraction, PII redaction.
+# All patterns are RE2-compatible (no backrefs/lookarounds) so every
+# function is reproducible in engines with RE2 regexes (DuckDB) — the
+# same portability rule as `fingerprint`'s md5.
+# ---------------------------------------------------------------------------
+
+_URL_RE = r"https?://[^\s<>\"')\]]+"
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+?[0-9][0-9()\s.-]{7,}[0-9]"
+
+
+def strip_html(text: Column | str) -> Column:
+    """Remove markup tags and decode the common entities — the cheap
+    scrape-cleanup pass (a full HTML parser is per-row Python; this
+    stays a native regexp chain and covers the typical crawl text)."""
+    t = F.regexp_replace(_c(text), r"<[^>]+>", " ")
+    for ent, rep in (
+        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+        ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"),
+    ):
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def extract_urls(text: Column | str) -> Column:
+    """All http(s) URLs in the text → array<string> (document order)."""
+    return F.regexp_extract_all(_c(text), F.lit(_URL_RE), F.lit(0))
+
+
+def url_domains(text: Column | str) -> Column:
+    """Distinct registrable-ish domains (host part, lowercased) of all
+    URLs in the text → array<string>."""
+    return F.array_distinct(
+        F.transform(
+            extract_urls(text),
+            lambda u: F.lower(
+                F.regexp_extract(u, r"https?://([^/:?#]+)", 1)
+            ),
+        )
+    )
+
+
+def redact_pii(text: Column | str, replacement: str = "[REDACTED]") -> Column:
+    """Mask emails and phone-number-shaped digit runs. Pattern-based —
+    the standard cheap pass before corpus release; NOT a guarantee
+    (free-text PII needs NER, which is model territory)."""
+    t = F.regexp_replace(_c(text), _EMAIL_RE, replacement)
+    return F.regexp_replace(t, _PHONE_RE, replacement)
+
+
 def fingerprint(text: Column | str) -> Column:
     """Deterministic 128-bit content fingerprint (md5 hex of the
     normalized text). md5 rather than xxhash64 so a SQL oracle can

@@ -98,3 +98,30 @@ def test_winnow_fingerprints_properties(spark):
     # density: selected fingerprints are a small fraction of all hashes
     n_hashes = len(shared) - 6
     assert len(fps[1]) < n_hashes * 0.6
+
+
+def test_strip_html_and_entities(spark):
+    df = spark.createDataFrame(
+        [("<div>a &amp; b</div><br/>c &lt;tag&gt; &#39;q&#39;",)], "t string"
+    )
+    out = df.select(T.strip_html("t").alias("s")).collect()[0]["s"]
+    assert out == "a & b c <tag> 'q'"
+
+
+def test_extract_urls_and_domains(spark):
+    txt = "see https://A.Example.com/x?q=1 and http://b.org/p, done"
+    df = spark.createDataFrame([(txt,)], "t string")
+    r = df.select(
+        T.extract_urls("t").alias("u"), T.url_domains("t").alias("d")
+    ).collect()[0]
+    assert r["u"] == ["https://A.Example.com/x?q=1", "http://b.org/p,"]
+    assert r["d"] == ["a.example.com", "b.org"]
+
+
+def test_redact_pii(spark):
+    txt = "mail jane.doe+x@corp.io or call +44 (0)20-7946 0958 now"
+    df = spark.createDataFrame([(txt,)], "t string")
+    out = df.select(T.redact_pii("t").alias("s")).collect()[0]["s"]
+    assert "jane.doe" not in out and "7946" not in out
+    assert out.count("[REDACTED]") == 2
+    assert out.startswith("mail [REDACTED] or call ")
