@@ -386,6 +386,67 @@ def q_rolling_stats(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("user_id", "event_id", "roll_avg", "roll_std")
 
 
+def q_impute_group_mean(spark: SparkSession, sf: str) -> DataFrame:
+    """Group-mean imputation: null discounts (synthesized on a
+    deterministic subset) refilled with their order-priority mean."""
+    o = load_table(spark, sf, "orders")
+    # knock out a deterministic subset so there is something to impute
+    holed = o.withColumn(
+        "price_holed",
+        F.when(F.col("o_orderkey") % 7 == 0, None).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    out = quality_ops.impute_group_mean(
+        holed, "price_holed", ["o_orderpriority"], out_col="price_filled"
+    )
+    return out.select(
+        "o_orderkey", "o_orderpriority", "price_holed", "price_filled"
+    )
+
+
+def q_iqr_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Tukey-fence outliers per order priority (exact quartiles +
+    bounds join; k tightened to 0.5 — the testdata totals have thin
+    tails and the classic 1.5 fence flags nothing)."""
+    o = load_table(spark, sf, "orders")
+    out = quality_ops.iqr_outliers(
+        o, "o_totalprice", ["o_orderpriority"], k=0.5, mode="only"
+    )
+    return out.select("o_orderkey", "o_orderpriority", "o_totalprice")
+
+
+def q_vector_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """L2 unit-normalization of embeddings; the norm of the output is 1
+    by construction, checked value-for-value by the oracle."""
+    from quanta_etl_spark.functions import vectors as V
+
+    emb = load_table(spark, sf, "embeddings").where(F.col("vec_id") < 100)
+    return emb.select(
+        "vec_id",
+        V.l2_normalize("embedding").alias("unit"),
+        V.l2_norm("embedding").alias("norm"),
+    )
+
+
+def q_date_parts_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """Temporal function family over order dates: trunc, extract,
+    add_months, datediff, last_day — the scalar surface a time-series
+    user leans on daily."""
+    o = load_table(spark, sf, "orders").where(F.col("o_orderkey") < 2000)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+        F.year(d).alias("yr"),
+        F.quarter(d).alias("qtr"),
+        F.dayofweek(d).alias("dow"),
+        F.add_months(d, 3).alias("plus_quarter"),
+        F.last_day(d).alias("month_end"),
+        F.datediff(F.lit("1998-12-31").cast("date"), d).alias("days_to_eoy"),
+    )
+
+
 def q_text_cleanup(spark: SparkSession, sf: str) -> DataFrame:
     """Scrape-cleanup pipeline: HTML strip → entity decode → PII
     redaction → URL/domain extraction. The documents corpus is clean
@@ -1002,6 +1063,10 @@ def queries() -> dict[str, QueryFn]:
         "lag_returns": q_lag_returns,
         "rolling_stats": q_rolling_stats,
         "rolling_time_window": q_rolling_time_window,
+        "impute_group_mean": q_impute_group_mean,
+        "iqr_outliers": q_iqr_outliers,
+        "vector_normalize": q_vector_normalize,
+        "date_parts_functions": q_date_parts_functions,
         "text_cleanup": q_text_cleanup,
         "stream_stateful_running": q_stream_stateful_running,
         "unpivot_measures": q_unpivot_measures,
@@ -1295,6 +1360,58 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "impute_group_mean": """
+            WITH holed AS (
+                SELECT o_orderkey, o_orderpriority,
+                       CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                            ELSE o_totalprice END AS price_holed
+                FROM orders
+            ), means AS (
+                SELECT o_orderpriority, avg(price_holed) AS m
+                FROM holed GROUP BY 1
+            )
+            SELECT o_orderkey, h.o_orderpriority, price_holed,
+                   coalesce(price_holed, m) AS price_filled
+            FROM holed h JOIN means USING (o_orderpriority)
+        """,
+        "iqr_outliers": """
+            WITH b AS (
+                SELECT o_orderpriority,
+                       quantile_cont(o_totalprice, 0.25) AS q1,
+                       quantile_cont(o_totalprice, 0.75) AS q3
+                FROM orders GROUP BY 1
+            )
+            SELECT o_orderkey, o.o_orderpriority, o_totalprice
+            FROM orders o JOIN b USING (o_orderpriority)
+            WHERE o_totalprice < q1 - 0.5 * (q3 - q1)
+               OR o_totalprice > q3 + 0.5 * (q3 - q1)
+        """,
+        "vector_normalize": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id < 100
+            ), n AS (
+                SELECT vec_id, v,
+                       sqrt(list_sum([x * x FOR x IN v])) AS nrm
+                FROM e
+            )
+            SELECT vec_id,
+                   [CASE WHEN nrm = 0 OR nrm IS NULL THEN 0.0
+                         ELSE x / nrm END FOR x IN v] AS unit,
+                   nrm AS norm
+            FROM n
+        """,
+        "date_parts_functions": """
+            SELECT o_orderkey,
+                   CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+                   CAST(year(o_orderdate) AS INTEGER) AS yr,
+                   CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+                   CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+                   CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_quarter,
+                   last_day(o_orderdate) AS month_end,
+                   CAST(date_diff('day', o_orderdate, DATE '1998-12-31') AS INTEGER) AS days_to_eoy
+            FROM orders WHERE o_orderkey < 2000
         """,
         "text_cleanup": """
             WITH m AS (

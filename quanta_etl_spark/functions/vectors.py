@@ -38,6 +38,19 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def l2_normalize(a: Column | str) -> Column:
+    """Unit-normalize a vector (array<double> out). Zero vectors come
+    back unchanged (all-zero), not NaN — ``try_divide`` semantics."""
+    a = F.col(a) if isinstance(a, str) else a
+    n = l2_norm(a)
+    return F.transform(
+        a,
+        lambda v: F.coalesce(
+            F.try_divide(v.cast("double"), n), F.lit(0.0)
+        ),
+    )
+
+
 def l2_distance(a: Column | str, b: Column | str) -> Column:
     a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
     return F.sqrt(

@@ -63,3 +63,52 @@ def null_report(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
     return df.agg(
         *[F.sum(F.col(c).isNull().cast("long")).alias(c) for c in cols]
     )
+
+
+def impute_group_mean(
+    df: DataFrame, value: str, by: Sequence[str], out_col: str | None = None
+) -> DataFrame:
+    """Fill nulls with the GROUP mean (per-key imputation — the global
+    ``fillna`` is a special case with by=[]). One aggregation + one
+    broadcast-able join; means come from non-null rows only.
+
+    At scale this is the shape you want: the per-group mean table is
+    |groups| rows (tiny next to the data) and the join key is the
+    grouping key the data is often already partitioned by."""
+    out_col = out_col or value
+    means = df.groupBy(*by).agg(F.avg(value).alias("__grp_mean"))
+    joined = df.join(means, list(by), "left")
+    return joined.withColumn(
+        out_col, F.coalesce(F.col(value), F.col("__grp_mean"))
+    ).drop("__grp_mean")
+
+
+def iqr_outliers(
+    df: DataFrame,
+    value: str,
+    by: Sequence[str],
+    k: float = 1.5,
+    mode: str = "flag",
+) -> DataFrame:
+    """Tukey-fence outlier detection per group: a row is an outlier if
+    its value falls outside [q1 - k·IQR, q3 + k·IQR] of its group.
+
+    ``mode="flag"`` appends a boolean ``is_outlier``; ``mode="drop"``
+    filters outliers out; ``mode="only"`` keeps only them. Exact
+    percentiles (one shuffle) + a broadcast-able bounds join — no
+    window-over-everything, no driver round-trip."""
+    if mode not in ("flag", "drop", "only"):
+        raise ValueError(f"unknown mode: {mode!r}")
+    bounds = df.groupBy(*by).agg(
+        F.percentile(value, F.lit(0.25)).alias("__q1"),
+        F.percentile(value, F.lit(0.75)).alias("__q3"),
+    )
+    joined = df.join(bounds, list(by), "left")
+    iqr = F.col("__q3") - F.col("__q1")
+    is_out = (F.col(value) < F.col("__q1") - k * iqr) | (
+        F.col(value) > F.col("__q3") + k * iqr
+    )
+    if mode == "flag":
+        return joined.withColumn("is_outlier", is_out).drop("__q1", "__q3")
+    kept = joined.where(is_out if mode == "only" else ~is_out)
+    return kept.drop("__q1", "__q3")

@@ -179,3 +179,45 @@ def test_two_stage_agg_rejects_non_algebraic(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     with _pytest.raises(ValueError):
         two_stage_agg(li, ["l_returnflag"], {"m": ("median", "l_quantity")})
+
+
+def test_impute_group_mean(spark):
+    from quanta_etl_spark.operators import quality as Q
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("a", None), ("b", 10.0), ("b", None)],
+        "k string, v double",
+    )
+    out = {(r.k, i): r.v for i, r in enumerate(
+        Q.impute_group_mean(df, "v", ["k"]).orderBy("k", "v").collect())}
+    vals = sorted(v for (k, _), v in out.items() if k == "a")
+    assert vals == [1.0, 2.0, 3.0]  # null got the group mean 2.0
+    vals_b = sorted(v for (k, _), v in out.items() if k == "b")
+    assert vals_b == [10.0, 10.0]
+
+
+def test_iqr_outliers_modes(spark):
+    from quanta_etl_spark.operators import quality as Q
+
+    rows = [("g", float(v)) for v in [10, 11, 12, 13, 14, 100]]
+    df = spark.createDataFrame(rows, "k string, v double")
+    only = Q.iqr_outliers(df, "v", ["k"], k=1.5, mode="only").collect()
+    assert [r.v for r in only] == [100.0]
+    drop = Q.iqr_outliers(df, "v", ["k"], k=1.5, mode="drop")
+    assert drop.count() == 5
+    flag = Q.iqr_outliers(df, "v", ["k"], k=1.5, mode="flag")
+    assert flag.where("is_outlier").count() == 1
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        Q.iqr_outliers(df, "v", ["k"], mode="bogus")
+
+
+def test_l2_normalize(spark):
+    from quanta_etl_spark.functions import vectors as V
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])], "id long, v array<double>"
+    )
+    got = {r.id: r.u for r in df.select("id", V.l2_normalize("v").alias("u")).collect()}
+    assert got[1] == [0.6, 0.8]
+    assert got[2] == [0.0, 0.0]  # zero vector stays zero, no NaN
