@@ -90,3 +90,39 @@ def test_partition_pruning_on_partitioned_write(spark, tmp_path, sf_dir):
     assert "PartitionFilters" in plan
     # the o_year filter must prune partitions, not filter rows post-scan
     assert "o_year" not in " ".join(P.pushed_filters(back))
+
+
+def test_unpivot_is_map_side(spark, sf_dir):
+    """Melt plans as a native Expand — no shuffle, no UDF."""
+    df = E.q_unpivot_measures(spark, sf_dir)
+    plan = P.simple_plan(df)
+    assert "Expand" in plan
+    assert P.count_shuffles(df) == 0
+
+
+def test_hash_sampling_is_map_side(spark, sf_dir):
+    """Deterministic sampling/splits are pure filters/projections over
+    the scan — zero shuffles, trivially scale-free."""
+    from quanta_etl_spark.operators import sampling as S
+    from quanta_etl_spark.sources.testdata import load_table
+
+    c = load_table(spark, sf_dir, "customer")
+    assert P.count_shuffles(S.hash_sample(c, "c_custkey", 0.1)) == 0
+    assert P.count_shuffles(
+        S.hash_split(c, "c_custkey", {"a": 0.5, "b": 0.5})
+    ) == 0
+
+
+def test_rolling_time_window_single_shuffle(spark, sf_dir):
+    """rangeBetween windows cost the same one entity-hash exchange as
+    row windows — no self-join shapes."""
+    df = E.q_rolling_time_window(spark, sf_dir)
+    assert P.count_shuffles(df) == 1
+    assert not P.has_cartesian(df)
+
+
+def test_impute_broadcasts_group_stats(spark, sf_dir):
+    """The per-group means table must come back as a broadcast join —
+    the fact side never reshuffles on the group key."""
+    df = E.q_impute_group_mean(spark, sf_dir)
+    assert "BroadcastHashJoin" in P.simple_plan(df)
