@@ -949,15 +949,14 @@ def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_text_winnow(spark: SparkSession, sf: str) -> DataFrame:
-    """Winnowing rolling-hash fingerprints (MOSS algorithm) — per-doc
-    fingerprint counts (rows-only check: selection depends on xxhash64
-    values, which no other engine reproduces; the algorithm's guarantees
-    are property-tested in test_text_functions)."""
+    """Winnowing rolling-hash fingerprints (MOSS algorithm) with the
+    md5_60 portable gram hash: the ENTIRE fingerprint set — rolling
+    hashes, window minima, distinct selection — is reproduced in the
+    DuckDB oracle from first principles (was the last rows-only query;
+    the xxhash64 default stays for production speed)."""
     docs = dedup_ops._spread(load_table(spark, sf, "documents"))
-    return docs.select(
-        "doc_id",
-        F.size(T.winnow_fingerprints("text", k=7, window=4)).alias("n_fingerprints"),
-    )
+    fps = T.winnow_fingerprints("text", k=7, window=4, variant="md5_60")
+    return docs.select("doc_id", F.array_sort(fps).alias("fingerprints"))
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
@@ -1758,6 +1757,28 @@ def oracle_sql() -> dict[str, str]:
         # Spark side's pigeonhole banding because the banding is
         # complete (any pair within distance k agrees on >= 1 of k+1
         # blocks).
+        # Winnowing from first principles: rolling 7-gram md5_60 hashes,
+        # min of each 4-window (list slice is 1-based inclusive, matching
+        # F.slice(arr, i, 4)), distinct + sort. Short docs (< k chars)
+        # hash the whole remaining tail, same as Spark's substr.
+        "text_winnow": """
+            WITH norm AS (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                FROM documents
+            ), h AS (
+                SELECT doc_id,
+                       [('0x' || substr(md5(substr(t, CAST(i AS INT), 7)), 1, 15))::UBIGINT::BIGINT
+                        FOR i IN generate_series(1, greatest(len(t) - 6, 1))] AS hs
+                FROM norm
+            )
+            SELECT doc_id,
+                   list_sort(list_distinct(
+                       [list_min(hs[CAST(j AS INT):CAST(j + 3 AS INT)])
+                        FOR j IN generate_series(1, greatest(len(hs) - 3, 1))]
+                   )) AS fingerprints
+            FROM h
+        """,
         "dedup_simhash": """
             WITH norm AS (
                 SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t

@@ -199,16 +199,34 @@ def shingle_hashes(text: Column | str, k: int = 5) -> Column:
     return F.transform(char_shingles(text, k), lambda s: F.xxhash64(s))
 
 
-def rolling_kgram_hashes(text: Column | str, k: int = 7) -> Column:
+def portable_hash60(s: Column) -> Column:
+    """60-bit engine-portable string hash: the first 15 hex chars of
+    md5 as an integer — ``('0x' || substr(md5(s),1,15))::UBIGINT`` in
+    DuckDB. Slower than xxhash64 but reproducible anywhere md5 exists;
+    the hash behind every `variant="md5_60"` knob in this engine."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def _gram_hash(s: Column, variant: str) -> Column:
+    if variant == "xxhash64":
+        return F.xxhash64(s)
+    if variant == "md5_60":
+        return portable_hash60(s)
+    raise ValueError(f"unknown hash variant: {variant!r}")
+
+
+def rolling_kgram_hashes(
+    text: Column | str, k: int = 7, variant: str = "xxhash64"
+) -> Column:
     """ORDERED (non-distinct) rolling k-gram hashes of the normalized
     text — position matters, unlike ``shingle_hashes``."""
     t = normalize_text(text)
     idx = F.sequence(F.lit(1), F.greatest(F.length(t) - (k - 1), F.lit(1)))
-    return F.transform(idx, lambda i: F.xxhash64(t.substr(i, F.lit(k))))
+    return F.transform(idx, lambda i: _gram_hash(t.substr(i, F.lit(k)), variant))
 
 
 def winnow_fingerprints(
-    text: Column | str, k: int = 7, window: int = 4
+    text: Column | str, k: int = 7, window: int = 4, variant: str = "xxhash64"
 ) -> Column:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     SIGMOD'03 — the MOSS algorithm): take the min rolling-hash from
@@ -223,7 +241,7 @@ def winnow_fingerprints(
     values, so ``arr`` is referenced per window for free; inlining the
     hash expression directly into the window lambda would re-hash the
     whole document once per window (O(n²))."""
-    h = rolling_kgram_hashes(text, k)
+    h = rolling_kgram_hashes(text, k, variant)
     return F.transform(
         F.array(h),
         lambda arr: F.array_distinct(

@@ -583,7 +583,9 @@ def _token_hash(tok: Column, variant: str) -> Column:
     if variant == "xxhash64":
         return F.xxhash64(tok)
     if variant == "md5_60":
-        return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+        from quanta_etl_spark.functions.text import portable_hash60
+
+        return portable_hash60(tok)
     raise ValueError(f"unknown token-hash variant: {variant!r}")
 
 
