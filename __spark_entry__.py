@@ -549,8 +549,13 @@ def q_window_cumulative(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_agg_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     """Exact interpolated percentiles per group (Spark `percentile` ≡
-    DuckDB `quantile_cont`)."""
-    li = load_table(spark, sf, "lineitem")
+    DuckDB `quantile_cont`). Exact percentile buffers every group value,
+    so the input is cut by a pushdown-able date predicate — at real
+    scale you use the mergeable sketches (aggregates.sketch_*) and keep
+    exact percentiles for bounded slices exactly like this."""
+    li = load_table(spark, sf, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1994-06-30").cast("timestamp")
+    )
     return agg_ops.summarize(
         li,
         ["l_returnflag"],
@@ -1520,7 +1525,9 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(l_extendedprice, 0.75) AS p75,
                    quantile_cont(l_extendedprice, 0.95) AS p95,
                    quantile_cont(l_quantity, 0.50) AS med_qty
-            FROM lineitem GROUP BY l_returnflag
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1994-06-30'
+            GROUP BY l_returnflag
         """,
         "agg_corr_stats": """
             SELECT l_linestatus,
