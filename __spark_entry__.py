@@ -525,6 +525,15 @@ def q_text_tfidf(spark: SparkSession, sf: str) -> DataFrame:
     return ts_ops.tfidf(docs, "doc_id", "text", top_k=5)
 
 
+def q_text_ngram_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-50 corpus 3-grams (boilerplate detection), total-ordered by
+    (occurrences desc, ngram)."""
+    docs = load_table(spark, sf, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    return ts_ops.ngram_counts(docs, "text", n=3, top_k=50)
+
+
 def q_window_cumulative(spark: SparkSession, sf: str) -> DataFrame:
     """Running count/sum/max per user (unbounded-preceding frame);
     decimal running sums so the oracle is drift-free."""
@@ -1077,6 +1086,7 @@ def queries() -> dict[str, QueryFn]:
         "sample_hash_split": q_sample_hash_split,
         "text_tfidf": q_text_tfidf,
         "window_cumulative": q_window_cumulative,
+        "text_ngram_counts": q_text_ngram_counts,
         "agg_percentiles": q_agg_percentiles,
         "agg_corr_stats": q_agg_corr_stats,
         "rolling_volatility": q_rolling_volatility,
@@ -1508,6 +1518,22 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             )
             SELECT doc_id, term, tf, df, tfidf FROM ranked WHERE rn <= 5
+        """,
+        "text_ngram_counts": """
+            WITH norm AS (
+                SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                FROM documents WHERE length(trim(text)) > 0
+            ), toks AS (
+                SELECT string_split(t, ' ') AS w FROM norm WHERE t <> ''
+            ), grams AS (
+                SELECT unnest([array_to_string(w[CAST(i AS INT):CAST(i + 2 AS INT)], ' ')
+                               FOR i IN generate_series(1, greatest(len(w) - 2, 1))]) AS ngram
+                FROM toks
+            )
+            SELECT ngram, count(*) AS occurrences
+            FROM grams GROUP BY 1
+            ORDER BY occurrences DESC, ngram
+            LIMIT 50
         """,
         "window_cumulative": """
             SELECT user_id, event_id,

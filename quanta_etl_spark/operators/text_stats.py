@@ -37,6 +37,37 @@ def document_frequencies(tf: DataFrame) -> DataFrame:
     return tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
 
+def ngram_counts(
+    df: DataFrame,
+    text_col: str,
+    n: int = 3,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Corpus-wide word n-gram counts — the standard boilerplate /
+    template detector (a 3-gram appearing in half the corpus is a
+    header or license line). Returns (ngram, occurrences);
+    ``top_k`` keeps the most frequent by (occurrences desc, ngram) —
+    a total order, so results are reproducible.
+
+    Shape: tokenization + windowed gram assembly are map-side
+    (transform over the token array); one aggregation keyed by gram.
+    """
+    toks = ws_tokens(normalize_text(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    exploded = df.select(F.explode(grams).alias("ngram"))
+    counts = exploded.groupBy("ngram").agg(
+        F.count(F.lit(1)).alias("occurrences")
+    )
+    if top_k is None:
+        return counts
+    return counts.orderBy(
+        F.col("occurrences").desc(), F.col("ngram")
+    ).limit(top_k)
+
+
 def tfidf(
     df: DataFrame,
     id_col: str,

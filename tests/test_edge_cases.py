@@ -82,3 +82,43 @@ def test_dropduplicates_deterministic_survivor(spark):
     for _ in range(3):
         out = dedup_ops.exact_dedup_by_fingerprint(docs, "text", "doc_id")
         assert {r["doc_id"] for r in out.collect()} == {1, 3}
+
+
+def test_empty_input_round2_operators(spark):
+    from quanta_etl_spark.operators import quality as Q
+    from quanta_etl_spark.operators import reshape as R
+    from quanta_etl_spark.operators import sampling as S
+    from quanta_etl_spark.operators import text_stats as TS
+
+    empty = spark.createDataFrame([], "k string, v double, id long")
+    assert R.unpivot(empty, ["k"], ["v"], "m", "x").count() == 0
+    assert S.hash_split(empty, "id", {"a": 0.5, "b": 0.5}).count() == 0
+    assert S.hash_sample(empty, "id", 0.5).count() == 0
+    assert Q.impute_group_mean(empty, "v", ["k"]).count() == 0
+    assert Q.iqr_outliers(empty, "v", ["k"]).count() == 0
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert TS.tfidf(empty_docs, "doc_id", "text").count() == 0
+    assert TS.ngram_counts(empty_docs, "text").count() == 0
+
+
+def test_all_null_group_imputation(spark):
+    from quanta_etl_spark.operators import quality as Q
+
+    df = spark.createDataFrame(
+        [("a", None), ("a", None), ("b", 1.0)], "k string, v double"
+    )
+    out = {(r.k): r.v for r in Q.impute_group_mean(df, "v", ["k"]).collect()
+           if r.k == "a"}
+    # no non-null values in group 'a' -> stays null (no fabricated fill)
+    assert out == {"a": None}
+
+
+def test_ngram_counts_short_docs(spark):
+    from quanta_etl_spark.operators import text_stats as TS
+
+    docs = spark.createDataFrame(
+        [(1, "one two"), (2, "single")], "doc_id long, text string"
+    )
+    got = {r.ngram: r.occurrences for r in TS.ngram_counts(docs, "text", n=3).collect()}
+    # docs shorter than n tokens contribute their full token run
+    assert got == {"one two": 1, "single": 1}
