@@ -447,6 +447,39 @@ def q_date_parts_functions(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_stream_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming SLIDING window aggregation (1h window / 30min slide —
+    each event lands in 2 overlapping windows). Bucket starts are
+    emitted as epoch seconds so the oracle is timezone-proof; DuckDB
+    reproduces Spark's epoch-aligned window starts arithmetically."""
+    from quanta_etl_spark.streaming import ingest
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = ingest.read_stream(spark, f"{sf}/events.parque[t]", raw_schema)
+    ev = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        ingest.with_late_data_policy(ev, "ts", delay="1 hour")
+        .groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("value").alias("high"),
+        )
+    )
+    q = ingest.write_stream_memory(
+        agg, "stream_sliding_window", output_mode="complete"
+    )
+    q.awaitTermination()
+    return spark.table("stream_sliding_window").select(
+        F.unix_timestamp(F.col("win.start")).alias("bucket_start"),
+        "event_type",
+        "n_events",
+        "high",
+    )
+
+
 def q_text_cleanup(spark: SparkSession, sf: str) -> DataFrame:
     """Scrape-cleanup pipeline: HTML strip → entity decode → PII
     redaction → URL/domain extraction. The documents corpus is clean
@@ -1082,6 +1115,7 @@ def queries() -> dict[str, QueryFn]:
         "date_parts_functions": q_date_parts_functions,
         "text_cleanup": q_text_cleanup,
         "stream_stateful_running": q_stream_stateful_running,
+        "stream_sliding_window": q_stream_sliding_window,
         "unpivot_measures": q_unpivot_measures,
         "sample_hash_split": q_sample_hash_split,
         "text_tfidf": q_text_tfidf,
@@ -1456,6 +1490,25 @@ def oracle_sql() -> dict[str, str]:
                    [lower(regexp_extract(u, 'https?://([^/:?#]+)', 1))
                     FOR u IN regexp_extract_all(t, 'https?://[^\\s<>"'')\\]]+')] AS domains
             FROM stripped
+        """,
+        # Sliding windows from first principles: with a 1h window and
+        # 30min slide each event belongs to exactly 2 epoch-aligned
+        # windows — starts floor(t/1800)*1800 and that minus 1800.
+        "stream_sliding_window": """
+            WITH e AS (
+                SELECT event_type, value,
+                       CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 AS s1
+                FROM events
+            ), exploded AS (
+                SELECT event_type, value,
+                       unnest([s1, s1 - 1800]) AS bucket_start
+                FROM e
+            )
+            SELECT bucket_start, event_type,
+                   count(*) AS n_events,
+                   max(value) AS high
+            FROM exploded
+            GROUP BY 1, 2
         """,
         "stream_stateful_running": """
             SELECT user_id, event_id,
