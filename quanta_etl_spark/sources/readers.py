@@ -16,6 +16,7 @@ Scale notes:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
@@ -81,6 +82,70 @@ def write_bucketed_table(
         sorts = [sort_by] if isinstance(sort_by, str) else list(sort_by)
         writer = writer.sortBy(*sorts)
     writer.saveAsTable(table)
+
+
+def write_clustered_parquet(
+    df: DataFrame,
+    path: str,
+    cluster_by: str | list[str],
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered parquet: rows are range-partitioned AND sorted on
+    the cluster keys before writing, so each file (and each row group
+    inside it) covers a narrow key range. Parquet min/max statistics
+    then let any reader skip whole row groups for predicates on those
+    keys — zone-map pruning without a metastore, the complement to
+    hive partitioning (which only works for low-cardinality columns).
+
+    Classic use: cluster the fact table by (isin) or (ts) so point and
+    range lookups touch a handful of row groups out of a 100 TB table.
+    """
+    keys = [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
+    cols = [F.col(k) for k in keys]
+    out = (
+        df.repartitionByRange(num_files, *cols)
+        if num_files is not None
+        else df.repartitionByRange(*cols)
+    )
+    out.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_partition_bytes: int = 128 * 1024 * 1024,
+    mode: str = "overwrite",
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ~``target_partition_bytes`` files. Streaming sinks and over-parallel
+    writers leave thousands of KB-sized files; scan throughput then
+    drowns in open/footer overhead (the operational hazard SCALING.md
+    §layout calls out). Returns the file count written.
+
+    Sizing uses the INPUT's on-disk bytes (from the file index — no data
+    scan), so the single job both reads and rewrites once."""
+    import math
+
+    src = spark.read.parquet(path)
+    # Size probe via the Hadoop FileSystem API — no data scan.
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    total = 0
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        f = it.next()
+        if f.getPath().getName().endswith(".parquet"):
+            total += f.getLen()
+    n = max(1, math.ceil(total / target_partition_bytes))
+    tmp = path.rstrip("/") + "__compact_tmp"
+    src.repartition(n).write.mode("overwrite").parquet(tmp)
+    # atomic-ish swap: rewrite over the original from the temp copy
+    spark.read.parquet(tmp).write.mode(mode).parquet(path)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+    return n
 
 
 def write_partitioned_parquet(

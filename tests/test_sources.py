@@ -102,3 +102,41 @@ def test_decimal_price_schema_variant(spark, tmp_path):
     )
     total = df.agg(F.sum("p").alias("s")).collect()[0]["s"]
     assert total == Decimal("10.0000")
+
+
+def test_write_clustered_parquet_rowgroup_ranges(spark, tmp_path):
+    """Clustered writes must produce key-disjoint files: each file's
+    min/max range on the cluster key should not overlap others (that is
+    what makes parquet zone-map skipping effective)."""
+    import pyarrow.parquet as pq
+
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+    out = str(tmp_path / "clustered")
+    readers.write_clustered_parquet(df, out, "id", num_files=4)
+    files = sorted(str(p) for p in __import__("pathlib").Path(out).glob("*.parquet"))
+    assert len(files) == 4
+    ranges = []
+    for f in files:
+        t = pq.read_table(f, columns=["id"])
+        ids = t.column("id").to_pylist()
+        assert ids == sorted(ids)  # sorted within file
+        ranges.append((ids[0], ids[-1]))
+    ranges.sort()
+    for (lo1, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # disjoint key ranges across files
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    out = str(tmp_path / "many")
+    spark.range(0, 1000).repartition(50).write.parquet(out)
+    import pathlib
+
+    before = len(list(pathlib.Path(out).glob("*.parquet")))
+    assert before == 50
+    n = readers.compact_parquet(spark, out, target_partition_bytes=1 << 30)
+    assert n == 1
+    after = list(pathlib.Path(out).glob("*.parquet"))
+    assert len(after) == 1
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    assert back.agg(F.sum("id")).collect()[0][0] == 499500
