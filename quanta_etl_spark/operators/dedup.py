@@ -114,6 +114,44 @@ def minhash_signature(
     )
 
 
+def _sig_matrix(
+    texts, num_hashes: int, shingle_k: int, a_vec, b_vec
+) -> "np.ndarray":
+    """(len(texts) × num_hashes) int32 MinHash signature matrix — the
+    shared numpy core of the Arrow signature UDF and the fused
+    signature+banding stage. crc32 k-grams; empty text → all-sentinel."""
+    rows = np.empty((len(texts), num_hashes), dtype=np.int32)
+    for j, t in enumerate(texts):
+        s = re.sub(r"\s+", " ", (t or "").lower()).strip()
+        if len(s) < shingle_k:
+            grams = {s} if s else set()
+        else:
+            grams = {s[i : i + shingle_k] for i in range(len(s) - shingle_k + 1)}
+        if not grams:
+            rows[j] = _MERSENNE_31
+            continue
+        h = np.fromiter(
+            (zlib.crc32(g.encode("utf-8")) for g in grams),
+            dtype=np.int64,
+            count=len(grams),
+        ) % _MERSENNE_31
+        rows[j] = (
+            ((a_vec * h[None, :] + b_vec) % _MERSENNE_31)
+            .min(axis=1)
+            .astype(np.int32)
+        )
+    return rows
+
+
+def _mix64(x: "np.ndarray") -> "np.ndarray":
+    """splitmix64 finalizer over uint64 arrays — the vectorized bucket
+    hash for band slices (any consistent hash defines the same LSH
+    equality classes; this one avoids a JVM round-trip)."""
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
 _SIG_UDF_CACHE: dict[tuple[int, int, int], object] = {}
 
 
@@ -146,31 +184,11 @@ def minhash_signature_arrow(
     seeds = _minhash_seeds(num_hashes, seed)
     a_vec = np.array([a for a, _ in seeds], dtype=np.int64)[:, None]
     b_vec = np.array([b for _, b in seeds], dtype=np.int64)[:, None]
-    empty = np.full(num_hashes, _MERSENNE_31, dtype=np.int32)
 
     @F.pandas_udf("array<int>")
     def sig(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            s = re.sub(r"\s+", " ", (t or "").lower()).strip()
-            if len(s) < shingle_k:
-                grams = {s} if s else set()
-            else:
-                grams = {s[i : i + shingle_k] for i in range(len(s) - shingle_k + 1)}
-            if not grams:
-                out.append(empty)
-                continue
-            h = np.fromiter(
-                (zlib.crc32(g.encode("utf-8")) for g in grams),
-                dtype=np.int64,
-                count=len(grams),
-            ) % _MERSENNE_31
-            out.append(
-                ((a_vec * h[None, :] + b_vec) % _MERSENNE_31)
-                .min(axis=1)
-                .astype(np.int32)
-            )
-        return pd.Series(out)
+        mat = _sig_matrix(list(texts), num_hashes, shingle_k, a_vec, b_vec)
+        return pd.Series(list(mat))
 
     _SIG_UDF_CACHE[cache_key] = sig
     return sig
@@ -232,6 +250,142 @@ def _banded_pairs(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
             & (F.col("l.__id") < F.col("r.__id")),
         )
         .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+    )
+
+
+def _fused_likely_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_k: int,
+    min_agree: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Likely near-dup pairs in TWO Python stages and one shuffle:
+
+    stage 1 (map): signatures AND band-bucket hashes computed together
+    in numpy; each doc emits ``bands`` rows of (id, bhash, sig-bytes) —
+    the signature crosses Arrow once, as a compact binary, and the JVM
+    never re-derives band hashes from int arrays.
+
+    shuffle: repartition on bhash (band index is mixed INTO the hash —
+    splitmix64 over the band slice xor band constant — so one int64
+    carries the bucket identity; uniform by construction, no skew).
+
+    stage 2 (reduce): contiguous bucket runs → vectorized cross-bucket
+    pair generation with the >= min_agree estimate prefilter (see
+    _bucket_likely_pairs for the algorithm; this variant parses the
+    signature matrix with one zero-copy frombuffer per batch instead of
+    per-row list conversion).
+
+    Output may repeat a pair (one row per shared bucket); id_a < id_b.
+    """
+    r = num_hashes // bands
+    seeds = _minhash_seeds(num_hashes, seed)
+    a_vec = np.array([a for a, _ in seeds], dtype=np.int64)[:, None]
+    b_vec = np.array([b for _, b in seeds], dtype=np.int64)[:, None]
+    id_dt = df.schema[id_col].dataType.simpleString()
+
+    def sig_bands(batches):
+        band_consts = _mix64(np.arange(bands, dtype=np.uint64) + np.uint64(1))
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            mat = _sig_matrix(
+                list(pdf[text_col]), num_hashes, shingle_k, a_vec, b_vec
+            )
+            # per-band bucket hash: mix the band's int32 slice (viewed
+            # as uint64 words) with the band constant
+            bhash = np.empty((n, bands), dtype=np.uint64)
+            for b in range(bands):
+                sl = np.ascontiguousarray(mat[:, b * r : (b + 1) * r])
+                if sl.shape[1] % 2:  # pad odd slice to 64-bit words
+                    sl = np.concatenate(
+                        [sl, np.zeros((n, 1), dtype=np.int32)], axis=1
+                    )
+                words = sl.view(np.uint64)
+                acc = band_consts[b] * np.ones(n, dtype=np.uint64)
+                for w in range(words.shape[1]):
+                    acc = _mix64(acc ^ words[:, w])
+                bhash[:, b] = acc
+            sig_bytes = [m.tobytes() for m in mat]
+            yield pd.DataFrame(
+                {
+                    "__id": np.repeat(pdf[id_col].to_numpy(), bands),
+                    "bhash": bhash.reshape(-1).astype(np.int64),
+                    "__sig": np.array(
+                        [s for s in sig_bytes for _ in range(bands)],
+                        dtype=object,
+                    ),
+                }
+            )
+
+    def gen_pairs(batches):
+        carry: pd.DataFrame | None = None
+
+        def emit(pdf: pd.DataFrame):
+            bh = pdf["bhash"].values
+            n = len(pdf)
+            change = np.empty(n, dtype=bool)
+            change[0] = True
+            change[1:] = bh[1:] != bh[:-1]
+            starts = np.flatnonzero(change)
+            sizes = np.diff(np.append(starts, n))
+            if not (sizes >= 2).any():
+                return None
+            ids = pdf["__id"].values
+            sig_mat = np.frombuffer(
+                b"".join(pdf["__sig"]), dtype=np.int32
+            ).reshape(n, -1)
+            ia_parts, ib_parts = [], []
+            for s in np.unique(sizes[sizes >= 2]):
+                offs = starts[sizes == s]
+                ti, tj = np.triu_indices(s, k=1)
+                gi = (offs[:, None] + ti[None, :]).ravel()
+                gj = (offs[:, None] + tj[None, :]).ravel()
+                agree = (sig_mat[gi] == sig_mat[gj]).sum(axis=1)
+                keep = agree >= min_agree
+                if keep.any():
+                    ia_parts.append(gi[keep])
+                    ib_parts.append(gj[keep])
+            if not ia_parts:
+                return None
+            ia = np.concatenate(ia_parts)
+            ib = np.concatenate(ib_parts)
+            return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            bh = pdf["bhash"].values
+            last = bh == bh[-1]
+            if last.all():
+                carry = pdf
+                continue
+            cut = len(pdf) - int(np.argmin(last[::-1]))
+            carry = pdf.iloc[cut:].reset_index(drop=True)
+            out = emit(pdf.iloc[:cut])
+            if out is not None:
+                yield out
+        if carry is not None and len(carry):
+            out = emit(carry)
+            if out is not None:
+                yield out
+
+    banded = df.select(id_col, text_col)
+    banded = _spread(banded).mapInPandas(
+        sig_bands, f"__id {id_dt}, bhash bigint, __sig binary"
+    )
+    return (
+        banded.repartition(F.col("bhash"))
+        .sortWithinPartitions("bhash", "__id")
+        .mapInPandas(gen_pairs, f"id_a {id_dt}, id_b {id_dt}")
     )
 
 
@@ -392,18 +546,15 @@ def minhash_dedup_pairs(
         # candidate pairs → ~300 survivors), and the interpreted
         # zip_with estimate over those rows dominated the query; here
         # the agreement compare is a vectorized byte op and nothing but
-        # survivors ever hits a shuffle. The signature UDF has exactly
-        # one consumer on this path, so the whole candidate pipeline —
-        # sig UDF → banding → bucket shuffle → pair UDF → survivor
-        # dedup — fuses into ONE job, evaluated once (VERDICT r1 #3),
-        # and only the tiny survivor set is checkpointed (eagerly:
-        # a lazily-checkpointed subtree consumed by two branches of one
+        # survivors ever hits a shuffle. The whole candidate pipeline —
+        # fused signature+banding stage → bucket shuffle → pair stage →
+        # survivor dedup — is ONE job with a single Arrow crossing of
+        # the (binary) signatures, evaluated once (VERDICT r1 #3), and
+        # only the tiny survivor set is checkpointed (eagerly: a
+        # lazily-checkpointed subtree consumed by two branches of one
         # job races and computes twice).
-        sigs = _minhash_sigs(
-            df, id_col, text_col, num_hashes, shingle_k, use_arrow
-        )
-        likely = _bucket_likely_pairs(
-            sigs, df.schema[id_col].dataType, num_hashes, bands, min_agree
+        likely = _fused_likely_pairs(
+            df, id_col, text_col, num_hashes, bands, shingle_k, min_agree
         ).dropDuplicates().localCheckpoint(eager=True)
     else:
         # Pure-Catalyst fallback: band self-join + interpreted estimate.
@@ -437,15 +588,82 @@ def minhash_dedup_pairs(
             .localCheckpoint(eager=True)
         )
 
-    # Exact-Jaccard verify on the CANDIDATE docs only: semi-join the
-    # corpus down to ids that appear in a surviving pair before paying
-    # the shingle extraction (candidates are typically a tiny fraction
-    # of the corpus). The pairs are then MELTED to one row per side and
-    # joined with the shingle table ONCE — a two-sided a/b join would
-    # repartition the shingles on different keys and force either a
-    # double shingle pass or an extra checkpoint job; this shape keeps
-    # the whole verify in one lazy job (`likely` is the only
-    # checkpointed input).
+    if use_arrow:
+        return _verify_pairs_arrow(df, id_col, text_col, likely, shingle_k, threshold)
+    return _verify_pairs_catalyst(df, id_col, text_col, likely, shingle_k, threshold)
+
+
+def _verify_pairs_arrow(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    likely: DataFrame,
+    shingle_k: int,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verify: pairs are MELTED to one row per side and
+    joined with the docs' texts ONCE (the survivor side is tiny, so AQE
+    broadcasts it — the corpus scan never shuffles); the per-pair
+    Jaccard runs in an Arrow-batched UDF over the two texts. The gram
+    definition matches ``shingle_hashes`` exactly (lowercase, collapse
+    whitespace, distinct char k-grams), so the value is the same exact
+    Jaccard the SQL oracle computes — set Jaccard is invariant to
+    hashing the grams. ``likely`` is the only checkpointed input;
+    everything after it is one lazy job."""
+    melted = likely.select(
+        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("__id")
+    )
+    texts = df.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__t")
+    )
+    wide = (
+        melted.join(texts, "__id")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.first(
+                F.when(F.col("__id") == F.col("id_a"), F.col("__t")),
+                ignorenulls=True,
+            ).alias("__ta"),
+            F.first(
+                F.when(F.col("__id") == F.col("id_b"), F.col("__t")),
+                ignorenulls=True,
+            ).alias("__tb"),
+        )
+    )
+
+    @F.pandas_udf("double")
+    def jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        def grams(t):
+            s = re.sub(r"\s+", " ", (t or "").lower()).strip()
+            if len(s) < shingle_k:
+                return {s} if s else set()
+            return {s[i : i + shingle_k] for i in range(len(s) - shingle_k + 1)}
+
+        out = []
+        for a, b in zip(ta, tb):
+            ga, gb = grams(a), grams(b)
+            u = len(ga | gb)
+            out.append(len(ga & gb) / u if u else 0.0)
+        return pd.Series(out, dtype="float64")
+
+    return (
+        wide.withColumn("jaccard", jac("__ta", "__tb"))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _verify_pairs_catalyst(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    likely: DataFrame,
+    shingle_k: int,
+    threshold: float,
+) -> DataFrame:
+    """Pure-Catalyst exact-Jaccard verify (no Arrow): semi-join the
+    corpus to candidate ids, one interpreted shingle pass, melt join +
+    array_intersect/array_union."""
     cand_ids = (
         likely.select(F.col("id_a").alias(id_col))
         .union(likely.select(F.col("id_b").alias(id_col)))

@@ -147,3 +147,23 @@ def test_ann_recall_floors(spark, sf_dir):
     assert len(ivf & bf) / len(bf) >= 0.3
     # every approximate hit must be a real vector pair with correct score
     assert all(qid != nid for qid, nid in lsh | ivf)
+
+
+def test_minhash_catalyst_fallback_matches_arrow(docs):
+    """use_arrow=False (pure-Catalyst signatures + verify) must find the
+    same near-dup pairs as the Arrow path on identical-threshold runs
+    (signature hash functions differ, so only the VERIFIED output —
+    exact Jaccard — is comparable)."""
+    arrow = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.minhash_dedup_pairs(docs, "doc_id", "text", 0.7).collect()
+    }
+    catalyst = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.minhash_dedup_pairs(
+            docs, "doc_id", "text", 0.7, use_arrow=False
+        ).collect()
+    }
+    assert set(arrow) == set(catalyst)
+    for k in arrow:
+        assert arrow[k] == pytest.approx(catalyst[k], rel=1e-9)
