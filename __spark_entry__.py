@@ -1580,8 +1580,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT string_split(t, ' ') AS w FROM norm WHERE t <> ''
             ), grams AS (
                 SELECT unnest([array_to_string(w[CAST(i AS INT):CAST(i + 2 AS INT)], ' ')
-                               FOR i IN generate_series(1, greatest(len(w) - 2, 1))]) AS ngram
-                FROM toks
+                               FOR i IN generate_series(1, len(w) - 2)]) AS ngram
+                FROM toks WHERE len(w) >= 3
             )
             SELECT ngram, count(*) AS occurrences
             FROM grams GROUP BY 1

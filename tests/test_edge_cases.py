@@ -117,8 +117,10 @@ def test_ngram_counts_short_docs(spark):
     from quanta_etl_spark.operators import text_stats as TS
 
     docs = spark.createDataFrame(
-        [(1, "one two"), (2, "single")], "doc_id long, text string"
+        [(1, "one two three"), (2, "one two"), (3, "single")],
+        "doc_id long, text string",
     )
-    got = {r.ngram: r.occurrences for r in TS.ngram_counts(docs, "text", n=3).collect()}
-    # docs shorter than n tokens contribute their full token run
-    assert got == {"one two": 1, "single": 1}
+    got = {r.ngram: r.occurrences for r in TS.ngram_counts(docs, "text", n=2).collect()}
+    assert got == {"one two": 2, "two three": 1}
+    # docs shorter than n tokens contribute nothing (ML convention)
+    assert TS.ngram_counts(docs.where("doc_id = 3"), "text", n=2).count() == 0
