@@ -60,6 +60,29 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Raw-file ingestion via the built-in ``binaryFile`` source — the
+    entry point for multimodal corpora (images/audio/video land as one
+    row per file: path, modificationTime, length, content). Feed the
+    result to ``multimodal.media.media_table`` after deriving an id.
+
+    ``glob`` filters by pathGlobFilter (e.g. ``*.png``) BEFORE reading
+    bytes; ``max_bytes`` drops oversized files at the listing stage —
+    both prune at the source, not post-scan."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.where(F.col("length") <= max_bytes)
+    return df
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,

@@ -140,3 +140,30 @@ def test_audio_features(media_df):
     assert feats["zero_crossings"] == 127  # alternating sign every sample
     expected_rms = float(np.sqrt((256.0**2 + 2.0**2) / 2))
     assert abs(feats["rms"] - expected_rms) < 1e-9
+
+
+def test_binary_file_ingestion_to_media_table(spark, tmp_path):
+    """binaryFile source → media_table: the multimodal ingestion path
+    (one row per file, bytes + size, glob and size pruning at source)."""
+    from quanta_etl_spark.sources.readers import read_binary_files
+
+    d = tmp_path / "blobs"
+    d.mkdir()
+    (d / "a.png").write_bytes(b"\x89PNG" + b"\x00" * 60)
+    (d / "b.png").write_bytes(b"\x89PNG" + b"\xff" * 10)
+    (d / "c.txt").write_bytes(b"not media")
+    raw = read_binary_files(spark, str(d), glob="*.png")
+    assert raw.count() == 2  # txt pruned by glob
+    small = read_binary_files(spark, str(d), glob="*.png", max_bytes=32)
+    assert small.count() == 1  # 64-byte png pruned by size
+
+    table = media.media_table(
+        raw.select(
+            F.xxhash64("path").alias("media_id"),
+            F.col("content"),
+            F.lit("image/png").alias("mime_type"),
+        )
+    )
+    rows = table.collect()
+    assert {r.size_bytes for r in rows} == {64, 14}
+    assert all(r.mime_type == "image/png" for r in rows)
