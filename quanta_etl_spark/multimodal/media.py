@@ -86,19 +86,24 @@ def repartition_for_media(
     """Repartition so each task holds ~``target_partition_bytes`` of
     payload. Media rows are wildly skewed (a 4 KB thumbnail vs a 2 GB
     video); row-count-based splits starve or OOM tasks. Size-band
-    salting: rows at or above half the target size each get a distinct
-    round-robin partition key (``monotonically_increasing_id`` is
-    consecutive within an input split, so neighbors scatter), while
-    small rows pack by media-id hash. A single payload is still atomic
-    — one row can never split across tasks — so worst-case task size is
-    max(target, largest payload), not a pile of large payloads that
-    happened to hash together (ADVICE r1: the code previously hashed
-    media_id uniformly and the promised banding didn't exist)."""
+    salting: rows at or above half the target size scatter on a
+    DIFFERENTLY-salted uniform hash (so a run of large payloads sharing
+    a bucket under the small-row key still spreads out), while small
+    rows pack by media-id hash. A single payload is still atomic —
+    one row can never split across tasks — so worst-case task size is
+    max(target, largest payload) modulo hash collisions among big rows.
+
+    Both band keys are DETERMINISTIC functions of the row (ADVICE r2:
+    the previous big-row key used ``monotonically_increasing_id``,
+    which changes value when a shuffle-map task re-executes after a
+    fetch failure — repartitioning on a non-deterministic key can
+    duplicate or drop rows on retry, the SPARK-23207 hazard)."""
     total = df.agg(F.sum(F.octet_length("content"))).first()[0] or 0
     n = max(1, int(total / target_partition_bytes) + 1)
     big = F.octet_length("content").cast("long") >= target_partition_bytes // 2
     pkey = F.when(
-        big, F.pmod(F.monotonically_increasing_id(), F.lit(n))
+        big,
+        F.pmod(F.xxhash64("media_id", F.octet_length("content"), F.lit(1)), F.lit(n)),
     ).otherwise(F.pmod(F.xxhash64("media_id"), F.lit(n)))
     return df.withColumn("__pkey", pkey).repartition(n, "__pkey").drop("__pkey")
 

@@ -147,7 +147,13 @@ def compact_parquet(
     §layout calls out). Returns the file count written.
 
     Sizing uses the INPUT's on-disk bytes (from the file index — no data
-    scan), so the single job both reads and rewrites once."""
+    scan), so the data is read and rewritten exactly once; the swap is
+    metadata-only renames. Failure contract (ADVICE r2 — the previous
+    version overwrote the source with a second write job, destroying it
+    if that job died mid-write): the source directory stays intact until
+    the rewrite has fully committed; a crash between the two renames
+    leaves the original at ``<path>__compact_bak`` for manual recovery
+    (never deleted until the new data is in place)."""
     import math
 
     src = spark.read.parquet(path)
@@ -163,11 +169,20 @@ def compact_parquet(
         if f.getPath().getName().endswith(".parquet"):
             total += f.getLen()
     n = max(1, math.ceil(total / target_partition_bytes))
-    tmp = path.rstrip("/") + "__compact_tmp"
-    src.repartition(n).write.mode("overwrite").parquet(tmp)
-    # atomic-ish swap: rewrite over the original from the temp copy
-    spark.read.parquet(tmp).write.mode(mode).parquet(path)
-    fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+    tmp = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compact_tmp")
+    bak = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compact_bak")
+    # single data pass: write the compacted copy NEXT TO the source
+    src.repartition(n).write.mode("overwrite").parquet(tmp.toString())
+    # swap via renames (metadata ops): source -> bak, tmp -> source.
+    # On HDFS/local these are atomic per-rename; on S3A they are copies,
+    # but the source is still never deleted before its replacement exists.
+    if not fs.rename(p, bak):
+        raise IOError(f"compact_parquet: rename {path} -> {bak} failed")
+    if not fs.rename(tmp, p):
+        # roll back so the caller still has the original at `path`
+        fs.rename(bak, p)
+        raise IOError(f"compact_parquet: rename {tmp} -> {path} failed")
+    fs.delete(bak, True)
     return n
 
 

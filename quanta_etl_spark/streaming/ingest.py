@@ -142,30 +142,45 @@ _RUN_STATS_OUTPUT = "user_id bigint, event_id bigint, run_n bigint, run_max doub
 def _running_stats_fn(
     key: tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterable[pd.DataFrame]:
-    """Running per-key count and max across micro-batches. Within a
-    batch rows are processed in (ts, event_id) order, so on bounded
+    """Running per-key count and max across micro-batches. A large
+    group arrives as MULTIPLE Arrow chunks in arbitrary cross-chunk
+    order (default ~10k rows each), so all chunks for the key are
+    concatenated and sorted ONCE by (ts, event_id) before the running
+    stats are computed (ADVICE r2: per-chunk sorting attached run_n/
+    run_max to the wrong event_ids whenever a group spanned chunks).
+    Within a batch rows are then in (ts, event_id) order, so on bounded
     single-batch input the output is EXACTLY the batch cumulative
-    window — which is what the SQL oracle checks."""
+    window — which is what the SQL oracle checks.
+
+    Memory note: this buffers one (key × micro-batch) group in the
+    Python worker — the same bound applyInPandas carries. State across
+    batches stays O(1) per key (two scalars); a skewed key is handled
+    by smaller micro-batches, not more state."""
     import numpy as np
 
     (uid,) = key
     n, mx = state.get if state.exists else (0, None)
-    for pdf in pdf_iter:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        vals = pdf["value"].astype(float).to_numpy()
-        seed = -np.inf if mx is None else mx
-        run_max = np.maximum.accumulate(np.concatenate(([seed], vals)))[1:]
-        run_n = n + np.arange(1, len(vals) + 1, dtype="int64")
-        n += len(vals)
-        mx = float(run_max[-1]) if len(vals) else mx
-        yield pd.DataFrame(
-            {
-                "user_id": uid,
-                "event_id": pdf["event_id"].to_numpy(),
-                "run_n": run_n,
-                "run_max": run_max,
-            }
-        )
+    chunks = list(pdf_iter)
+    if not chunks:  # timeout-only invocation: no data, keep state as-is
+        state.update((int(n), mx))
+        return
+    pdf = (
+        pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+    ).sort_values(["ts", "event_id"])
+    vals = pdf["value"].astype(float).to_numpy()
+    seed = -np.inf if mx is None else mx
+    run_max = np.maximum.accumulate(np.concatenate(([seed], vals)))[1:]
+    run_n = n + np.arange(1, len(vals) + 1, dtype="int64")
+    n += len(vals)
+    mx = float(run_max[-1]) if len(vals) else mx
+    yield pd.DataFrame(
+        {
+            "user_id": uid,
+            "event_id": pdf["event_id"].to_numpy(),
+            "run_n": run_n,
+            "run_max": run_max,
+        }
+    )
     state.update((int(n), mx))
 
 

@@ -6,6 +6,20 @@ then compares row count, column names, and an order-insensitive
 value hash (canonical column order, rows sorted, doubles rounded to 6
 decimals — FIXTURES.md §5 protocol).
 
+Beyond the hash check, this replica enforces two gate-divergence
+lessons from round 2 (ADVICE r2):
+
+- **Gate-safe output types only.** The driver's canonicalizer pandas-
+  sorts every output column: array/map/struct columns crash it
+  (``TypeError: unhashable type: 'list'``) and Decimal columns
+  stringify engine-dependently (Spark ``Decimal('1.0000')`` vs DuckDB
+  ``Decimal('1.0')``) and hash-mismatch even when values are equal.
+  Any gated query emitting decimal/array/map/struct/binary columns is
+  therefore FAILED here, even if the local hash would match.
+- **0-row-both-sides is a coverage failure**, not a pass — a query
+  that selects nothing verifies nothing (the r2 ``agg_percentiles``
+  cutoff bug).
+
 Usage:  python tools/check_oracle.py [sf_dir] [query ...]
 """
 
@@ -50,6 +64,18 @@ def canonicalize(rows: list[dict], cols: list[str]) -> tuple[str, int]:
     return h, len(mat)
 
 
+_GATE_UNSAFE = ("decimal", "array", "map", "struct", "binary")
+
+
+def gate_unsafe_columns(df) -> list[str]:
+    """Output columns whose type the driver's canonicalizer mishandles."""
+    return [
+        f"{f.name}:{f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if any(t in f.dataType.simpleString() for t in _GATE_UNSAFE)
+    ]
+
+
 def spark_result(df) -> tuple[list[dict], list[str]]:
     cols = df.columns
     rows = [r.asDict(recursive=True) for r in df.collect()]
@@ -89,7 +115,13 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
-            s_rows, s_cols = spark_result(fn(spark, sf_dir))
+            df = fn(spark, sf_dir)
+            unsafe = gate_unsafe_columns(df)
+            if unsafe:
+                failures.append(name)
+                print(f"FAIL  {name}: gate-unsafe output types {unsafe}")
+                continue
+            s_rows, s_cols = spark_result(df)
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
@@ -109,6 +141,10 @@ def main() -> int:
             continue
         sh, sn = canonicalize(s_rows, s_cols)
         dh, dn = canonicalize(d_rows, d_cols)
+        if sn == 0 and dn == 0:
+            failures.append(name)
+            print(f"FAIL  {name}: 0 rows on both sides — vacuous, verifies nothing")
+            continue
         if sn != dn:
             failures.append(name)
             print(f"FAIL  {name}: rowcount spark={sn} duckdb={dn}")
