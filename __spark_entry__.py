@@ -29,7 +29,9 @@ except Exception:
 
 from quanta_etl_spark.functions import text as T
 from quanta_etl_spark.operators import aggregates as agg_ops
+from quanta_etl_spark.operators import corpus as corpus_ops
 from quanta_etl_spark.operators import dedup as dedup_ops
+from quanta_etl_spark.operators import graph as graph_ops
 from quanta_etl_spark.operators import joins as join_ops
 from quanta_etl_spark.operators import quality as quality_ops
 from quanta_etl_spark.operators import resample as resample_ops
@@ -1093,6 +1095,82 @@ def q_emb_neardup_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus assembly (training-data pipeline surface, round 3)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup pairs → connected components → survivor selection: the
+    full dedup pipeline end-to-end (pairs alone don't dedup anything).
+    Spark side runs alternating large-star/small-star contraction
+    (operators/graph.py); the oracle computes the same exact-Jaccard
+    pairs as dedup_minhash, then min-reachable-label via a recursive
+    CTE — clusters must agree exactly."""
+    docs = load_table(spark, sf, "documents")
+    pairs = dedup_ops.minhash_dedup_pairs(
+        docs, "doc_id", "text", threshold=0.5, num_hashes=64, bands=16
+    )
+    out = graph_ops.assign_clusters(pairs.select("id_a", "id_b"))
+    return out.select(
+        "id", "cluster_id", F.col("is_survivor").cast("int").alias("is_survivor")
+    )
+
+
+def q_corpus_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 8-gram protocol): every
+    20th document plays the benchmark/eval set; the rest of the corpus
+    is screened for any shared word 8-gram. Corpus is never shuffled —
+    the benchmark gram set broadcasts."""
+    docs = load_table(spark, sf, "documents")
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    rest = docs.where(F.col("doc_id") % 20 != 0)
+    out = corpus_ops.decontaminate(rest, bench, "doc_id", "text", n=8)
+    return out.select(
+        "doc_id",
+        "n_overlap",
+        F.col("contaminated").cast("int").alias("contaminated"),
+    )
+
+
+def q_corpus_cap_per_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-domain quota capping (anti-spam corpus balance): at most 10
+    docs per source, chosen by deterministic md5_60 hash rank — stable
+    across runs, partitionings, and retries. Cap 10 < the ~25 docs per
+    source at sf0.01, so the quota actually cuts (no vacuous pass)."""
+    docs = load_table(spark, sf, "documents")
+    return corpus_ops.cap_per_group(
+        docs, "source", "doc_id", 10, hash_variant="md5_60"
+    ).select("doc_id", "source")
+
+
+def q_corpus_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget sequence packing: per-language streams in md5_60
+    hash order, cut into ~2048-token packs by cumulative sum (one
+    shuffle; contiguous-chunking approximation)."""
+    docs = load_table(spark, sf, "documents").withColumn(
+        "__toks", T.token_count("text").cast("long")
+    )
+    return corpus_ops.pack_sequences(
+        docs,
+        "doc_id",
+        "__toks",
+        budget=2048,
+        partition_cols="lang",
+        hash_variant="md5_60",
+    )
+
+
+def q_corpus_shuffle_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic global training order: contiguous 0-based index
+    over the hash-permuted corpus via two-stage bucket ranking — no
+    global single-partition window, no zipWithIndex, retry-safe."""
+    docs = load_table(spark, sf, "documents")
+    return corpus_ops.shuffle_index(
+        docs, "doc_id", num_buckets=16, hash_variant="md5_60"
+    ).select("doc_id", "shuffle_idx")
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 
@@ -1140,6 +1218,11 @@ def queries() -> dict[str, QueryFn]:
         "window_cumulative": q_window_cumulative,
         "agg_percentiles": q_agg_percentiles,
         # -- (3) new this round ---------------------------------------
+        "dedup_clusters": q_dedup_clusters,
+        "corpus_decontaminate": q_corpus_decontaminate,
+        "corpus_cap_per_source": q_corpus_cap_per_source,
+        "corpus_pack_sequences": q_corpus_pack_sequences,
+        "corpus_shuffle_index": q_corpus_shuffle_index,
         # -- (4) previously-green filler up to the 50-entry cap --------
         "stream_stateful_running": q_stream_stateful_running,
         "stream_sliding_window": q_stream_sliding_window,
@@ -2039,5 +2122,115 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_dot_product(a.v, b.v)
                      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
                   >= 0.2
+        """,
+        # Connected components from first principles: the same exact-
+        # Jaccard pairs as dedup_minhash (LSH recall 1.0 argument, see
+        # that oracle), then min-reachable-label via a recursive CTE —
+        # propagating only strictly-smaller labels bounds the state and
+        # terminates at the same fixpoint as star contraction.
+        "dedup_clusters": """
+            WITH RECURSIVE norm AS (
+                SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct([substr(t, CAST(i AS INT), 5)
+                                      FOR i IN generate_series(1, greatest(len(t) - 4, 1))]) AS shingles
+                FROM norm
+            ), pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+                      (len(a.shingles) + len(b.shingles)
+                       - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+            ), edges AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION
+                SELECT id_b AS a, id_a AS b FROM pairs
+            ), nodes AS (
+                SELECT DISTINCT a AS id FROM edges
+            ), cc(node, lbl) AS (
+                SELECT id, id FROM nodes
+                UNION
+                SELECT e.b, c.lbl FROM cc c JOIN edges e ON e.a = c.node
+                WHERE c.lbl < e.b
+            )
+            SELECT node AS id, min(lbl) AS cluster_id,
+                   CAST(node = min(lbl) AS INTEGER) AS is_survivor
+            FROM cc GROUP BY node
+        """,
+        # Word 8-grams from first principles; the oracle joins raw gram
+        # strings where Spark joins xxhash64(gram) — identical counts
+        # absent a 64-bit collision inside one doc-benchmark gram set.
+        "corpus_decontaminate": """
+            WITH w AS (
+                SELECT doc_id,
+                       CASE WHEN trim(lower(text)) = '' THEN []
+                            ELSE string_split_regex(trim(lower(text)), '\\s+')
+                       END AS ws
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       CASE WHEN len(ws) >= 8 THEN
+                           list_distinct([array_to_string(ws[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')
+                                          FOR i IN generate_series(1, len(ws) - 7)])
+                       ELSE [] END AS grams
+                FROM w
+            ), bg AS (
+                SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 20 = 0
+            ), hits AS (
+                SELECT cg.doc_id, count(DISTINCT cg.gram) AS n_overlap
+                FROM (SELECT doc_id, unnest(grams) AS gram FROM g
+                      WHERE doc_id % 20 <> 0) cg
+                JOIN bg USING (gram)
+                GROUP BY cg.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(h.n_overlap, 0) AS n_overlap,
+                   CAST(coalesce(h.n_overlap, 0) >= 1 AS INTEGER) AS contaminated
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+            WHERE d.doc_id % 20 <> 0
+        """,
+        "corpus_cap_per_source": """
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT::BIGINT,
+                                    doc_id) AS rn
+                FROM documents)
+            WHERE rn <= 10
+        """,
+        "corpus_pack_sequences": """
+            WITH t AS (
+                SELECT lang, doc_id,
+                       CAST(CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+                           AS n_tokens,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT::BIGINT AS h
+                FROM documents
+            ), c AS (
+                SELECT lang, doc_id, n_tokens,
+                       CAST(sum(n_tokens) OVER (
+                           PARTITION BY lang ORDER BY h, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - n_tokens AS BIGINT) AS pack_offset
+                FROM t
+            )
+            SELECT lang, doc_id, n_tokens,
+                   CAST(floor(pack_offset / 2048.0) AS BIGINT) AS pack_id,
+                   pack_offset
+            FROM c
+        """,
+        "corpus_shuffle_index": """
+            WITH t AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT::BIGINT AS h
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY h % 16, h, doc_id) - 1 AS BIGINT)
+                       AS shuffle_idx
+            FROM t
         """,
     }

@@ -1,0 +1,222 @@
+"""Training-corpus assembly operators: benchmark decontamination,
+per-domain quota capping, token-budget sequence packing, deterministic
+global shuffle ordering.
+
+These are the steps between "cleaned, deduplicated documents" and "a
+training run can consume this" — no counterpart in the reference (its
+ETL stops at partitioned parquet, dags/spark/etl.py:171-175); part of
+the LLM-data surface this engine adds.
+
+Everything is pure Catalyst (no Python UDFs): hashes via xxhash64 (or
+the md5-derived 60-bit portable variant for oracle-checked queries),
+n-grams via split + transform/slice, ranks via window functions over
+explicit partition keys — never a global single-partition window.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from quanta_etl_spark.functions.text import portable_hash60, ws_tokens
+
+
+def _row_hash(col: Column, variant: str) -> Column:
+    if variant == "xxhash64":
+        return F.xxhash64(col)
+    if variant == "md5_60":
+        return portable_hash60(col.cast("string"))
+    raise ValueError(f"unknown hash variant: {variant!r}")
+
+
+def word_ngrams(text: Column | str, n: int) -> Column:
+    """Distinct word-level n-grams (space-joined) of whitespace-split
+    text; documents shorter than n words yield an empty array."""
+    t = F.col(text) if isinstance(text, str) else text
+    w = ws_tokens(F.lower(t))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+    )
+    # guard BEFORE building the sequence: sequence(1, 0) descends in
+    # Spark ([1, 0]) and a 0 start crashes slice
+    return F.when(
+        F.size(w) >= n, F.array_distinct(grams)
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_overlap: int = 1,
+    hash_variant: str = "xxhash64",
+) -> DataFrame:
+    """Flag corpus documents that share ≥ ``min_overlap`` word n-grams
+    with a benchmark/eval set (train-test contamination screening, the
+    GPT-3/PaLM 8-gram protocol). Returns the corpus ids with
+    ``n_overlap`` (distinct shared n-grams) and ``contaminated``.
+
+    Shape at 100 TB: n-grams are hashed to int64 before the join (8
+    bytes instead of ~50-char strings through the shuffle); the
+    benchmark side — distinct n-grams of an eval set, thousands to
+    millions of rows — is broadcast, so the corpus is never shuffled at
+    all: scan → explode → broadcast-hash-join → partial count. The
+    corpus-side explode is streamed row-group by row-group, never
+    materialized.
+    """
+    gram_h = lambda df: df.select(  # noqa: E731
+        F.col(id_col),
+        F.explode(word_ngrams(text_col, n)).alias("__gram"),
+    ).select(id_col, _row_hash(F.col("__gram"), hash_variant).alias("__gh"))
+
+    bench_grams = gram_h(benchmark).select("__gh").distinct()
+    hits = (
+        gram_h(corpus)
+        .join(F.broadcast(bench_grams), "__gh")
+        .groupBy(id_col)
+        .agg(F.count_distinct("__gh").alias("n_overlap"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) >= min_overlap).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: str | Sequence[str],
+    id_col: str,
+    max_per_group: int,
+    hash_variant: str = "xxhash64",
+) -> DataFrame:
+    """Keep at most ``max_per_group`` rows per group, chosen by
+    deterministic hash rank (the anti-spam / domain-balance rule: no
+    single domain may contribute more than N documents). Hash order —
+    not arrival order — so the kept subset is stable across runs,
+    partitionings, and retries.
+
+    One shuffle on the group key; the per-group window never
+    materializes a group in memory (rank is computed streaming over the
+    sorted run). A pathological hot group is one skewed partition — at
+    real scale pre-aggregate with a count and only window the groups
+    over the cap, or let AQE split the straggler.
+    """
+    keys = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    w = Window.partitionBy(*keys).orderBy(
+        _row_hash(F.col(id_col), hash_variant).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= max_per_group)
+        .drop("__rn")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    partition_cols: str | Sequence[str] = (),
+    hash_variant: str = "xxhash64",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget packs (sequence packing
+    for training): stream the documents of each partition in
+    deterministic hash order, cut a new pack every ``budget`` tokens.
+    Adds ``pack_id`` (0-based within partition) and ``pack_offset``
+    (tokens before this doc in its stream).
+
+    This is contiguous-chunking packing: a pack may overflow by at most
+    one document (the one straddling the boundary), which is the
+    standard streaming approximation — exact first-fit-decreasing is
+    inherently sequential. Documents longer than ``budget`` occupy
+    ⌈tokens/budget⌉ packs' worth of budget on their own.
+
+    Scale shape: ONE shuffle on the partition key; the cumulative sum is
+    a streaming window over each sorted run. Partition by something
+    with enough cardinality (language × source, date) so no single
+    stream is the whole corpus. Empty ``partition_cols`` means ONE
+    global stream — a single-partition window, acceptable only for
+    bounded slices; at corpus scale always pass partition columns.
+    """
+    keys = (
+        [partition_cols]
+        if isinstance(partition_cols, str)
+        else list(partition_cols)
+    )
+    order = [
+        _row_hash(F.col(id_col), hash_variant).asc(),
+        F.col(id_col).asc(),
+    ]
+    w = (
+        Window.partitionBy(*keys).orderBy(*order)
+        if keys
+        else Window.partitionBy().orderBy(*order)
+    )
+    run = F.sum(token_col).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (run - F.col(token_col)).cast("long")
+    return df.select(
+        *keys,
+        id_col,
+        F.col(token_col).alias("n_tokens"),
+        F.floor(start / F.lit(budget)).cast("long").alias("pack_id"),
+        start.alias("pack_offset"),
+    )
+
+
+def shuffle_index(
+    df: DataFrame,
+    id_col: str,
+    num_buckets: int = 1024,
+    hash_variant: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic global training order: a contiguous 0-based
+    ``shuffle_idx`` over the hash-permuted corpus, identical across
+    runs, partitionings, and task retries (cf. ADVICE r2 on
+    monotonically_increasing_id — this is the deterministic replacement
+    for zipWithIndex-style indexing too).
+
+    Two-stage contiguous ranking — NO global single-partition window:
+      1. bucket = hash mod ``num_buckets``; per-bucket row_number over
+         (hash, id) — one shuffle on bucket;
+      2. bucket offsets = running count over the ``num_buckets``-row
+         per-bucket count table (tiny, broadcast back).
+    Global index = bucket offset + in-bucket rank. The total order is
+    (bucket, hash, id) — a hash permutation, which is exactly what a
+    training shuffle wants.
+    """
+    h = _row_hash(F.col(id_col), hash_variant)
+    with_b = df.withColumn("__h", h).withColumn(
+        "__b", F.pmod(F.col("__h"), F.lit(num_buckets)).cast("int")
+    )
+    wb = Window.partitionBy("__b").orderBy(
+        F.col("__h").asc(), F.col(id_col).asc()
+    )
+    ranked = with_b.withColumn("__rn", F.row_number().over(wb))
+    counts = with_b.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
+    woff = Window.orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = counts.select(
+        "__b", (F.sum("__n").over(woff) - F.col("__n")).alias("__off")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "__b")
+        .withColumn(
+            "shuffle_idx", (F.col("__off") + F.col("__rn") - 1).cast("long")
+        )
+        .drop("__h", "__b", "__rn", "__off")
+    )

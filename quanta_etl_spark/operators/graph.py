@@ -1,0 +1,160 @@
+"""Distributed connected components and dedup-cluster assembly.
+
+Near-duplicate PAIRS (from MinHash/SimHash/embedding LSH — see
+``operators.dedup``) are only half of a dedup pipeline: the pairs must
+be grouped into clusters and one survivor kept per cluster. The
+reference has no counterpart (its ETL is linear — dags/spark/etl.py has
+no dedup at all); this is part of the LLM-training-data surface this
+engine adds on top.
+
+Connected components uses the alternating **large-star / small-star**
+algorithm (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC 2014): each round is one groupBy + one join on node id,
+and the edge set converges to a star forest (every node points at its
+cluster's minimum id) in O(log²  n) rounds — in practice 2-4 rounds for
+dedup graphs, whose clusters are near-cliques. Contrast with naive
+min-label propagation, which needs O(diameter) rounds and dies on long
+chains.
+
+At 100 TB every step here is a plain hash shuffle on node id: min() is
+map-side combinable, hot nodes (a template shared by millions of docs)
+are one skewed group that AQE splits, and no step ever materializes a
+neighborhood in driver memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _dedup_edges(edges: DataFrame, a: str, b: str) -> DataFrame:
+    """Canonical undirected edge set: (lo, hi), self-loops dropped."""
+    lo, hi = F.least(F.col(a), F.col(b)), F.greatest(F.col(a), F.col(b))
+    return (
+        edges.select(lo.alias("a"), hi.alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For each node u: attach every LARGER neighbor to the minimum of
+    N(u) ∪ {u}. Emits (v, m) for v > u — strictly decreases the sum of
+    component heights without ever disconnecting anything."""
+    bidir = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    mins = bidir.groupBy("a").agg(
+        F.least(F.min("b"), F.first("a")).alias("m")
+    )
+    return (
+        bidir.join(mins, "a")
+        .where(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """For each node u: attach u and every SMALLER-or-equal neighbor to
+    the minimum of that set. The (u, m) edge keeps u connected."""
+    # direct every edge from the larger endpoint to the smaller
+    dir_e = e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    mins = dir_e.groupBy("a").agg(
+        F.least(F.min("b"), F.first("a")).alias("m")
+    )
+    joined = dir_e.join(mins, "a")
+    out = joined.select(F.col("b").alias("a"), F.col("m").alias("b")).union(
+        mins.select(F.col("a"), F.col("m").alias("b"))
+    )
+    return out.where(F.col("a") != F.col("b")).distinct()
+
+
+def _edge_checksum(e: DataFrame) -> tuple[int, int]:
+    """(count, order-insensitive hash) — one tiny job per iteration.
+
+    Equality of checksums across an iteration certifies the fixpoint
+    without a full set-difference join."""
+    # bit_xor, not sum: order-insensitive and overflow-free under ANSI
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("a", "b")), F.lit(0)).alias("h"),
+    ).first()
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Label every node in the undirected graph with the MINIMUM node id
+    reachable from it. Returns ``(node, component)`` — one row per
+    distinct node appearing in ``edges``.
+
+    Each iteration eagerly localCheckpoints the edge frame: the output
+    of round k is consumed by both round k+1 and the convergence
+    checksum, and a lazily-checkpointed subtree consumed twice gets
+    computed twice (see NOTES.md round-2 landmine).
+    """
+    e = _dedup_edges(edges, a, b).localCheckpoint(eager=True)
+    prev = _edge_checksum(e)
+    for _ in range(max_iterations):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = _edge_checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    # fixpoint: e is a star forest (child -> root). Roots appear only on
+    # the right; give each a self-labelled row so every node gets one.
+    labels = e.select(F.col("a").alias("node"), F.col("b").alias("component"))
+    roots = e.select(F.col("b").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    return labels.unionByName(roots).groupBy("node").agg(
+        F.min("component").alias("component")
+    )
+
+
+def assign_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Near-dup pairs → ``(id, cluster_id, is_survivor)``: cluster_id is
+    the minimum member id (the deterministic survivor — same rule as
+    ``exact_dedup_by_fingerprint``), ``is_survivor`` marks it. Docs not
+    in any pair are absent — join back to the corpus with a left join
+    and ``coalesce(cluster_id, id)`` to keep singletons."""
+    cc = connected_components(pairs, id_a, id_b, max_iterations)
+    return cc.select(
+        F.col("node").alias("id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("is_survivor"),
+    )
+
+
+def apply_dedup(
+    corpus: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """The last step of the dedup pipeline: drop every non-survivor.
+    Clusters the near-dup pairs, keeps the minimum-id member of each
+    cluster, and anti-joins the losers out of the corpus — documents in
+    no pair pass through untouched.
+
+    The loser set is tiny relative to the corpus (it is bounded by the
+    number of near-duplicate documents), so the anti-join's build side
+    is the loser table; AQE turns it into a broadcast join when it fits.
+    """
+    losers = (
+        assign_clusters(pairs, id_a, id_b, max_iterations)
+        .where(~F.col("is_survivor"))
+        .select(F.col("id").alias(id_col))
+    )
+    return corpus.join(losers, id_col, "left_anti")

@@ -118,3 +118,73 @@ def tfidf(
         .where(F.col("__rn") <= top_k)
         .drop("__rn")
     )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-document repetition signals (the Gopher/MassiveText quality
+    rules, Rae et al. 2021 §A1.1): documents dominated by a few
+    repeated tokens or n-grams are boilerplate/spam and get filtered
+    before training. Emits, per document:
+
+    - ``n_tokens``            whitespace token count
+    - ``distinct_token_frac`` |distinct tokens| / n_tokens
+    - ``top_token_frac``      occurrences of the most frequent token / n_tokens
+    - ``top_bigram_frac``     occurrences of the most frequent 2-gram
+                              / (n_tokens - 1)
+
+    Empty/one-token documents yield NULL fractions (nothing to measure)
+    rather than fake zeros.
+
+    Shape at 100 TB: one explode + two-level aggregation, all counts
+    map-side combinable; the per-(doc, gram) key space is bounded by
+    corpus token count. No Python, no windows, no driver state.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(ws_tokens(normalize_text(text_col))).alias("tok"),
+    )
+    # token-level: count per (doc, token) -> max and distinct per doc
+    tok_counts = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tok_stats = tok_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_c"),
+    )
+    # bigram-level: adjacent-token pairs built map-side from the token
+    # array (a pos/pos+1 self-join would cost a second shuffle)
+    bigrams = (
+        df.withColumn("__w", ws_tokens(normalize_text(text_col)))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.expr(
+                    "transform(slice(__w, 1, greatest(size(__w) - 1, 0)), "
+                    "(x, i) -> concat(x, ' ', element_at(__w, i + 2)))"
+                )
+            ).alias("bg"),
+        )
+    )
+    bg_stats = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bg_c"))
+    )
+    base = df.select(F.col(id_col).alias("doc_id"))
+    return (
+        base.join(tok_stats, "doc_id", "left")
+        .join(bg_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            (F.col("n_distinct") / F.col("n_tokens")).alias(
+                "distinct_token_frac"
+            ),
+            (F.col("top_c") / F.col("n_tokens")).alias("top_token_frac"),
+            (F.col("top_bg_c") / F.col("n_bigrams")).alias("top_bigram_frac"),
+        )
+    )

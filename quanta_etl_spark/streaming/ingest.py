@@ -233,3 +233,24 @@ def write_stream_memory(df: DataFrame, name: str, output_mode: str = "append"):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dedup_stream(
+    df: DataFrame,
+    keys: Sequence[str],
+    event_time_col: str | None = None,
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming deduplication: emit each key once. With an event-time
+    column the state is bounded by ``dropDuplicatesWithinWatermark``
+    (keys older than the watermark are evicted — the only way this
+    survives an unbounded stream); without one, ``dropDuplicates``
+    keeps ALL keys in state forever — acceptable only for bounded
+    backfills, and the reason the watermark form is the default to
+    reach for at scale."""
+    keys = list(keys)
+    if event_time_col is not None:
+        return df.withWatermark(event_time_col, delay).dropDuplicatesWithinWatermark(
+            keys
+        )
+    return df.dropDuplicates(keys)

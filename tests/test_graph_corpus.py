@@ -1,0 +1,196 @@
+"""Connected components (operators.graph) and corpus-assembly
+operators (operators.corpus)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from quanta_etl_spark.operators import corpus as corpus_ops
+from quanta_etl_spark.operators import graph as graph_ops
+
+
+# ---------------------------------------------------------------------------
+# connected components
+# ---------------------------------------------------------------------------
+
+
+def _cc_map(spark, edges, max_iterations=20):
+    df = spark.createDataFrame(edges, ["a", "b"])
+    out = graph_ops.connected_components(df, max_iterations=max_iterations)
+    return {r["node"]: r["component"] for r in out.collect()}
+
+
+def test_cc_two_triangles(spark):
+    got = _cc_map(spark, [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_cc_long_chain(spark):
+    # a 40-node path: the worst case for naive label propagation
+    # (40 rounds); star-contraction closes it in O(log n)
+    got = _cc_map(spark, [(i, i + 1) for i in range(40)])
+    assert set(got.values()) == {0}
+    assert len(got) == 41
+
+
+def test_cc_self_loops_and_duplicates_ignored(spark):
+    got = _cc_map(spark, [(5, 5), (1, 2), (2, 1), (1, 2)])
+    assert got == {1: 1, 2: 1}  # pure self-loop node 5 has no edges left
+
+
+def test_cc_converges_in_few_iterations(spark):
+    # bound check: a 100-node random-ish union of cliques converges
+    # within the default budget (the checksum fixpoint breaks early)
+    edges = [(i, i % 7) for i in range(7, 100)]
+    got = _cc_map(spark, edges, max_iterations=6)
+    assert set(got.values()) == {0, 1, 2, 3, 4, 5, 6}
+    for n, c in got.items():
+        assert n % 7 == c % 7
+
+
+def test_assign_clusters_survivor(spark):
+    pairs = spark.createDataFrame(
+        [(3, 9), (9, 27), (100, 200)], ["id_a", "id_b"]
+    )
+    rows = {
+        r["id"]: (r["cluster_id"], r["is_survivor"])
+        for r in graph_ops.assign_clusters(pairs).collect()
+    }
+    assert rows == {
+        3: (3, True),
+        9: (3, False),
+        27: (3, False),
+        100: (100, True),
+        200: (100, False),
+    }
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_decontaminate_flags_overlap(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated text with no shared phrases at all"),
+            (3, "another doc where the quick brown fox appears verbatim"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "we ask whether the quick brown fox is fast")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["n_overlap"], r["contaminated"])
+        for r in corpus_ops.decontaminate(
+            corpus, bench, "doc_id", "text", n=4
+        ).collect()
+    }
+    assert out[1] == (1, True)  # shares "the quick brown fox"
+    assert out[2] == (0, False)
+    assert out[3] == (1, True)
+
+
+def test_decontaminate_short_docs_yield_no_grams(spark):
+    corpus = spark.createDataFrame([(1, "too short")], ["doc_id", "text"])
+    bench = spark.createDataFrame([(2, "too short")], ["doc_id", "text"])
+    out = corpus_ops.decontaminate(corpus, bench, "doc_id", "text", n=8)
+    assert out.collect()[0]["contaminated"] is False
+
+
+# ---------------------------------------------------------------------------
+# quota capping / packing / shuffle index
+# ---------------------------------------------------------------------------
+
+
+def test_cap_per_group_deterministic(spark):
+    df = spark.createDataFrame(
+        [(i, f"dom{i % 3}") for i in range(60)], ["id", "domain"]
+    )
+    capped = corpus_ops.cap_per_group(df, "domain", "id", 5)
+    by_dom = (
+        capped.groupBy("domain").count().rdd.collectAsMap()
+        if False
+        else {
+            r["domain"]: r["count"]
+            for r in capped.groupBy("domain").count().collect()
+        }
+    )
+    assert by_dom == {"dom0": 5, "dom1": 5, "dom2": 5}
+    again = corpus_ops.cap_per_group(df, "domain", "id", 5)
+    assert sorted(r["id"] for r in capped.collect()) == sorted(
+        r["id"] for r in again.collect()
+    )
+
+
+def test_cap_per_group_under_cap_untouched(spark):
+    df = spark.createDataFrame([(1, "x"), (2, "x")], ["id", "domain"])
+    assert corpus_ops.cap_per_group(df, "domain", "id", 10).count() == 2
+
+
+def test_pack_sequences_budget_respected(spark):
+    df = spark.createDataFrame(
+        [(i, "en", 100) for i in range(10)], ["id", "lang", "toks"]
+    )
+    out = corpus_ops.pack_sequences(
+        df, "id", "toks", budget=250, partition_cols="lang"
+    ).collect()
+    packs: dict[int, int] = {}
+    for r in out:
+        packs[r["pack_id"]] = packs.get(r["pack_id"], 0) + r["n_tokens"]
+        # every doc STARTS strictly inside its pack's budget window
+        assert r["pack_offset"] // 250 == r["pack_id"]
+    # 10 docs x 100 tokens at budget 250 -> packs of [300, 200, ...]:
+    # contiguous chunking overflows by at most one doc per pack
+    assert all(v <= 250 + 100 for v in packs.values())
+    assert sum(packs.values()) == 1000
+
+
+def test_pack_sequences_oversized_doc_own_packs(spark):
+    df = spark.createDataFrame(
+        [(1, 1000), (2, 10), (3, 10)], ["id", "toks"]
+    )
+    out = corpus_ops.pack_sequences(df, "id", "toks", budget=100)
+    # the 1000-token doc must not share its pack_id slot arithmetic:
+    # all three keep distinct offsets and the total span is 1020 tokens
+    rows = {r["id"]: r for r in out.collect()}
+    assert len({(r["pack_id"], r["pack_offset"]) for r in rows.values()}) == 3
+
+
+def test_shuffle_index_is_contiguous_permutation(spark):
+    df = spark.createDataFrame([(i,) for i in range(500)], ["id"])
+    out = corpus_ops.shuffle_index(df, "id", num_buckets=8)
+    idx = sorted(r["shuffle_idx"] for r in out.collect())
+    assert idx == list(range(500))  # contiguous, 0-based, no dupes
+    # deterministic across invocations
+    again = sorted(
+        (r["id"], r["shuffle_idx"])
+        for r in corpus_ops.shuffle_index(df, "id", num_buckets=8).collect()
+    )
+    first = sorted(
+        (r["id"], r["shuffle_idx"]) for r in out.collect()
+    )
+    assert first == again
+    # and it is a real permutation, not identity order
+    by_id = dict(first)
+    assert [by_id[i] for i in range(500)] != list(range(500))
+
+
+def test_shuffle_index_plan_shape(spark):
+    # plan shape: the corpus side is hash-partitioned by bucket and the
+    # per-bucket offsets come back via broadcast — the corpus itself
+    # never funnels through a global single-partition window (the only
+    # single-partition stage is the num_buckets-row count table)
+    df = spark.createDataFrame([(i,) for i in range(100)], ["id"])
+    plan = (
+        corpus_ops.shuffle_index(df, "id", num_buckets=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastExchange" in plan
+    assert "hashpartitioning(__b" in plan
