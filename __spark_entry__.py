@@ -1160,6 +1160,51 @@ def q_corpus_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dedup_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup applied end-to-end: corpus minus every non-survivor of the
+    minhash near-dup clusters — what a user actually runs to clean a
+    corpus (pairs and clusters are the intermediate artifacts)."""
+    docs = load_table(spark, sf, "documents")
+    pairs = dedup_ops.minhash_dedup_pairs(
+        docs, "doc_id", "text", threshold=0.5, num_hashes=64, bands=16
+    )
+    out = graph_ops.apply_dedup(docs, pairs.select("id_a", "id_b"), "doc_id")
+    return out.select("doc_id", "lang", "source")
+
+
+def q_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher/MassiveText repetition signals: distinct-token fraction,
+    top-token fraction, top-bigram fraction per document — the quality
+    gate that drops boilerplate/spam before training."""
+    docs = load_table(spark, sf, "documents")
+    return ts_ops.repetition_stats(docs, "doc_id", "text")
+
+
+def q_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming deduplication: the events file is ingested TWICE (two
+    unioned streams of the same source) and dropDuplicates state emits
+    each event_id exactly once — output equals the single batch copy.
+    At scale the watermarked form (dropDuplicatesWithinWatermark)
+    bounds the state; bounded backfill here, so exact dedup."""
+    from quanta_etl_spark.streaming import ingest
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    # single-FILE stream sources need a glob spelling (a bare file path
+    # fails FileStreamSource's "basePath must be a directory" check);
+    # two distinct spellings keep the sources independent.
+    s1 = ingest.read_stream(spark, f"{sf}/events.parque[t]", raw_schema)
+    s2 = ingest.read_stream(spark, f"{sf}/events.[p]arquet", raw_schema)
+    deduped = ingest.dedup_stream(s1.unionByName(s2), ["event_id"])
+    q = ingest.write_stream_memory(
+        deduped.select("event_id", "user_id", "event_type", "value"),
+        "stream_dedup",
+        output_mode="append",
+    )
+    q.awaitTermination()
+    return spark.table("stream_dedup")
+
+
 def q_corpus_shuffle_index(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic global training order: contiguous 0-based index
     over the hash-permuted corpus via two-stage bucket ranking — no
@@ -1223,6 +1268,9 @@ def queries() -> dict[str, QueryFn]:
         "corpus_cap_per_source": q_corpus_cap_per_source,
         "corpus_pack_sequences": q_corpus_pack_sequences,
         "corpus_shuffle_index": q_corpus_shuffle_index,
+        "dedup_apply": q_dedup_apply,
+        "text_repetition": q_text_repetition,
+        "stream_dedup": q_stream_dedup,
         # -- (4) previously-green filler up to the 50-entry cap --------
         "stream_stateful_running": q_stream_stateful_running,
         "stream_sliding_window": q_stream_sliding_window,
@@ -2232,5 +2280,76 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY h % 16, h, doc_id) - 1 AS BIGINT)
                        AS shuffle_idx
             FROM t
+        """,
+        # same pairs + recursive-CTE components as dedup_clusters; the
+        # corpus keeps every doc that is not a non-survivor
+        "dedup_apply": """
+            WITH RECURSIVE norm AS (
+                SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct([substr(t, CAST(i AS INT), 5)
+                                      FOR i IN generate_series(1, greatest(len(t) - 4, 1))]) AS shingles
+                FROM norm
+            ), pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+                      (len(a.shingles) + len(b.shingles)
+                       - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+            ), edges AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION
+                SELECT id_b AS a, id_a AS b FROM pairs
+            ), nodes AS (
+                SELECT DISTINCT a AS id FROM edges
+            ), cc(node, lbl) AS (
+                SELECT id, id FROM nodes
+                UNION
+                SELECT e.b, c.lbl FROM cc c JOIN edges e ON e.a = c.node
+                WHERE c.lbl < e.b
+            ), losers AS (
+                SELECT node FROM cc GROUP BY node HAVING node <> min(lbl)
+            )
+            SELECT d.doc_id, d.lang, d.source
+            FROM documents d
+            WHERE d.doc_id NOT IN (SELECT node FROM losers)
+        """,
+        "text_repetition": """
+            WITH norm AS (
+                SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                FROM documents
+            ), words AS (
+                SELECT doc_id, string_split(t, ' ') AS w FROM norm WHERE t <> ''
+            ), tc AS (
+                SELECT doc_id, tk, count(*) AS c
+                FROM (SELECT doc_id, unnest(w) AS tk FROM words)
+                GROUP BY doc_id, tk
+            ), ts AS (
+                SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
+                       max(c) AS top_c
+                FROM tc GROUP BY doc_id
+            ), bc AS (
+                SELECT doc_id, g, count(*) AS c
+                FROM (SELECT doc_id, unnest([w[CAST(i AS INT)] || ' ' || w[CAST(i + 1 AS INT)]
+                                             FOR i IN generate_series(1, len(w) - 1)]) AS g
+                      FROM words) bgs
+                GROUP BY doc_id, g
+            ), bs AS (
+                SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bg
+                FROM bc GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(ts.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(ts.n_distinct AS DOUBLE) / ts.n_tokens AS distinct_token_frac,
+                   CAST(ts.top_c AS DOUBLE) / ts.n_tokens AS top_token_frac,
+                   CAST(bs.top_bg AS DOUBLE) / bs.n_bigrams AS top_bigram_frac
+            FROM documents d
+            LEFT JOIN ts ON d.doc_id = ts.doc_id
+            LEFT JOIN bs ON d.doc_id = bs.doc_id
+        """,
+        "stream_dedup": """
+            SELECT event_id, user_id, event_type, value FROM events
         """,
     }

@@ -194,3 +194,48 @@ def test_shuffle_index_plan_shape(spark):
     )
     assert "BroadcastExchange" in plan
     assert "hashpartitioning(__b" in plan
+
+
+# ---------------------------------------------------------------------------
+# apply_dedup / repetition stats
+# ---------------------------------------------------------------------------
+
+
+def test_apply_dedup_keeps_survivors_and_singletons(spark):
+    corpus = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(8)], ["id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 4), (4, 7), (2, 6)], ["id_a", "id_b"])
+    kept = sorted(
+        r["id"]
+        for r in graph_ops.apply_dedup(corpus, pairs, "id").collect()
+    )
+    # clusters {1,4,7} -> keep 1; {2,6} -> keep 2; 0,3,5 untouched
+    assert kept == [0, 1, 2, 3, 5]
+
+
+def test_repetition_stats_values(spark):
+    from quanta_etl_spark.operators import text_stats as ts_ops
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam ham"),
+            (2, "all tokens here differ completely"),
+            (3, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in ts_ops.repetition_stats(df, "doc_id", "text").collect()
+    }
+    r1 = rows[1]
+    assert r1["n_tokens"] == 4
+    assert r1["distinct_token_frac"] == pytest.approx(0.5)  # {spam, ham}/4
+    assert r1["top_token_frac"] == pytest.approx(0.75)  # spam 3/4
+    assert r1["top_bigram_frac"] == pytest.approx(2 / 3)  # "spam spam" 2/3
+    r2 = rows[2]
+    assert r2["distinct_token_frac"] == pytest.approx(1.0)
+    assert r2["top_token_frac"] == pytest.approx(0.2)
+    r3 = rows[3]
+    assert r3["n_tokens"] == 0 and r3["top_token_frac"] is None
