@@ -82,15 +82,72 @@ def _edge_checksum(e: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _cc_single_task(e: DataFrame) -> DataFrame:
+    """Union-find over the whole edge set in ONE executor task — the
+    small-graph fast path. Star contraction costs ~4 Spark jobs per
+    round no matter how small the graph is; below a few hundred
+    thousand edges that fixed overhead dwarfs the work, and a
+    path-compressed disjoint-set over one partition answers in
+    milliseconds. The output contract is identical to the distributed
+    path: (node, component=min reachable id), one row per node."""
+    import pandas as pd
+
+    node_t = e.schema["a"].dataType
+    out_schema = (
+        f"node {node_t.simpleString()}, component {node_t.simpleString()}"
+    )
+
+    def part(pdfs):
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in pdfs:
+            for u, v in zip(pdf["a"], pdf["b"]):
+                if u not in parent:
+                    parent[u] = u
+                if v not in parent:
+                    parent[v] = v
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    # union by id: larger root under smaller keeps the
+                    # min-id-as-label invariant without a second pass
+                    if rv < ru:
+                        ru, rv = rv, ru
+                    parent[rv] = ru
+        if parent:
+            nodes = list(parent)
+            yield pd.DataFrame(
+                {"node": nodes, "component": [find(n) for n in nodes]}
+            )
+
+    return e.repartition(1).mapInPandas(part, out_schema)
+
+
 def connected_components(
     edges: DataFrame,
     a: str = "a",
     b: str = "b",
     max_iterations: int = 20,
+    small_graph_edges: int = 500_000,
 ) -> DataFrame:
     """Label every node in the undirected graph with the MINIMUM node id
     reachable from it. Returns ``(node, component)`` — one row per
     distinct node appearing in ``edges``.
+
+    Size-adaptive: the deduped edge count (already computed for the
+    convergence checksum) picks the algorithm. At or below
+    ``small_graph_edges`` the whole graph goes through one union-find
+    task (dedup-pair graphs are tiny relative to their corpus — bounded
+    by the duplicate count, not the corpus size); above it, the
+    O(log n)-round star contraction whose every step is a plain hash
+    shuffle. Pass ``small_graph_edges=0`` to force the distributed path.
 
     Each iteration eagerly localCheckpoints the edge frame: the output
     of round k is consumed by both round k+1 and the convergence
@@ -99,6 +156,8 @@ def connected_components(
     """
     e = _dedup_edges(edges, a, b).localCheckpoint(eager=True)
     prev = _edge_checksum(e)
+    if prev[0] <= small_graph_edges:
+        return _cc_single_task(e)
     for _ in range(max_iterations):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         cur = _edge_checksum(e)
@@ -121,13 +180,16 @@ def assign_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
+    small_graph_edges: int = 500_000,
 ) -> DataFrame:
     """Near-dup pairs → ``(id, cluster_id, is_survivor)``: cluster_id is
     the minimum member id (the deterministic survivor — same rule as
     ``exact_dedup_by_fingerprint``), ``is_survivor`` marks it. Docs not
     in any pair are absent — join back to the corpus with a left join
     and ``coalesce(cluster_id, id)`` to keep singletons."""
-    cc = connected_components(pairs, id_a, id_b, max_iterations)
+    cc = connected_components(
+        pairs, id_a, id_b, max_iterations, small_graph_edges
+    )
     return cc.select(
         F.col("node").alias("id"),
         F.col("component").alias("cluster_id"),
@@ -142,6 +204,7 @@ def apply_dedup(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
+    small_graph_edges: int = 500_000,
 ) -> DataFrame:
     """The last step of the dedup pipeline: drop every non-survivor.
     Clusters the near-dup pairs, keeps the minimum-id member of each
@@ -153,7 +216,7 @@ def apply_dedup(
     is the loser table; AQE turns it into a broadcast join when it fits.
     """
     losers = (
-        assign_clusters(pairs, id_a, id_b, max_iterations)
+        assign_clusters(pairs, id_a, id_b, max_iterations, small_graph_edges)
         .where(~F.col("is_survivor"))
         .select(F.col("id").alias(id_col))
     )

@@ -15,9 +15,11 @@ from quanta_etl_spark.operators import graph as graph_ops
 # ---------------------------------------------------------------------------
 
 
-def _cc_map(spark, edges, max_iterations=20):
+def _cc_map(spark, edges, max_iterations=20, **kw):
     df = spark.createDataFrame(edges, ["a", "b"])
-    out = graph_ops.connected_components(df, max_iterations=max_iterations)
+    out = graph_ops.connected_components(
+        df, max_iterations=max_iterations, **kw
+    )
     return {r["node"]: r["component"] for r in out.collect()}
 
 
@@ -47,6 +49,22 @@ def test_cc_converges_in_few_iterations(spark):
     assert set(got.values()) == {0, 1, 2, 3, 4, 5, 6}
     for n, c in got.items():
         assert n % 7 == c % 7
+
+
+def test_cc_distributed_path_long_chain(spark):
+    # small_graph_edges=0 forces the star-contraction rounds — the
+    # 100-TB path must stay correct even though small inputs default to
+    # the single-task union-find
+    got = _cc_map(spark, [(i, i + 1) for i in range(40)], small_graph_edges=0)
+    assert set(got.values()) == {0}
+    assert len(got) == 41
+
+
+def test_cc_both_paths_agree(spark):
+    edges = [(i, i % 7) for i in range(7, 60)] + [(100, 101), (101, 102)]
+    fast = _cc_map(spark, edges)
+    dist = _cc_map(spark, edges, small_graph_edges=0)
+    assert fast == dist
 
 
 def test_assign_clusters_survivor(spark):
