@@ -33,6 +33,7 @@ from quanta_etl_spark.operators import corpus as corpus_ops
 from quanta_etl_spark.operators import dedup as dedup_ops
 from quanta_etl_spark.operators import graph as graph_ops
 from quanta_etl_spark.operators import joins as join_ops
+from quanta_etl_spark.operators import merge as merge_ops
 from quanta_etl_spark.operators import quality as quality_ops
 from quanta_etl_spark.operators import resample as resample_ops
 from quanta_etl_spark.operators import setops as set_ops
@@ -1205,6 +1206,68 @@ def q_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return spark.table("stream_dedup")
 
 
+def q_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """SQL MERGE (SCD1 upsert) on the orders fact: a deterministic
+    correction batch (keys % 97, price bumped 10%, priority rewritten)
+    replaces matching rows whole, and a synthetic insert batch
+    (keys % 997, shifted key space) is appended. Plan: one anti-join
+    (delta broadcast by AQE) + union — the target is never shuffled."""
+    orders = load_table(spark, sf, "orders")
+    upd = (
+        orders.where(F.col("o_orderkey") % 97 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * F.lit(1.1))
+        .withColumn("o_orderpriority", F.lit("CORRECTED"))
+    )
+    ins = orders.where(F.col("o_orderkey") % 997 == 0).select(
+        (F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+        "o_orderdate",
+        F.lit("NEW").alias("o_orderpriority"),
+    )
+    return merge_ops.merge_upsert(orders, upd.unionByName(ins), ["o_orderkey"])
+
+
+def q_merge_update_cols(spark: SparkSession, sf: str) -> DataFrame:
+    """Partial-column MERGE: matched orders take only o_totalprice from
+    the delta (their other columns untouched — the delta's decoy
+    o_orderstatus must NOT leak through); unmatched delta rows insert
+    whole. One left join + one anti-join on the key."""
+    orders = load_table(spark, sf, "orders")
+    upd = (
+        orders.where(F.col("o_orderkey") % 53 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * F.lit(2.0))
+        .withColumn("o_orderstatus", F.lit("IGNORED"))
+    )
+    ins = orders.where(F.col("o_orderkey") % 991 == 0).select(
+        (F.col("o_orderkey") + F.lit(20_000_000)).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+        "o_orderdate",
+        F.lit("NEW").alias("o_orderpriority"),
+    )
+    return merge_ops.merge_upsert_columns(
+        orders, upd.unionByName(ins), ["o_orderkey"], ["o_totalprice"]
+    )
+
+
+def q_merge_scd2(spark: SparkSession, sf: str) -> DataFrame:
+    """Type-2 slowly-changing dimension built from the orders log: each
+    customer's o_orderstatus history becomes versions with
+    valid_from/valid_to intervals and an is_current flag. o_orderkey
+    tiebreaks same-date events so the version order is total."""
+    orders = load_table(spark, sf, "orders")
+    return merge_ops.scd2_from_changelog(
+        orders,
+        "o_custkey",
+        "o_orderdate",
+        ["o_orderstatus"],
+        tiebreak_cols=["o_orderkey"],
+    )
+
+
 def q_corpus_shuffle_index(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic global training order: contiguous 0-based index
     over the hash-permuted corpus via two-stage bucket ranking — no
@@ -1271,6 +1334,9 @@ def queries() -> dict[str, QueryFn]:
         "dedup_apply": q_dedup_apply,
         "text_repetition": q_text_repetition,
         "stream_dedup": q_stream_dedup,
+        "merge_upsert": q_merge_upsert,
+        "merge_update_cols": q_merge_update_cols,
+        "merge_scd2": q_merge_scd2,
         # -- (4) previously-green filler up to the 50-entry cap --------
         "stream_stateful_running": q_stream_stateful_running,
         "stream_sliding_window": q_stream_sliding_window,
@@ -2351,5 +2417,61 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stream_dedup": """
             SELECT event_id, user_id, event_type, value FROM events
+        """,
+        "merge_upsert": """
+            WITH src AS (
+                SELECT o_orderkey, o_custkey, o_orderstatus,
+                       o_totalprice * 1.1 AS o_totalprice, o_orderdate,
+                       'CORRECTED' AS o_orderpriority
+                FROM orders WHERE o_orderkey % 97 = 0
+                UNION ALL
+                SELECT o_orderkey + 10000000, o_custkey, 'N',
+                       o_totalprice, o_orderdate, 'NEW'
+                FROM orders WHERE o_orderkey % 997 = 0
+            )
+            SELECT * FROM orders
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+            UNION ALL
+            SELECT * FROM src
+        """,
+        "merge_update_cols": """
+            WITH src AS (
+                SELECT o_orderkey, o_custkey, 'IGNORED' AS o_orderstatus,
+                       o_totalprice * 2.0 AS o_totalprice, o_orderdate,
+                       o_orderpriority
+                FROM orders WHERE o_orderkey % 53 = 0
+                UNION ALL
+                SELECT o_orderkey + 20000000, o_custkey, 'N',
+                       o_totalprice, o_orderdate, 'NEW'
+                FROM orders WHERE o_orderkey % 991 = 0
+            )
+            SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus,
+                   coalesce(s.o_totalprice, t.o_totalprice) AS o_totalprice,
+                   t.o_orderdate, t.o_orderpriority
+            FROM orders t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+            UNION ALL
+            SELECT * FROM src
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        """,
+        "merge_scd2": """
+            WITH seq AS (
+                SELECT o_custkey, o_orderdate AS ts, o_orderkey AS tb,
+                       o_orderstatus AS st,
+                       lag(o_orderstatus) OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey) AS prev
+                FROM orders
+            ), v AS (
+                SELECT o_custkey, ts, tb, st
+                FROM seq WHERE prev IS NULL OR prev <> st
+            )
+            SELECT o_custkey,
+                   st AS o_orderstatus,
+                   ts AS valid_from,
+                   lead(ts) OVER (PARTITION BY o_custkey ORDER BY ts, tb)
+                       AS valid_to,
+                   lead(ts) OVER (PARTITION BY o_custkey ORDER BY ts, tb)
+                       IS NULL AS is_current
+            FROM v
         """,
     }
