@@ -1206,6 +1206,26 @@ def q_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return spark.table("stream_dedup")
 
 
+def q_json_extract_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON payload analytics on events.props (a JSON string column):
+    one from_json parse feeds a typed field, aggregated per event_type.
+    Everything stays JVM-side — no Python touches the payloads."""
+    from quanta_etl_spark.functions import semistructured as SS
+
+    ev = load_table(spark, sf, "events")
+    with_k = SS.with_json_fields(ev, "props", {"k": "bigint"})
+    return (
+        with_k.groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.avg("k").alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.when(F.col("k") > 50, 1)).alias("n_hi"),
+        )
+    )
+
+
 def q_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
     """SQL MERGE (SCD1 upsert) on the orders fact: a deterministic
     correction batch (keys % 97, price bumped 10%, priority rewritten)
@@ -1337,6 +1357,7 @@ def queries() -> dict[str, QueryFn]:
         "merge_upsert": q_merge_upsert,
         "merge_update_cols": q_merge_update_cols,
         "merge_scd2": q_merge_scd2,
+        "json_extract_agg": q_json_extract_agg,
         # -- (4) previously-green filler up to the 50-entry cap --------
         "stream_stateful_running": q_stream_stateful_running,
         "stream_sliding_window": q_stream_sliding_window,
@@ -2452,6 +2473,20 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT * FROM src
             WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        """,
+        "json_extract_agg": """
+            WITH ex AS (
+                SELECT event_type,
+                       CAST(props->>'$.k' AS BIGINT) AS k
+                FROM events
+            )
+            SELECT event_type,
+                   count(k) AS n_with_k,
+                   avg(k) AS avg_k,
+                   min(k) AS min_k,
+                   max(k) AS max_k,
+                   count(CASE WHEN k > 50 THEN 1 END) AS n_hi
+            FROM ex GROUP BY event_type
         """,
         "merge_scd2": """
             WITH seq AS (

@@ -2,6 +2,12 @@
 
 ``text``: tokenization, language ID, quality scoring, fingerprints,
 shingles. ``vectors``: dot/norm/cosine/L2 over array columns.
+``semistructured``: JSON path extraction, typed struct parsing, map
+fallback, JSON packing.
 """
 
-from quanta_etl_spark.functions import text, vectors  # noqa: F401
+from quanta_etl_spark.functions import (  # noqa: F401
+    semistructured,
+    text,
+    vectors,
+)
