@@ -1206,6 +1206,44 @@ def q_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return spark.table("stream_dedup")
 
 
+def q_stream_session_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming SESSION windows: per-user sessions close after 30min
+    of inactivity; session_window merges intervals engine-side with
+    bounded state. Bounds are emitted as epoch MICROseconds (the
+    testdata carries sub-second timestamps) and the value sum goes
+    through decimal(20,6) on both sides so the hash can't drift in the
+    6th decimal."""
+    from quanta_etl_spark.streaming import ingest
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = ingest.read_stream(spark, f"{sf}/events.parque[t]", raw_schema)
+    ev = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = ingest.windowed_sessions(
+        ingest.with_late_data_policy(ev, "ts", delay="1 hour"),
+        "ts",
+        ["user_id"],
+        gap="30 minutes",
+        agg_exprs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        ],
+    )
+    q = ingest.write_stream_memory(
+        agg, "stream_session_window", output_mode="complete"
+    )
+    q.awaitTermination()
+    return spark.table("stream_session_window").select(
+        "user_id",
+        F.unix_micros(F.col("session.start")).alias("session_start_us"),
+        F.unix_micros(F.col("session.end")).alias("session_end_us"),
+        "n_events",
+        "sum_value",
+    )
+
+
 def q_json_extract_agg(spark: SparkSession, sf: str) -> DataFrame:
     """JSON payload analytics on events.props (a JSON string column):
     one from_json parse feeds a typed field, aggregated per event_type.
@@ -1358,6 +1396,7 @@ def queries() -> dict[str, QueryFn]:
         "merge_update_cols": q_merge_update_cols,
         "merge_scd2": q_merge_scd2,
         "json_extract_agg": q_json_extract_agg,
+        "stream_session_window": q_stream_session_window,
         # -- (4) previously-green filler up to the 50-entry cap --------
         "stream_stateful_running": q_stream_stateful_running,
         "stream_sliding_window": q_stream_sliding_window,
@@ -2473,6 +2512,35 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT * FROM src
             WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        """,
+        # Spark's session_window semantics: an event at EXACTLY the
+        # previous session's end still merges — new session iff the gap
+        # to the previous event is STRICTLY > 30min; end = last + gap.
+        "stream_session_window": """
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) AS tu, value FROM events
+            ), flags AS (
+                SELECT user_id, tu, value,
+                       CASE WHEN lag(tu) OVER w IS NULL
+                                 OR tu - lag(tu) OVER w > 1800000000
+                            THEN 1 ELSE 0 END AS is_new
+                FROM e
+                WINDOW w AS (PARTITION BY user_id ORDER BY tu)
+            ), s AS (
+                SELECT user_id, tu, value,
+                       sum(is_new) OVER (
+                           PARTITION BY user_id ORDER BY tu
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS sid
+                FROM flags
+            )
+            SELECT user_id,
+                   min(tu) AS session_start_us,
+                   max(tu) + 1800000000 AS session_end_us,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+                       AS sum_value
+            FROM s GROUP BY user_id, sid
         """,
         "json_extract_agg": """
             WITH ex AS (

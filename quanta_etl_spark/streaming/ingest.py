@@ -23,7 +23,7 @@ from __future__ import annotations
 from typing import Iterable, Sequence
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import StructType
@@ -82,6 +82,26 @@ def windowed_ohlcv(
         F.sum(volume_col).alias("volume"),
         F.count(F.lit(1)).alias("n_bars"),
     )
+
+
+def windowed_sessions(
+    df: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    gap: str = "30 minutes",
+    agg_exprs: Sequence[Column] | None = None,
+) -> DataFrame:
+    """Event-time SESSION windows: a session extends while consecutive
+    events per key arrive within ``gap``; ``session_window`` merges the
+    intervals engine-side, with state dropped once the watermark passes
+    a session's close (set one upstream for append/update sinks). The
+    streaming twin of the batch ``windows.sessionize`` operator —
+    session bounds follow Spark's [start, last_event + gap) convention.
+    """
+    aggs = list(agg_exprs) if agg_exprs else [F.count(F.lit(1)).alias("n_events")]
+    return df.groupBy(
+        F.session_window(ts_col, gap).alias("session"), *keys
+    ).agg(*aggs)
 
 
 # ---------------------------------------------------------------------------

@@ -170,3 +170,55 @@ def test_running_event_stats_state_across_batches(spark, tmp_path):
         (2, 10): (1, 1.0),
         (2, 11): (2, 1.0),  # 0.5 < carried max 1.0
     }
+
+
+def test_session_window_gap_boundary(spark, tmp_path):
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+    import datetime as dt
+    import pyspark.sql.functions as F
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 1.0),
+        (1, t0 + dt.timedelta(minutes=29), 2.0),   # inside gap: same session
+        (1, t0 + dt.timedelta(minutes=59), 4.0),   # exactly at session end: MERGES
+        (1, t0 + dt.timedelta(minutes=90), 16.0),  # 31min after prev: new session
+        (2, t0, 8.0),
+    ]
+    d = tmp_path / "sess"
+    d.mkdir()
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(d / "b0"))
+    stream = ingest.read_stream(spark, f"{d}/b*/part-*.parquet", schema)
+    agg = ingest.windowed_sessions(
+        stream.withWatermark("ts", "1 hour"),
+        "ts",
+        ["user_id"],
+        gap="30 minutes",
+        agg_exprs=[
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("s"),
+        ],
+    )
+    out = _run_to_memory(spark, agg, "sess_win", output_mode="complete")
+    got = sorted(
+        (r["user_id"], r["session"]["start"], r["n"], r["s"])
+        for r in out.collect()
+    )
+    assert got == [
+        (1, t0, 3, 7.0),
+        (1, t0 + dt.timedelta(minutes=90), 1, 16.0),
+        (2, t0, 1, 8.0),
+    ]
