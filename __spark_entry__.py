@@ -1206,6 +1206,24 @@ def q_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return spark.table("stream_dedup")
 
 
+def q_corpus_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """The combined corpus quality gate: language allowlist + composite
+    quality score + token bounds + Gopher repetition rules, in one
+    auditable keep decision (the step between raw scrape and dedup)."""
+    docs = load_table(spark, sf, "documents")
+    return corpus_ops.quality_filter(
+        docs,
+        "doc_id",
+        "text",
+        min_tokens=20,
+        max_tokens=5000,
+        min_quality=0.25,
+        max_top_token_frac=0.2,
+        min_distinct_frac=0.3,
+        langs=("en", "de", "es", "fr"),
+    )
+
+
 def q_stream_session_window(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming SESSION windows: per-user sessions close after 30min
     of inactivity; session_window merges intervals engine-side with
@@ -1397,6 +1415,7 @@ def queries() -> dict[str, QueryFn]:
         "merge_scd2": q_merge_scd2,
         "json_extract_agg": q_json_extract_agg,
         "stream_session_window": q_stream_session_window,
+        "corpus_quality_filter": q_corpus_quality_filter,
         # -- (4) previously-green filler up to the 50-entry cap --------
         "stream_stateful_running": q_stream_stateful_running,
         "stream_sliding_window": q_stream_sliding_window,
@@ -2512,6 +2531,75 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT * FROM src
             WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        """,
+        # Composition of the text_lang_id, text_quality, and
+        # text_repetition oracle blocks, joined and filtered with the
+        # same thresholds as corpus.quality_filter.
+        "corpus_quality_filter": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                            ELSE string_split_regex(trim(lower(text)), '\\s+') END AS tk
+                FROM documents
+            ), scores AS (
+                SELECT doc_id,
+                  len(list_filter(tk, x -> list_contains(['der','die','und','das','ist','von','mit','den','nicht','ein','eine','auf','sich','des','im','dem','für','als','auch','es'], x))) AS s_de,
+                  len(list_filter(tk, x -> list_contains(['the','of','and','to','in','is','that','it','was','for','on','are','as','with','his','they','at','be','this','have'], x))) AS s_en,
+                  len(list_filter(tk, x -> list_contains(['el','la','los','las','de','que','y','en','un','una','es','por','con','para','su','se','del','al','lo','como'], x))) AS s_es,
+                  len(list_filter(tk, x -> list_contains(['le','la','les','de','des','et','est','en','que','qui','dans','pour','pas','une','au','sur','avec','son','ne','se'], x))) AS s_fr
+                FROM toks
+            ), lang AS (
+                SELECT doc_id,
+                   CASE WHEN greatest(s_de, s_en, s_es, s_fr) > 0 AND s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                        WHEN greatest(s_de, s_en, s_es, s_fr) > 0 AND s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                        WHEN greatest(s_de, s_en, s_es, s_fr) > 0 AND s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                        WHEN greatest(s_de, s_en, s_es, s_fr) > 0 AND s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr'
+                        ELSE 'und' END AS lang_pred
+                FROM scores
+            ), qbase AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+')) END AS n,
+                       len(list_filter(
+                           CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                                ELSE string_split_regex(trim(lower(text)), '\\s+') END,
+                           x -> list_contains(['the','of','and','to','in','is','that','it','was','for','on','are','as','with','his','they','at','be','this','have'], x))) AS hits,
+                       length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}\\-]', '', 'g')) AS punct,
+                       length(text) AS nchars
+                FROM documents
+            ), qual AS (
+                SELECT doc_id,
+                   0.4 * least(CAST(nchars AS DOUBLE) / 2000.0, 1.0)
+                 + 0.4 * least((CASE WHEN n = 0 THEN 0.0 ELSE CAST(hits AS DOUBLE) / n END) / 0.4, 1.0)
+                 + 0.2 * (1.0 - least(greatest((CASE WHEN nchars = 0 THEN 0.0 ELSE CAST(punct AS DOUBLE) / nchars END) - 0.1, 0.0) / 0.4, 1.0))
+                       AS quality
+                FROM qbase
+            ), norm AS (
+                SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                FROM documents
+            ), words AS (
+                SELECT doc_id, string_split(t, ' ') AS w FROM norm WHERE t <> ''
+            ), tc AS (
+                SELECT doc_id, tk, count(*) AS c
+                FROM (SELECT doc_id, unnest(w) AS tk FROM words)
+                GROUP BY doc_id, tk
+            ), rep AS (
+                SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                       CAST(count(*) AS DOUBLE) / sum(c) AS distinct_token_frac,
+                       CAST(max(c) AS DOUBLE) / sum(c) AS top_token_frac
+                FROM tc GROUP BY doc_id
+            )
+            SELECT d.doc_id, lang.lang_pred, rep.n_tokens, qual.quality,
+                   rep.top_token_frac, rep.distinct_token_frac
+            FROM documents d
+            JOIN lang ON d.doc_id = lang.doc_id
+            JOIN qual ON d.doc_id = qual.doc_id
+            JOIN rep ON d.doc_id = rep.doc_id
+            WHERE rep.n_tokens BETWEEN 20 AND 5000
+              AND qual.quality >= 0.25
+              AND rep.top_token_frac <= 0.2
+              AND rep.distinct_token_frac >= 0.3
+              AND lang.lang_pred IN ('en','de','es','fr')
         """,
         # Spark's session_window semantics: an event at EXACTLY the
         # previous session's end still merges — new session iff the gap

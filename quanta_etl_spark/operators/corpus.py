@@ -220,3 +220,61 @@ def shuffle_index(
         )
         .drop("__h", "__b", "__rn", "__off")
     )
+
+
+def quality_filter(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_quality: float = 0.3,
+    max_top_token_frac: float = 0.5,
+    min_distinct_frac: float = 0.2,
+    langs: Sequence[str] | None = ("en",),
+) -> DataFrame:
+    """The end-to-end corpus quality gate: combine language ID, the
+    composite quality score, token-count bounds, and the Gopher-style
+    repetition signals into one keep/drop decision. Emits the kept
+    documents with their signals (``lang_pred``, ``n_tokens``,
+    ``quality``, ``top_token_frac``, ``distinct_token_frac``) so the
+    decision is auditable downstream.
+
+    Documents too short to measure repetition (NULL fractions) are
+    dropped by the token-count floor before the fraction predicates
+    can see them; the fraction comparisons drop residual NULLs the
+    SQL way (NULL fails every predicate).
+
+    Shape at 100 TB: the scalar signals are one scan-side projection;
+    repetition is one explode + two map-side-combinable aggregations
+    keyed by doc; the final join is doc_id-to-doc_id on the
+    aggregation's existing hash partitioning — no extra shuffle of the
+    corpus beyond the repetition aggregation itself.
+    """
+    from quanta_etl_spark.functions import text as T
+    from quanta_etl_spark.operators.text_stats import repetition_stats
+
+    rep = repetition_stats(docs, id_col, text_col)
+    sig = docs.select(
+        F.col(id_col).alias("doc_id"),
+        T.lang_id(text_col).alias("lang_pred"),
+        T.quality_score(text_col).alias("quality"),
+    )
+    j = sig.join(rep, "doc_id")
+    cond = (
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("quality") >= min_quality)
+        & (F.col("top_token_frac") <= max_top_token_frac)
+        & (F.col("distinct_token_frac") >= min_distinct_frac)
+    )
+    if langs is not None:
+        cond = cond & F.col("lang_pred").isin(list(langs))
+    return j.where(cond).select(
+        F.col("doc_id").alias(id_col),
+        "lang_pred",
+        "n_tokens",
+        "quality",
+        "top_token_frac",
+        "distinct_token_frac",
+    )

@@ -257,3 +257,36 @@ def test_repetition_stats_values(spark):
     assert r2["top_token_frac"] == pytest.approx(0.2)
     r3 = rows[3]
     assert r3["n_tokens"] == 0 and r3["top_token_frac"] is None
+
+
+def test_quality_filter_combined_gate(spark):
+    docs = spark.createDataFrame(
+        [
+            # good english doc: varied tokens, punctuation sane
+            (1, "the cat sat on the mat and then it was looking for food "
+                "with his friends at the park because they have time today."),
+            # spammy: one token dominates
+            (2, "buy " * 30 + "the of and to in is that it was for"),
+            # too short
+            (3, "the end"),
+            # no recognizable language
+            (4, "zzz qqq www eee rrr ttt yyy uuu iii ooo ppp aaa sss ddd "
+                "fff ggg hhh jjj kkk lll"),
+        ],
+        ["doc_id", "text"],
+    )
+    kept = [
+        r["doc_id"]
+        for r in corpus_ops.quality_filter(
+            docs,
+            "doc_id",
+            "text",
+            min_tokens=5,
+            max_tokens=1000,
+            min_quality=0.0,
+            max_top_token_frac=0.4,
+            min_distinct_frac=0.2,
+            langs=("en",),
+        ).collect()
+    ]
+    assert kept == [1]
