@@ -1206,6 +1206,24 @@ def q_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return spark.table("stream_dedup")
 
 
+def q_join_null_safe(spark: SparkSession, sf: str) -> DataFrame:
+    """Null-safe equi-join (IS NOT DISTINCT FROM): one event_type is
+    mapped to NULL on both sides; the plain == join would silently drop
+    that group, the null-safe join must match it."""
+    ev = load_table(spark, sf, "events")
+    k = F.when(F.col("event_type") == "click", F.lit(None)).otherwise(
+        F.col("event_type")
+    )
+    a = ev.select(k.alias("k")).groupBy("k").agg(F.count(F.lit(1)).alias("n_a"))
+    b = (
+        ev.where(F.col("value") > 50)
+        .select(k.alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    return join_ops.null_safe_join(a, b, ["k"])
+
+
 def q_corpus_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
     """The combined corpus quality gate: language allowlist + composite
     quality score + token bounds + Gopher repetition rules, in one
@@ -1416,6 +1434,7 @@ def queries() -> dict[str, QueryFn]:
         "json_extract_agg": q_json_extract_agg,
         "stream_session_window": q_stream_session_window,
         "corpus_quality_filter": q_corpus_quality_filter,
+        "join_null_safe": q_join_null_safe,
         # -- (4) previously-green filler up to the 50-entry cap --------
         "stream_stateful_running": q_stream_stateful_running,
         "stream_sliding_window": q_stream_sliding_window,
@@ -2531,6 +2550,21 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT * FROM src
             WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        """,
+        "join_null_safe": """
+            WITH a AS (
+                SELECT CASE WHEN event_type = 'click' THEN NULL
+                            ELSE event_type END AS k,
+                       count(*) AS n_a
+                FROM events GROUP BY 1
+            ), b AS (
+                SELECT CASE WHEN event_type = 'click' THEN NULL
+                            ELSE event_type END AS k,
+                       count(*) AS n_b
+                FROM events WHERE value > 50 GROUP BY 1
+            )
+            SELECT a.k, a.n_a, b.n_b
+            FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
         """,
         # Composition of the text_lang_id, text_quality, and
         # text_repetition oracle blocks, joined and filtered with the

@@ -73,6 +73,36 @@ def two_key_join(
     return left.join(right, cond, how)
 
 
+def null_safe_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where NULL keys match NULL keys — SQL ``IS NOT
+    DISTINCT FROM`` / Spark ``eqNullSafe``. A plain ``==`` join drops
+    every NULL-keyed row silently (NULL never equals NULL), which is
+    almost never what a dimension lookup with optional keys wants.
+
+    Null-safe equality is still a hashable condition, so Catalyst plans
+    a regular hash/sort-merge join (keys wrapped in ``coalesce``-style
+    knownNotNull handling) — NOT a cartesian product. Right-side key
+    columns are dropped from the output, like a USING join. Note the
+    NULL key is one join group: if both sides carry many NULL-keyed
+    rows their match is a full cross of that group, the same hazard as
+    any skewed hot key.
+    """
+    renamed = {k: f"__r_{k}" for k in keys}
+    r = right
+    for k, a in renamed.items():
+        r = r.withColumnRenamed(k, a)
+    cond = None
+    for k in keys:
+        c = left[k].eqNullSafe(r[renamed[k]])
+        cond = c if cond is None else cond & c
+    return left.join(r, cond, how).drop(*renamed.values())
+
+
 def semi_join(left: DataFrame, right: DataFrame, on: str | list[str] | Column) -> DataFrame:
     return left.join(right, on, "left_semi")
 

@@ -105,3 +105,25 @@ def test_semi_anti_partition(spark):
     anti = {r.k for r in J.anti_join(left, right, "k").collect()}
     assert semi == {2, 3} and anti == {1}
     assert semi | anti == {1, 2, 3}
+
+
+def test_null_safe_join_matches_null_keys(spark):
+    from quanta_etl_spark.operators import joins as join_ops
+
+    left = spark.createDataFrame(
+        [(None, 1), ("x", 2), ("y", 3)], ["k", "a"]
+    )
+    right = spark.createDataFrame(
+        [(None, 10), ("x", 20), ("z", 30)], ["k", "b"]
+    )
+    inner = {
+        (r["k"], r["a"], r["b"])
+        for r in join_ops.null_safe_join(left, right, ["k"]).collect()
+    }
+    assert inner == {(None, 1, 10), ("x", 2, 20)}
+    # plan stays a hash/sort-merge join, never a cartesian
+    plan = (
+        join_ops.null_safe_join(left, right, ["k"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
