@@ -1206,6 +1206,47 @@ def q_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return spark.table("stream_dedup")
 
 
+def q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental dedup of a new batch against the fingerprint
+    registry of the already-ingested corpus: even doc_ids form the
+    registry, the batch is the odd docs plus re-keyed copies of
+    registry docs (must be dropped) and re-keyed copies of batch docs
+    (in-batch duplicates — min-id survivor wins)."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    registry = (
+        docs.where(F.col("doc_id") % 2 == 0)
+        .select(T.fingerprint("text").alias("fp"))
+        .distinct()
+    )
+    batch = (
+        docs.where(F.col("doc_id") % 2 == 1)
+        .unionByName(
+            docs.where(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 500000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            docs.where(
+                (F.col("doc_id") % 7 == 1) & (F.col("doc_id") % 2 == 1)
+            ).select((F.col("doc_id") + 600000).alias("doc_id"), "text")
+        )
+    )
+    out = dedup_ops.dedup_against_registry(batch, registry, "doc_id", "text")
+    return out.select("doc_id", "fp")
+
+
+def q_corpus_chunk(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-token-window document chunking with overlap (32-token
+    chunks, 8-token overlap → 24-token stride) — the step that turns a
+    cleaned corpus into training/embedding inputs. Chunk boundaries are
+    pure arithmetic over the whitespace token array, so the oracle
+    reproduces them with list slicing."""
+    docs = load_table(spark, sf, "documents")
+    return corpus_ops.chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=32, overlap=8
+    )
+
+
 def q_join_null_safe(spark: SparkSession, sf: str) -> DataFrame:
     """Null-safe equi-join (IS NOT DISTINCT FROM): one event_type is
     mapped to NULL on both sides; the plain == join would silently drop
@@ -1434,7 +1475,9 @@ def queries() -> dict[str, QueryFn]:
         "json_extract_agg": q_json_extract_agg,
         "stream_session_window": q_stream_session_window,
         "corpus_quality_filter": q_corpus_quality_filter,
+        "corpus_chunk": q_corpus_chunk,
         "join_null_safe": q_join_null_safe,
+        "dedup_incremental": q_dedup_incremental,
         # -- (4) previously-green filler up to the 50-entry cap --------
         "stream_stateful_running": q_stream_stateful_running,
         "stream_sliding_window": q_stream_sliding_window,
@@ -2550,6 +2593,53 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT * FROM src
             WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        """,
+        "dedup_incremental": """
+            WITH reg AS (
+                SELECT DISTINCT
+                       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+                FROM documents WHERE doc_id % 2 = 0
+            ), batch AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+                UNION ALL
+                SELECT doc_id + 500000, text FROM documents
+                WHERE doc_id % 10 = 0
+                UNION ALL
+                SELECT doc_id + 600000, text FROM documents
+                WHERE doc_id % 7 = 1 AND doc_id % 2 = 1
+            ), fps AS (
+                SELECT doc_id,
+                       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+                FROM batch
+            ), surv AS (
+                SELECT fp, min(doc_id) AS doc_id FROM fps GROUP BY fp
+            )
+            SELECT doc_id, fp FROM surv
+            WHERE fp NOT IN (SELECT fp FROM reg)
+        """,
+        "corpus_chunk": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                            ELSE string_split_regex(trim(lower(text)), '\\s+')
+                       END AS w
+                FROM documents
+            ), st AS (
+                SELECT doc_id, w,
+                       greatest(CAST(ceil((len(w) - 32) / 24.0) AS INT), 0)
+                           AS last_k
+                FROM toks
+            ), ch AS (
+                SELECT doc_id, w, unnest(generate_series(0, last_k)) AS k
+                FROM st
+            )
+            SELECT doc_id,
+                   k AS chunk_id,
+                   k * 24 AS chunk_start,
+                   len(w[k * 24 + 1 : k * 24 + 32]) AS n_chunk_tokens,
+                   array_to_string(w[k * 24 + 1 : k * 24 + 32], ' ')
+                       AS chunk_text
+            FROM ch
         """,
         "join_null_safe": """
             WITH a AS (

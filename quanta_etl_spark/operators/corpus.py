@@ -278,3 +278,70 @@ def quality_filter(
         "top_token_frac",
         "distinct_token_frac",
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    standard preprocessing step between a cleaned corpus and a training
+    or embedding run. Emits one row per chunk: ``(id, chunk_id,
+    chunk_start, n_chunk_tokens, chunk_text)``; ``chunk_id`` is 0-based
+    and ``chunk_start`` is the 0-based token offset.
+
+    Chunk starts advance by ``chunk_tokens - overlap``; the final chunk
+    is whatever remains (>= 1 token). A document shorter than one chunk
+    yields exactly one chunk. Tokenization is the engine's whitespace
+    tokenizer over normalized text, so chunk boundaries are reproducible
+    anywhere.
+
+    Pure Catalyst: the token array is built once per row, chunk starts
+    come from ``sequence()``, and ``posexplode`` fans out the windows —
+    output row count is corpus_tokens / stride, no Python and no
+    shuffle (chunking rides the scan; downstream ops decide their own
+    partitioning).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    w = ws_tokens(F.lower(F.col(text_col)))
+    starts = F.sequence(
+        F.lit(0),
+        # last start: the largest multiple of stride that still leaves
+        # unseen tokens; guard the empty doc to one (empty) chunk
+        F.greatest(
+            F.ceil((F.size(w) - F.lit(chunk_tokens)) / F.lit(stride)).cast(
+                "int"
+            ),
+            F.lit(0),
+        )
+        * F.lit(stride),
+        F.lit(stride),
+    )
+    return (
+        docs.select(F.col(id_col), w.alias("__w"), starts.alias("__starts"))
+        .select(
+            id_col,
+            "__w",
+            F.posexplode("__starts").alias("chunk_id", "chunk_start"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            "chunk_start",
+            F.slice(
+                "__w", F.col("chunk_start") + 1, F.lit(chunk_tokens)
+            ).alias("__toks"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            "chunk_start",
+            F.size("__toks").alias("n_chunk_tokens"),
+            F.concat_ws(" ", "__toks").alias("chunk_text"),
+        )
+    )

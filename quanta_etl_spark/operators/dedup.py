@@ -964,3 +964,37 @@ def embedding_neardup_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def dedup_against_registry(
+    batch: DataFrame,
+    registry: DataFrame,
+    id_col: str,
+    text_col: str,
+    registry_fp_col: str = "fp",
+) -> DataFrame:
+    """Incremental exact dedup: clean a NEW batch against the
+    fingerprint registry of everything already ingested, and against
+    itself. This is how a growing corpus is deduplicated in practice —
+    the historical corpus is never rescanned, only its fingerprint
+    table (one slim column) is consulted.
+
+    Keeps a batch row iff (a) its content fingerprint is absent from
+    the registry and (b) it is the minimum-``id_col`` holder of that
+    fingerprint within the batch. Returns the kept rows plus their
+    ``fp`` — union this onto the registry to advance it.
+
+    Shape at 100 TB: the in-batch survivor pick is one hash aggregate
+    on the fingerprint; the registry check is a left-anti join on the
+    fingerprint hash — both partition cleanly, and the registry side
+    is the slim (fp) projection, not the historical corpus.
+    """
+    fp = batch.withColumn("__fp", fingerprint(text_col))
+    survivors = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    in_batch = fp.join(survivors, ["__fp", id_col], "left_semi")
+    fresh = in_batch.join(
+        registry.select(F.col(registry_fp_col).alias("__fp")),
+        "__fp",
+        "left_anti",
+    )
+    return fresh.withColumnRenamed("__fp", "fp")

@@ -167,3 +167,28 @@ def test_minhash_catalyst_fallback_matches_arrow(docs):
     assert set(arrow) == set(catalyst)
     for k in arrow:
         assert arrow[k] == pytest.approx(catalyst[k], rel=1e-9)
+
+
+def test_dedup_against_registry(spark):
+    from quanta_etl_spark.operators import dedup as dedup_ops
+
+    registry_docs = spark.createDataFrame(
+        [(0, "already ingested"), (2, "also known")], ["id", "text"]
+    )
+    from quanta_etl_spark.functions.text import fingerprint
+    import pyspark.sql.functions as F
+
+    registry = registry_docs.select(fingerprint("text").alias("fp")).distinct()
+    batch = spark.createDataFrame(
+        [
+            (11, "brand new content"),
+            (13, "already ingested"),      # in registry -> dropped
+            (15, "brand new content"),     # in-batch dup -> 11 survives
+            (17, "also brand new"),
+        ],
+        ["id", "text"],
+    )
+    out = dedup_ops.dedup_against_registry(batch, registry, "id", "text")
+    kept = sorted(r["id"] for r in out.collect())
+    assert kept == [11, 17]
+    assert set(out.columns) == {"fp", "id", "text"}

@@ -290,3 +290,41 @@ def test_quality_filter_combined_gate(spark):
         ).collect()
     ]
     assert kept == [1]
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    text = " ".join(f"t{i}" for i in range(10))  # 10 tokens
+    docs = spark.createDataFrame([(1, text), (2, "a b"), (3, "")],
+                                 ["doc_id", "text"])
+    rows = {
+        (r["doc_id"], r["chunk_id"]): r
+        for r in corpus_ops.chunk_documents(
+            docs, "doc_id", "text", chunk_tokens=4, overlap=1
+        ).collect()
+    }
+    # doc 1: stride 3 -> starts 0,3,6 (ceil((10-4)/3)=2); wait 10 tokens:
+    # starts 0,3,6 cover t0..t9? chunk@6 = t6..t9 (4 toks) -> yes
+    d1 = sorted(k[1] for k in rows if k[0] == 1)
+    assert d1 == [0, 1, 2]
+    assert rows[(1, 0)]["chunk_text"] == "t0 t1 t2 t3"
+    assert rows[(1, 1)]["chunk_start"] == 3
+    assert rows[(1, 1)]["chunk_text"] == "t3 t4 t5 t6"
+    assert rows[(1, 2)]["chunk_text"] == "t6 t7 t8 t9"
+    # short doc: one chunk, whole text
+    assert rows[(2, 0)]["chunk_text"] == "a b"
+    assert rows[(2, 0)]["n_chunk_tokens"] == 2
+    # empty doc: one empty chunk
+    assert rows[(3, 0)]["n_chunk_tokens"] == 0
+    # every token of doc 1 appears in at least one chunk
+    seen = set()
+    for (d, _), r in rows.items():
+        if d == 1:
+            seen.update(r["chunk_text"].split())
+    assert seen == {f"t{i}" for i in range(10)}
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        corpus_ops.chunk_documents(docs, "doc_id", "text",
+                                   chunk_tokens=4, overlap=4)
