@@ -1206,6 +1206,25 @@ def q_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return spark.table("stream_dedup")
 
 
+def q_quality_quarantine(spark: SparkSession, sf: str) -> DataFrame:
+    """Row-level validation with quarantine: the bad frame carries the
+    comma-joined names of every violated rule, so the quarantine sink
+    is self-describing. NULL predicate results quarantine (the SQL
+    three-valued-logic trap)."""
+    li = load_table(spark, sf, "lineitem")
+    _good, bad = quality_ops.validate_split(
+        li,
+        {
+            "discount_le_6pct": F.col("l_discount") <= 0.06,
+            "tax_le_5pct": F.col("l_tax") <= 0.05,
+            "qty_positive": F.col("l_quantity") > 0,
+        },
+    )
+    return bad.select(
+        "l_orderkey", "l_linenumber", "l_discount", "l_tax", "failed_rules"
+    )
+
+
 def q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental dedup of a new batch against the fingerprint
     registry of the already-ingested corpus: even doc_ids form the
@@ -1478,6 +1497,7 @@ def queries() -> dict[str, QueryFn]:
         "corpus_chunk": q_corpus_chunk,
         "join_null_safe": q_join_null_safe,
         "dedup_incremental": q_dedup_incremental,
+        "quality_quarantine": q_quality_quarantine,
         # -- (4) previously-green filler up to the 50-entry cap --------
         "stream_stateful_running": q_stream_stateful_running,
         "stream_sliding_window": q_stream_sliding_window,
@@ -2593,6 +2613,21 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT * FROM src
             WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        """,
+        "quality_quarantine": """
+            WITH tagged AS (
+                SELECT l_orderkey, l_linenumber, l_discount, l_tax,
+                       concat_ws(',',
+                           CASE WHEN l_discount <= 0.06 THEN NULL
+                                ELSE 'discount_le_6pct' END,
+                           CASE WHEN l_tax <= 0.05 THEN NULL
+                                ELSE 'tax_le_5pct' END,
+                           CASE WHEN l_quantity > 0 THEN NULL
+                                ELSE 'qty_positive' END
+                       ) AS failed_rules
+                FROM lineitem
+            )
+            SELECT * FROM tagged WHERE failed_rules <> ''
         """,
         "dedup_incremental": """
             WITH reg AS (

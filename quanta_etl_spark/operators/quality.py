@@ -112,3 +112,31 @@ def iqr_outliers(
         return joined.withColumn("is_outlier", is_out).drop("__q1", "__q3")
     kept = joined.where(is_out if mode == "only" else ~is_out)
     return kept.drop("__q1", "__q3")
+
+
+def validate_split(
+    df: DataFrame,
+    rules: dict[str, Column | str],
+) -> tuple[DataFrame, DataFrame]:
+    """Row-level validation with quarantine: ``rules`` maps rule name →
+    predicate the GOOD rows satisfy. Returns ``(good, bad)`` where
+    ``bad`` carries ``failed_rules`` (comma-joined, deterministic rule
+    order) so the quarantine sink is self-describing.
+
+    One pass, no join: every rule is evaluated as a projection and the
+    split is two filters over the same lineage (cache or checkpoint the
+    input if both sides trigger separate actions). A NULL predicate
+    result counts as a violation — the SQL trap where ``col > 0`` is
+    neither true nor false for NULL rows must quarantine, not pass.
+    """
+    checks = []
+    for name, pred in rules.items():
+        p = F.expr(pred) if isinstance(pred, str) else pred
+        checks.append(F.when(p.isNull() | ~p, F.lit(name)))
+    failed = F.concat_ws(
+        ",", F.array_compact(F.array(*checks))
+    )
+    tagged = df.withColumn("failed_rules", failed)
+    good = tagged.where(F.col("failed_rules") == "").drop("failed_rules")
+    bad = tagged.where(F.col("failed_rules") != "")
+    return good, bad

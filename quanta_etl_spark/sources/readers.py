@@ -60,6 +60,24 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def read_text(
+    spark: SparkSession,
+    path: str,
+    whole_file: bool = False,
+    line_sep: str | None = None,
+) -> DataFrame:
+    """Plain-text source → one string column ``value``: one row per
+    line (splittable scan), or one row per FILE with
+    ``whole_file=True`` (the raw-corpus ingestion shape — pair with
+    ``input_file_name()`` for provenance). ``line_sep`` overrides the
+    newline delimiter for record-separated formats like WARC-derived
+    dumps."""
+    reader = spark.read
+    if line_sep is not None:
+        reader = reader.option("lineSep", line_sep)
+    return reader.text(path, wholetext=whole_file)
+
+
 def read_binary_files(
     spark: SparkSession,
     path: str,

@@ -221,3 +221,34 @@ def test_l2_normalize(spark):
     got = {r.id: r.u for r in df.select("id", V.l2_normalize("v").alias("u")).collect()}
     assert got[1] == [0.6, 0.8]
     assert got[2] == [0.0, 0.0]  # zero vector stays zero, no NaN
+
+
+def test_validate_split_quarantine(spark):
+    from quanta_etl_spark.operators import quality as quality_ops
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "a"),
+            (2, -5.0, "b"),      # fails positive
+            (3, None, "c"),      # NULL predicate -> quarantined
+            (4, 7.0, None),      # fails named
+            (5, -1.0, None),     # fails both
+        ],
+        ["id", "v", "name"],
+    )
+    good, bad = quality_ops.validate_split(
+        df,
+        {
+            "positive": F.col("v") > 0,
+            "named": F.col("name").isNotNull(),
+        },
+    )
+    assert sorted(r["id"] for r in good.collect()) == [1]
+    got = {r["id"]: r["failed_rules"] for r in bad.collect()}
+    assert got == {
+        2: "positive",
+        3: "positive",
+        4: "named",
+        5: "positive,named",
+    }

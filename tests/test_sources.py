@@ -140,3 +140,28 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 1000
     assert back.agg(F.sum("id")).collect()[0][0] == 499500
+
+
+def test_read_text_lines_and_whole_file(spark, tmp_path):
+    from quanta_etl_spark.sources import readers
+    import pyspark.sql.functions as F
+
+    d = tmp_path / "txt"
+    d.mkdir()
+    (d / "a.txt").write_text("line one\nline two\n")
+    (d / "b.txt").write_text("solo document")
+    lines = readers.read_text(spark, str(d / "*.txt"))
+    assert sorted(r["value"] for r in lines.collect()) == [
+        "line one",
+        "line two",
+        "solo document",
+    ]
+    docs = readers.read_text(spark, str(d / "*.txt"), whole_file=True)
+    vals = sorted(r["value"] for r in docs.collect())
+    assert vals == ["line one\nline two\n", "solo document"]
+    # provenance pairing
+    named = docs.select(
+        F.element_at(F.split(F.input_file_name(), "/"), -1).alias("f"),
+        "value",
+    )
+    assert {r["f"] for r in named.collect()} == {"a.txt", "b.txt"}
