@@ -1206,6 +1206,53 @@ def q_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return spark.table("stream_dedup")
 
 
+def q_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream interval join: views joined to same-user purchases
+    within the following 30 minutes, both sides unbounded streams with
+    watermarks bounding the join state. Bounded backfill here, so the
+    oracle is the equivalent batch interval join."""
+    from quanta_etl_spark.streaming import ingest
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    s1 = ingest.read_stream(spark, f"{sf}/events.parque[t]", raw_schema)
+    s2 = ingest.read_stream(spark, f"{sf}/events.[p]arquet", raw_schema)
+    to_us = F.timestamp_micros(F.expr("ts div 1000"))
+    views = (
+        s1.withColumn("ts", to_us)
+        .where(F.col("event_type") == "view")
+        .select("user_id", "event_id", "ts")
+    )
+    purchases = (
+        s2.withColumn("ts", to_us)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("r_user_id"),
+            F.col("event_id").alias("r_event_id"),
+            F.col("ts").alias("r_ts"),
+        )
+    )
+    joined = ingest.interval_join_streams(
+        views,
+        purchases,
+        "user_id",
+        "ts",
+        "r_ts",
+        lower="0 seconds",
+        upper="30 minutes",
+    )
+    out = joined.select(
+        "user_id",
+        F.col("event_id").alias("view_event"),
+        F.col("r_event_id").alias("purchase_event"),
+        F.unix_micros("ts").alias("view_ts_us"),
+        F.unix_micros("r_ts").alias("purchase_ts_us"),
+    )
+    q = ingest.write_stream_memory(out, "stream_stream_join")
+    q.awaitTermination()
+    return spark.table("stream_stream_join")
+
+
 def q_quality_quarantine(spark: SparkSession, sf: str) -> DataFrame:
     """Row-level validation with quarantine: the bad frame carries the
     comma-joined names of every violated rule, so the quarantine sink
@@ -1498,6 +1545,7 @@ def queries() -> dict[str, QueryFn]:
         "join_null_safe": q_join_null_safe,
         "dedup_incremental": q_dedup_incremental,
         "quality_quarantine": q_quality_quarantine,
+        "stream_stream_join": q_stream_stream_join,
         # -- (4) previously-green filler up to the 50-entry cap --------
         "stream_stateful_running": q_stream_stateful_running,
         "stream_sliding_window": q_stream_sliding_window,
@@ -2613,6 +2661,19 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT * FROM src
             WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        """,
+        "stream_stream_join": """
+            SELECT v.user_id,
+                   v.event_id AS view_event,
+                   p.event_id AS purchase_event,
+                   epoch_us(v.ts) AS view_ts_us,
+                   epoch_us(p.ts) AS purchase_ts_us
+            FROM events v
+            JOIN events p
+              ON v.user_id = p.user_id
+             AND p.ts >= v.ts
+             AND p.ts <= v.ts + INTERVAL 30 MINUTE
+            WHERE v.event_type = 'view' AND p.event_type = 'purchase'
         """,
         "quality_quarantine": """
             WITH tagged AS (

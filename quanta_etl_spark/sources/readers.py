@@ -152,6 +152,30 @@ def write_clustered_parquet(
     out.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
 
 
+def swap_directory(spark: SparkSession, tmp: str, path: str, tag: str) -> None:
+    """Replace ``path`` with ``tmp`` via metadata renames: source →
+    ``<path>__<tag>_bak``, tmp → source, delete bak. The source is
+    never deleted before its replacement is in place; a crash between
+    the renames leaves the original at the bak path for manual
+    recovery. On HDFS/local each rename is atomic; on S3A renames are
+    copies but the no-destruction ordering still holds."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    t = jvm.org.apache.hadoop.fs.Path(tmp)
+    bak = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + f"__{tag}_bak")
+    fs = p.getFileSystem(conf)
+    if fs.exists(p):
+        if not fs.rename(p, bak):
+            raise IOError(f"swap_directory: rename {path} -> bak failed")
+    if not fs.rename(t, p):
+        if fs.exists(bak):
+            fs.rename(bak, p)  # roll back: caller still has the original
+        raise IOError(f"swap_directory: rename {tmp} -> {path} failed")
+    if fs.exists(bak):
+        fs.delete(bak, True)
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
@@ -187,20 +211,11 @@ def compact_parquet(
         if f.getPath().getName().endswith(".parquet"):
             total += f.getLen()
     n = max(1, math.ceil(total / target_partition_bytes))
-    tmp = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compact_tmp")
-    bak = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compact_bak")
-    # single data pass: write the compacted copy NEXT TO the source
-    src.repartition(n).write.mode("overwrite").parquet(tmp.toString())
-    # swap via renames (metadata ops): source -> bak, tmp -> source.
-    # On HDFS/local these are atomic per-rename; on S3A they are copies,
-    # but the source is still never deleted before its replacement exists.
-    if not fs.rename(p, bak):
-        raise IOError(f"compact_parquet: rename {path} -> {bak} failed")
-    if not fs.rename(tmp, p):
-        # roll back so the caller still has the original at `path`
-        fs.rename(bak, p)
-        raise IOError(f"compact_parquet: rename {tmp} -> {path} failed")
-    fs.delete(bak, True)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    # single data pass: write the compacted copy NEXT TO the source,
+    # then swap via metadata renames (source preserved until committed)
+    src.repartition(n).write.mode("overwrite").parquet(tmp)
+    swap_directory(spark, tmp, path, "compact")
     return n
 
 

@@ -274,3 +274,85 @@ def dedup_stream(
             keys
         )
     return df.dropDuplicates(keys)
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lower: str = "0 seconds",
+    upper: str = "1 hour",
+    watermark: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join with an event-time interval bound:
+    match right rows whose timestamp lies in
+    ``[left_ts - lower, left_ts + upper]`` for the same key. BOTH sides
+    get watermarks and the time range bounds the join state — without
+    the interval condition a stream-stream join would buffer both
+    streams forever. Outer variants additionally need the watermark to
+    know when an unmatched row can be emitted.
+
+    Column naming: the right side's key and timestamp must arrive
+    pre-renamed (e.g. ``r_key``/``r_ts``) so the join output carries
+    both sides unambiguously; this function renames nothing.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (F.col(key) == F.col(f"r_{key}"))
+        & (F.col(right_ts) >= F.expr(f"{left_ts} - interval {lower}"))
+        & (F.col(right_ts) <= F.expr(f"{left_ts} + interval {upper}"))
+    )
+    return lw.join(rw, cond, how)
+
+
+def merge_stream_into_parquet(
+    stream: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    checkpoint_dir: str,
+):
+    """Streaming MERGE sink: every micro-batch is upserted into the
+    parquet table at ``path`` via ``foreachBatch`` — the pattern for
+    maintaining a queryable mirror of a CDC stream without a lakehouse
+    format. Each batch: dedup the batch on the key (last writer within
+    a batch is arbitrary, so dedup first), MERGE against the current
+    table (``merge_upsert``: anti-join + union, delta broadcast), write
+    the result NEXT TO the table, swap via metadata renames (the same
+    never-destroy-the-source discipline as ``compact_parquet``).
+
+    Scale note: this rewrites the table per batch — correct and simple,
+    O(table) per trigger. For high-frequency triggers on a big table,
+    partition ``path`` and rewrite only the partitions the batch
+    touches, or use a format with transactional MERGE; this operator is
+    the format-free baseline.
+    """
+    from quanta_etl_spark.operators.merge import merge_upsert
+    from quanta_etl_spark.sources.readers import swap_directory
+
+    keys = list(keys)
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.dropDuplicates(keys)
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        if p.getFileSystem(conf).exists(p):
+            target = spark.read.parquet(path)
+            merged = merge_upsert(target, batch.select(*target.columns), keys)
+        else:
+            merged = batch
+        tmp = path.rstrip("/") + "__merge_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        swap_directory(spark, tmp, path, "merge")
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -222,3 +222,43 @@ def test_session_window_gap_boundary(spark, tmp_path):
         (1, t0 + dt.timedelta(minutes=90), 1, 16.0),
         (2, t0, 1, 8.0),
     ]
+
+
+def test_merge_stream_into_parquet_upserts_across_batches(spark, tmp_path):
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("status", StringType()),
+            StructField("v", DoubleType()),
+        ]
+    )
+    src = tmp_path / "cdc"
+    src.mkdir()
+    # batch 0: initial rows; batch 1: update k=1, insert k=3
+    spark.createDataFrame(
+        [(1, "new", 1.0), (2, "new", 2.0)], schema
+    ).coalesce(1).write.parquet(str(src / "b0"))
+    spark.createDataFrame(
+        [(1, "done", 9.0), (3, "new", 3.0)], schema
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    stream = ingest.read_stream(
+        spark, f"{src}/b*/part-*.parquet", schema, max_files_per_trigger=1
+    )
+    target = str(tmp_path / "table")
+    q = ingest.merge_stream_into_parquet(
+        stream, target, ["k"], str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    got = {
+        r["k"]: (r["status"], r["v"])
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got == {1: ("done", 9.0), 2: ("new", 2.0), 3: ("new", 3.0)}
