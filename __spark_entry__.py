@@ -1206,6 +1206,33 @@ def q_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return spark.table("stream_dedup")
 
 
+def q_media_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual-hash (aHash) media dedup over the stubbed decode
+    path: identical payloads hash equal, so duplicate media collapse to
+    one group with a deterministic min-id survivor. The bit threshold
+    is integer-exact, so the SQL oracle reproduces the full 64-bit hash
+    from the tiled payload bytes."""
+    from quanta_etl_spark.multimodal import media as mm
+
+    docs = load_table(spark, sf, "documents").where(F.col("doc_id") < 500)
+    payloads = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.lit("image/fake").alias("mime_type"),
+        F.lit(8).alias("width"),
+        F.lit(8).alias("height"),
+    )
+    hashed = mm.perceptual_hash(mm.decode_image(mm.media_table(payloads)))
+    return (
+        hashed.groupBy("phash_hi", "phash_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("media_id").alias("survivor_id"),
+        )
+        .where(F.col("n_copies") >= 2)
+    )
+
+
 def q_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
     """Stream-stream interval join: views joined to same-user purchases
     within the following 30 minutes, both sides unbounded streams with
@@ -1546,6 +1573,7 @@ def queries() -> dict[str, QueryFn]:
         "dedup_incremental": q_dedup_incremental,
         "quality_quarantine": q_quality_quarantine,
         "stream_stream_join": q_stream_stream_join,
+        "media_phash_dedup": q_media_phash_dedup,
         # -- (4) previously-green filler up to the 50-entry cap --------
         "stream_stateful_running": q_stream_stateful_running,
         "stream_sliding_window": q_stream_sliding_window,
@@ -2661,6 +2689,49 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT * FROM src
             WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        """,
+        # aHash bits from the tiled-payload stub, integer-exact:
+        # bit_i = (R+G+B at grid cell i) * 64 > sum of all cells
+        "media_phash_dedup": """
+            WITH d AS (
+                SELECT doc_id AS media_id, text,
+                       CAST(length(text) AS INT) AS L
+                FROM documents WHERE doc_id < 500
+            ), px AS (
+                SELECT media_id,
+                       CASE WHEN L = 0
+                            THEN [0 FOR i IN generate_series(0, 191)]
+                            ELSE [ord(substr(text, CAST(i % L AS INT) + 1, 1))
+                                  FOR i IN generate_series(0, 191)]
+                       END AS p
+                FROM d
+            ), gs AS (
+                SELECT media_id,
+                       [p[3 * i + 1] + p[3 * i + 2] + p[3 * i + 3]
+                        FOR i IN generate_series(0, 63)] AS g
+                FROM px
+            ), ph AS (
+                SELECT media_id,
+                       CAST(list_sum(
+                           [CASE WHEN g[i + 1] * 64 > list_sum(g)
+                                 THEN (CAST(1 AS BIGINT) << (i - 32))
+                                 ELSE 0 END
+                            FOR i IN generate_series(32, 63)]) AS BIGINT)
+                           AS phash_hi,
+                       CAST(list_sum(
+                           [CASE WHEN g[i + 1] * 64 > list_sum(g)
+                                 THEN (CAST(1 AS BIGINT) << i)
+                                 ELSE 0 END
+                            FOR i IN generate_series(0, 31)]) AS BIGINT)
+                           AS phash_lo
+                FROM gs
+            )
+            SELECT phash_hi, phash_lo,
+                   count(*) AS n_copies,
+                   min(media_id) AS survivor_id
+            FROM ph
+            GROUP BY phash_hi, phash_lo
+            HAVING count(*) >= 2
         """,
         "stream_stream_join": """
             SELECT v.user_id,

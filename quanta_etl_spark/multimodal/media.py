@@ -325,3 +325,47 @@ def audio_features(df: DataFrame, sample_width: int = 2) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.select("media_id", "content").mapInPandas(run, schema=AUDIO_SCHEMA)
+
+
+PHASH_SCHEMA = "media_id long, phash_hi long, phash_lo long"
+
+
+def perceptual_hash(decoded: DataFrame) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint over decoded pixel
+    buffers (the output of :func:`decode_image`): per-pixel gray level
+    vs the image's mean gray level gives one bit per pixel of the 8x8
+    grid (row-major, first 64 pixels). Identical images hash equal;
+    with a real codec small edits flip few bits, so Hamming-tolerant
+    matching via the pigeonhole banding of ``dedup.simhash_dedup_pairs``
+    extends this to near-duplicate media.
+
+    The threshold is computed in EXACT integer space
+    (``graysum * n > total``) — no floating-point mean, so any SQL
+    oracle reproduces the bits exactly. Emitted as two unsigned 32-bit
+    halves (hi = bits 32..63) to dodge signed-64 packing differences
+    across engines.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, his, los = [], [], []
+            for _, row in pdf.iterrows():
+                arr = np.frombuffer(row["pixels"], dtype=np.uint8).reshape(
+                    row["height"], row["width"], row["n_channels"]
+                )
+                gs = arr.sum(axis=2, dtype=np.int64).flatten()[:64]
+                n = len(gs)
+                total = int(gs.sum())
+                v = 0
+                for i in range(n):
+                    # integer-exact: gray_i > mean(gray) <=> gs_i*n > total
+                    if int(gs[i]) * n > total:
+                        v |= 1 << i
+                ids.append(row["media_id"])
+                his.append(v >> 32)
+                los.append(v & 0xFFFFFFFF)
+            yield pd.DataFrame(
+                {"media_id": ids, "phash_hi": his, "phash_lo": los}
+            )
+
+    return decoded.mapInPandas(run, PHASH_SCHEMA)

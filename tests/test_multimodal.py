@@ -167,3 +167,28 @@ def test_binary_file_ingestion_to_media_table(spark, tmp_path):
     rows = table.collect()
     assert {r.size_bytes for r in rows} == {64, 14}
     assert all(r.mime_type == "image/png" for r in rows)
+
+
+def test_perceptual_hash_equal_and_distinct(spark):
+    from quanta_etl_spark.multimodal import media as mm
+    import pyspark.sql.functions as F
+
+    payloads = spark.createDataFrame(
+        [
+            (1, b"hello world, this is image one", "image/fake", 8, 8),
+            (2, b"hello world, this is image one", "image/fake", 8, 8),
+            (3, b"completely different payload bytes!", "image/fake", 8, 8),
+        ],
+        ["media_id", "content", "mime_type", "width", "height"],
+    )
+    hashed = {
+        r["media_id"]: (r["phash_hi"], r["phash_lo"])
+        for r in mm.perceptual_hash(
+            mm.decode_image(mm.media_table(payloads))
+        ).collect()
+    }
+    assert hashed[1] == hashed[2]          # identical payloads: equal hash
+    assert hashed[1] != hashed[3]          # different payloads: differ
+    # halves are unsigned 32-bit
+    for hi, lo in hashed.values():
+        assert 0 <= hi < 2**32 and 0 <= lo < 2**32
