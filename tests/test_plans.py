@@ -126,3 +126,39 @@ def test_impute_broadcasts_group_stats(spark, sf_dir):
     the fact side never reshuffles on the group key."""
     df = E.q_impute_group_mean(spark, sf_dir)
     assert "BroadcastHashJoin" in P.simple_plan(df)
+
+
+def test_json_extract_prunes_to_payload_columns(spark, sf_dir):
+    # the events scan must read only the columns the extraction needs
+    df = E.q_json_extract_agg(spark, sf_dir)
+    scans = P.scan_columns(df)
+    (cols,) = scans.values()
+    assert set(cols) <= {"event_type", "props"}
+
+
+def test_chunk_documents_no_shuffle(spark, sf_dir):
+    # chunking is pure map-side fan-out: zero exchanges in the plan
+    df = E.q_corpus_chunk(spark, sf_dir)
+    assert P.count_shuffles(df) == 0
+
+
+def test_merge_upsert_no_target_shuffle(spark, sf_dir):
+    # the delta's key-distinct pays one (tiny) exchange; the TARGET is
+    # anti-joined via broadcast and never hash-exchanges
+    df = E.q_merge_upsert(spark, sf_dir)
+    assert P.has_broadcast_join(df)
+    assert P.count_shuffles(df) <= 1
+    assert "BroadcastHashJoin LeftAnti" in P.formatted_plan(df)
+
+
+def test_scd2_single_exchange(spark, sf_dir):
+    # both window passes share one hash exchange on the dimension key
+    df = E.q_merge_scd2(spark, sf_dir)
+    assert P.count_shuffles(df) == 1
+
+
+def test_quarantine_rides_the_scan(spark, sf_dir):
+    # rule evaluation is a projection: no exchange, no join
+    df = E.q_quality_quarantine(spark, sf_dir)
+    assert P.count_shuffles(df) == 0
+    assert not P.has_cartesian(df)
