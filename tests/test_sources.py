@@ -165,3 +165,32 @@ def test_read_text_lines_and_whole_file(spark, tmp_path):
         "value",
     )
     assert {r["f"] for r in named.collect()} == {"a.txt", "b.txt"}
+
+
+def test_python_datasource_synthetic_events(spark):
+    from quanta_etl_spark.sources.pysource import SyntheticEventsDataSource
+
+    spark.dataSource.register(SyntheticEventsDataSource)
+
+    def load(**opts):
+        r = spark.read.format("synthetic_events")
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load()
+
+    df = load(rows=500, partitions=5, seed=9)
+    assert df.count() == 500
+    assert df.rdd.getNumPartitions() == 5
+    assert df.schema.simpleString() == (
+        "struct<event_id:bigint,ts:timestamp,user_id:bigint,"
+        "event_type:string,value:double>"
+    )
+    # deterministic across invocations (retry safety)
+    assert sorted(map(tuple, df.collect())) == sorted(
+        map(tuple, load(rows=500, partitions=5, seed=9).collect())
+    )
+    # event_ids are a contiguous 0-based range across partitions
+    ids = sorted(r["event_id"] for r in df.collect())
+    assert ids == list(range(500))
+    # partition plan drops empty tails (rows < partitions)
+    assert load(rows=3, partitions=8, seed=1).rdd.getNumPartitions() == 3
