@@ -1206,6 +1206,24 @@ def q_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return spark.table("stream_dedup")
 
 
+def q_window_ewma(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user exponential moving average of event values (alpha=0.2,
+    adjust=False recursion). Genuinely sequential, so the engine side
+    is applyInPandas; the oracle expands the recursion to its closed
+    form y_t = (1-a)^t x_0 + Σ a(1-a)^(t-j) x_j via a bounded
+    self-join (groups are small at gate scale)."""
+    ev = load_table(spark, sf, "events")
+    out = win_ops.ewma(
+        ev,
+        "user_id",
+        "ts",
+        "value",
+        alpha=0.2,
+        tiebreak_cols=["event_id"],
+    )
+    return out.select("user_id", "event_id", "value", "ewma")
+
+
 def q_media_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Perceptual-hash (aHash) media dedup over the stubbed decode
     path: identical payloads hash equal, so duplicate media collapse to
@@ -1574,6 +1592,7 @@ def queries() -> dict[str, QueryFn]:
         "quality_quarantine": q_quality_quarantine,
         "stream_stream_join": q_stream_stream_join,
         "media_phash_dedup": q_media_phash_dedup,
+        "window_ewma": q_window_ewma,
         # -- (4) previously-green filler up to the 50-entry cap --------
         "stream_stateful_running": q_stream_stateful_running,
         "stream_sliding_window": q_stream_sliding_window,
@@ -2689,6 +2708,29 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT * FROM src
             WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        """,
+        # EWMA closed form: y_t = (1-a)^t x_0 + sum_{j=1..t} a(1-a)^(t-j) x_j
+        # (adjust=False recursion unrolled); self-join bounded by the
+        # small per-user group sizes at gate scale.
+        "window_ewma": """
+            WITH e AS (
+                SELECT user_id, event_id, value,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) - 1 AS t
+                FROM events
+            ), x0 AS (
+                SELECT user_id, value AS v0 FROM e WHERE t = 0
+            )
+            SELECT a.user_id, a.event_id, a.value,
+                   power(0.8, a.t) * x0.v0
+                   + coalesce(sum(0.2 * power(0.8, a.t - b.t) * b.value), 0.0)
+                       AS ewma
+            FROM e a
+            JOIN x0 ON a.user_id = x0.user_id
+            LEFT JOIN e b
+              ON b.user_id = a.user_id AND b.t >= 1 AND b.t <= a.t
+            GROUP BY a.user_id, a.event_id, a.value, a.t, x0.v0
         """,
         # aHash bits from the tiled-payload stub, integer-exact:
         # bit_i = (R+G+B at grid cell i) * 64 > sum of all cells

@@ -242,3 +242,47 @@ def global_top_k(df: DataFrame, order_by: Sequence[str | Column], k: int) -> Dat
     (per-partition heap + driver merge of k rows), NOT a global sort, so
     it's safe at any scale for small k."""
     return df.orderBy(*_order_cols(order_by)).limit(k)
+
+
+def ewma(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.2,
+    tiebreak_cols: Sequence[str] = (),
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponential moving average per key:
+    ``y_0 = x_0;  y_t = (1-alpha)*y_{t-1} + alpha*x_t`` over the key's
+    events in ``(ts, *tiebreak)`` order — the standard smoothing for
+    noisy series (and the recursion behind RSI/MACD-style indicators on
+    the reference's minute bars).
+
+    The recursion is genuinely sequential — no window frame expresses
+    it — so this is the textbook ``applyInPandas`` case: one shuffle on
+    the key, pandas' C-implemented ``ewm(adjust=False)`` inside each
+    group. Output keeps (key, ts, tiebreaks, value, ewma).
+
+    Memory bound: one key's full history per task (same bound as every
+    per-key window in this engine); a key too hot for that needs period
+    chunking with carried state, which is what the streaming twin
+    (applyInPandasWithState) does per micro-batch.
+    """
+    import pandas as pd
+
+    order = [ts_col, *tiebreak_cols]
+    cols = [key, *order, value_col]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.select(*cols).schema.fields
+    ) + f", {out_col} double"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort")
+        pdf[out_col] = (
+            pdf[value_col].astype(float).ewm(alpha=alpha, adjust=False).mean()
+        )
+        return pdf
+
+    return df.select(*cols).groupBy(key).applyInPandas(fn, out_schema)

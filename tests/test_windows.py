@@ -112,3 +112,28 @@ def test_rolling_time_agg_gappy_series(spark):
     assert got[(1, 4.0)] == (3, 7.0)   # inclusive 60s boundary
     assert got[(1, 8.0)] == (1, 8.0)   # row frame would have seen 3 rows
     assert got[(2, 16.0)] == (1, 16.0)
+
+
+def test_ewma_recursion_values(spark):
+    from quanta_etl_spark.operators import windows as win_ops
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, 1, 10.0),
+            (1, 2, 2, 20.0),
+            (1, 3, 3, 20.0),
+            (2, 1, 4, 5.0),
+        ],
+        ["k", "ts", "eid", "v"],
+    )
+    out = {
+        r["eid"]: r["ewma"]
+        for r in win_ops.ewma(
+            df, "k", "ts", "v", alpha=0.5, tiebreak_cols=["eid"]
+        ).collect()
+    }
+    # y0=10; y1=0.5*10+0.5*20=15; y2=0.5*15+0.5*20=17.5
+    assert out[1] == 10.0
+    assert out[2] == 15.0
+    assert out[3] == 17.5
+    assert out[4] == 5.0
