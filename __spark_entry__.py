@@ -1206,6 +1206,25 @@ def q_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return spark.table("stream_dedup")
 
 
+def q_media_phash_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Hamming-tolerant media near-dup: perceptual hashes banded into 4
+    pigeonhole blocks (complete for distance <= 3), verified by per-half
+    XOR popcounts. Oracle = all-pairs Hamming over the same SQL-derived
+    hashes — equivalent because the banding has no false negatives."""
+    from quanta_etl_spark.multimodal import media as mm
+
+    docs = load_table(spark, sf, "documents").where(F.col("doc_id") < 500)
+    payloads = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.lit("image/fake").alias("mime_type"),
+        F.lit(8).alias("width"),
+        F.lit(8).alias("height"),
+    )
+    hashed = mm.perceptual_hash(mm.decode_image(mm.media_table(payloads)))
+    return mm.phash_neardup_pairs(hashed, max_hamming=3)
+
+
 def q_window_ewma(spark: SparkSession, sf: str) -> DataFrame:
     """Per-user exponential moving average of event values (alpha=0.2,
     adjust=False recursion). Genuinely sequential, so the engine side
@@ -1592,6 +1611,7 @@ def queries() -> dict[str, QueryFn]:
         "quality_quarantine": q_quality_quarantine,
         "stream_stream_join": q_stream_stream_join,
         "media_phash_dedup": q_media_phash_dedup,
+        "media_phash_neardup": q_media_phash_neardup,
         "window_ewma": q_window_ewma,
         # -- (4) previously-green filler up to the 50-entry cap --------
         "stream_stateful_running": q_stream_stateful_running,
@@ -2731,6 +2751,48 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN e b
               ON b.user_id = a.user_id AND b.t >= 1 AND b.t <= a.t
             GROUP BY a.user_id, a.event_id, a.value, a.t, x0.v0
+        """,
+        # All-pairs Hamming over the SQL-derived aHash halves — equal to
+        # the engine's pigeonhole banding (complete for distance <= 3).
+        "media_phash_neardup": """
+            WITH d AS (
+                SELECT doc_id AS media_id, text,
+                       CAST(length(text) AS INT) AS L
+                FROM documents WHERE doc_id < 500
+            ), px AS (
+                SELECT media_id,
+                       CASE WHEN L = 0
+                            THEN [0 FOR i IN generate_series(0, 191)]
+                            ELSE [ord(substr(text, CAST(i % L AS INT) + 1, 1))
+                                  FOR i IN generate_series(0, 191)]
+                       END AS p
+                FROM d
+            ), gs AS (
+                SELECT media_id,
+                       [p[3 * i + 1] + p[3 * i + 2] + p[3 * i + 3]
+                        FOR i IN generate_series(0, 63)] AS g
+                FROM px
+            ), ph AS (
+                SELECT media_id,
+                       CAST(list_sum(
+                           [CASE WHEN g[i + 1] * 64 > list_sum(g)
+                                 THEN (CAST(1 AS BIGINT) << (i - 32))
+                                 ELSE 0 END
+                            FOR i IN generate_series(32, 63)]) AS BIGINT)
+                           AS hi,
+                       CAST(list_sum(
+                           [CASE WHEN g[i + 1] * 64 > list_sum(g)
+                                 THEN (CAST(1 AS BIGINT) << i)
+                                 ELSE 0 END
+                            FOR i IN generate_series(0, 31)]) AS BIGINT)
+                           AS lo
+                FROM gs
+            )
+            SELECT a.media_id AS id_a, b.media_id AS id_b,
+                   bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+                       AS hamming
+            FROM ph a JOIN ph b ON a.media_id < b.media_id
+            WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
         """,
         # aHash bits from the tiled-payload stub, integer-exact:
         # bit_i = (R+G+B at grid cell i) * 64 > sum of all cells

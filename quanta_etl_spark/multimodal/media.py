@@ -369,3 +369,64 @@ def perceptual_hash(decoded: DataFrame) -> DataFrame:
             )
 
     return decoded.mapInPandas(run, PHASH_SCHEMA)
+
+
+def phash_neardup_pairs(
+    hashed: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Near-duplicate media pairs by perceptual-hash Hamming distance —
+    the media twin of ``dedup.simhash_dedup_pairs``. Pigeonhole
+    banding: split the 64 hash bits into ``max_hamming + 1`` equal
+    blocks; any pair within the distance agrees on ≥1 block, so
+    per-block equi-joins find ALL such pairs (complete — no false
+    negatives) without a cross join. Verification sums per-half XOR
+    popcounts, so no signed-64 packing is ever materialized.
+
+    ``max_hamming`` must be 1, 3, or 7 (block widths 32/16/8 that
+    divide the 32-bit halves cleanly).
+    """
+    nblocks = max_hamming + 1
+    if 64 % nblocks != 0 or (64 // nblocks) > 32 or 32 % (64 // nblocks) != 0:
+        raise ValueError("max_hamming must be 1, 3, or 7")
+    width = 64 // nblocks
+    per_half = 32 // width
+    mask = (1 << width) - 1
+    blocks = []
+    for i in range(nblocks):
+        half = F.col("phash_lo") if i < per_half else F.col("phash_hi")
+        off = (i % per_half) * width
+        blocks.append(
+            F.struct(
+                F.lit(i).alias("block"),
+                F.shiftright(half, off).bitwiseAND(F.lit(mask)).alias("bval"),
+            )
+        )
+    banded = hashed.select(
+        F.col("media_id").alias("__id"),
+        "phash_hi",
+        "phash_lo",
+        F.explode(F.array(*blocks)).alias("__b"),
+    ).select("__id", "phash_hi", "phash_lo", "__b.block", "__b.bval")
+    l, r = banded.alias("l"), banded.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.block") == F.col("r.block"))
+            & (F.col("l.bval") == F.col("r.bval"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            (
+                F.bit_count(
+                    F.col("l.phash_hi").bitwiseXOR(F.col("r.phash_hi"))
+                )
+                + F.bit_count(
+                    F.col("l.phash_lo").bitwiseXOR(F.col("r.phash_lo"))
+                )
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs.where(F.col("hamming") <= max_hamming)

@@ -192,3 +192,26 @@ def test_perceptual_hash_equal_and_distinct(spark):
     # halves are unsigned 32-bit
     for hi, lo in hashed.values():
         assert 0 <= hi < 2**32 and 0 <= lo < 2**32
+
+
+def test_phash_neardup_banding_complete(spark):
+    from quanta_etl_spark.multimodal import media as mm
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    # hand-built hashes: 1<->2 differ in 2 bits (within 3), 3 is far
+    hashed = spark.createDataFrame(
+        [
+            (1, 0x0000FFFF, 0x12345678),
+            (2, 0x0100FFFF, 0x12345679),   # bits differ: one in hi, one in lo
+            (3, 0xFFFF0000, 0x87654321),
+        ],
+        ["media_id", "phash_hi", "phash_lo"],
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in mm.phash_neardup_pairs(hashed, max_hamming=3).collect()
+    }
+    assert pairs == {(1, 2): 2}
+    with _pytest.raises(ValueError):
+        mm.phash_neardup_pairs(hashed, max_hamming=2)
