@@ -1206,6 +1206,39 @@ def q_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return spark.table("stream_dedup")
 
 
+def q_udtf_sentences(spark: SparkSession, sf: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function) splitting documents into
+    sentences via LATERAL — one row per sentence with its index. The
+    boundary regex is RE2-compatible so the oracle reproduces the split
+    exactly."""
+    from quanta_etl_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    # the synthetic corpus has no sentence boundaries, so build
+    # multi-sentence payloads deterministically (first 40 chars as a
+    # lead sentence, then the doc, then a fixed tail question)
+    docs = (
+        load_table(spark, sf, "documents")
+        .where(F.col("doc_id") < 300)
+        .select(
+            "doc_id",
+            F.concat(
+                F.substring("text", 1, 40),
+                F.lit(". "),
+                F.col("text"),
+                F.lit("! Is this the end? Yes."),
+            ).alias("text"),
+        )
+    )
+    docs.createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_id, s.sentence
+        FROM __udtf_docs d, LATERAL split_sentences(d.text) s
+        """
+    )
+
+
 def q_media_phash_neardup(spark: SparkSession, sf: str) -> DataFrame:
     """Hamming-tolerant media near-dup: perceptual hashes banded into 4
     pigeonhole blocks (complete for distance <= 3), verified by per-half
@@ -1613,6 +1646,7 @@ def queries() -> dict[str, QueryFn]:
         "media_phash_dedup": q_media_phash_dedup,
         "media_phash_neardup": q_media_phash_neardup,
         "window_ewma": q_window_ewma,
+        "udtf_sentences": q_udtf_sentences,
         # -- (4) previously-green filler up to the 50-entry cap --------
         "stream_stateful_running": q_stream_stateful_running,
         "stream_sliding_window": q_stream_sliding_window,
@@ -2751,6 +2785,27 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN e b
               ON b.user_id = a.user_id AND b.t >= 1 AND b.t <= a.t
             GROUP BY a.user_id, a.event_id, a.value, a.t, x0.v0
+        """,
+        "udtf_sentences": """
+            WITH s AS (
+                SELECT doc_id,
+                       list_filter(
+                           [trim(x) FOR x IN
+                            string_split_regex(
+                                substr(text, 1, 40) || '. ' || text
+                                || '! Is this the end? Yes.',
+                                '[.!?]+\\s+')],
+                           x -> x <> '') AS l
+                FROM documents WHERE doc_id < 300
+            ), e AS (
+                SELECT doc_id, l,
+                       unnest(generate_series(1, len(l))) AS i
+                FROM s
+            )
+            SELECT doc_id,
+                   CAST(i - 1 AS INT) AS sent_id,
+                   l[CAST(i AS INT)] AS sentence
+            FROM e
         """,
         # All-pairs Hamming over the SQL-derived aHash halves — equal to
         # the engine's pigeonhole banding (complete for distance <= 3).

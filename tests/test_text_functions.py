@@ -125,3 +125,25 @@ def test_redact_pii(spark):
     assert "jane.doe" not in out and "7946" not in out
     assert out.count("[REDACTED]") == 2
     assert out.startswith("mail [REDACTED] or call ")
+
+
+def test_udtf_split_sentences(spark):
+    from quanta_etl_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    df = spark.createDataFrame(
+        [(1, "First one. Second!  Third? "), (2, "no boundary"), (3, None)],
+        ["doc_id", "text"],
+    )
+    df.createOrReplaceTempView("__udtf_test_docs")
+    rows = spark.sql(
+        "SELECT d.doc_id, s.sent_id, s.sentence "
+        "FROM __udtf_test_docs d, LATERAL split_sentences(d.text) s"
+    ).collect()
+    got = {(r["doc_id"], r["sent_id"]): r["sentence"] for r in rows}
+    assert got == {
+        (1, 0): "First one",
+        (1, 1): "Second",
+        (1, 2): "Third",  # trailing "? " is itself a boundary match
+        (2, 0): "no boundary",
+    }
