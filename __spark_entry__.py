@@ -364,6 +364,29 @@ def q_join_asof(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("event_id", "user_id", "last_purchase_value")
 
 
+def q_join_asof_forward(spark: SparkSession, sf: str) -> DataFrame:
+    """FORWARD as-of join: for every click, the NEXT purchase value of
+    the same user at-or-after the click — same union + single-window
+    plan as backward (one shuffle), direction flipped."""
+    ev = load_table(spark, sf, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("next_purchase_value")
+    )
+    out = join_ops.asof_join(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["next_purchase_value"],
+        direction="forward",
+    )
+    return out.select("event_id", "user_id", "next_purchase_value")
+
+
 # ---------------------------------------------------------------------------
 # Window / time-series (§2B B1, B3-B6)
 # ---------------------------------------------------------------------------
@@ -1647,6 +1670,7 @@ def queries() -> dict[str, QueryFn]:
         "media_phash_neardup": q_media_phash_neardup,
         "window_ewma": q_window_ewma,
         "udtf_sentences": q_udtf_sentences,
+        "join_asof_forward": q_join_asof_forward,
         # -- (4) previously-green filler up to the 50-entry cap --------
         "stream_stateful_running": q_stream_stateful_running,
         "stream_sliding_window": q_stream_sliding_window,
@@ -1932,6 +1956,12 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'click') c
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
               ON c.user_id = p.user_id AND p.ts <= c.ts
+        """,
+        "join_asof_forward": """
+            SELECT c.event_id, c.user_id, p.value AS next_purchase_value
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id AND p.ts >= c.ts
         """,
         "lag_returns": """
             SELECT user_id, event_id,
