@@ -364,6 +364,14 @@ def q_join_asof(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("event_id", "user_id", "last_purchase_value")
 
 
+def q_text_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document token-distribution Shannon entropy (bits) — the
+    diversity signal complementing the repetition fractions. Computed
+    as log2(n) - Σ c·log2(c)/n in one map-side-combinable pass."""
+    docs = load_table(spark, sf, "documents")
+    return ts_ops.token_entropy(docs, "doc_id", "text")
+
+
 def q_join_asof_forward(spark: SparkSession, sf: str) -> DataFrame:
     """FORWARD as-of join: for every click, the NEXT purchase value of
     the same user at-or-after the click — same union + single-window
@@ -1671,6 +1679,7 @@ def queries() -> dict[str, QueryFn]:
         "window_ewma": q_window_ewma,
         "udtf_sentences": q_udtf_sentences,
         "join_asof_forward": q_join_asof_forward,
+        "text_entropy": q_text_entropy,
         # -- (4) previously-green filler up to the 50-entry cap --------
         "stream_stateful_running": q_stream_stateful_running,
         "stream_sliding_window": q_stream_sliding_window,
@@ -1956,6 +1965,30 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'click') c
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
               ON c.user_id = p.user_id AND p.ts <= c.ts
+        """,
+        # H = log2(n) - sum(c*log2(c))/n over per-doc token counts;
+        # same normalization as the repetition oracle
+        "text_entropy": """
+            WITH norm AS (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                FROM documents
+            ), words AS (
+                SELECT doc_id, string_split(t, ' ') AS w
+                FROM norm WHERE t <> ''
+            ), tc AS (
+                SELECT doc_id, tk, count(*) AS c
+                FROM (SELECT doc_id, unnest(w) AS tk FROM words)
+                GROUP BY doc_id, tk
+            ), st AS (
+                SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                       sum(c * log2(c)) AS clog
+                FROM tc GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(st.n_tokens, 0) AS n_tokens,
+                   log2(st.n_tokens) - st.clog / st.n_tokens AS entropy_bits
+            FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
         """,
         "join_asof_forward": """
             SELECT c.event_id, c.user_id, p.value AS next_purchase_value

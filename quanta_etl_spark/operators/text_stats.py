@@ -188,3 +188,37 @@ def repetition_stats(
             (F.col("top_bg_c") / F.col("n_bigrams")).alias("top_bigram_frac"),
         )
     )
+
+
+def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (bits):
+    ``H = -Σ (c/n) · log2(c/n)`` — the standard diversity signal next
+    to the repetition fractions (H ≈ 0 flags one-token spam even when
+    simple ratios look sane; H is maximal for all-distinct tokens).
+
+    Same two-level aggregation shape as :func:`repetition_stats` (one
+    explode, map-side-combinable counts); emits ``(doc_id, n_tokens,
+    entropy_bits)`` with NULL entropy for empty documents.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(ws_tokens(normalize_text(text_col))).alias("tok"),
+    )
+    tok_counts = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # entropy needs n in the same aggregation: compute Σ c·log2(c) and n,
+    # then H = log2(n) - Σ c·log2(c) / n  (algebraic rearrangement that
+    # keeps everything one map-side-combinable pass)
+    stats = tok_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.col("c") * F.log2("c")).alias("__clog"),
+    )
+    base = df.select(F.col(id_col).alias("doc_id"))
+    return base.join(stats, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        (F.log2("n_tokens") - F.col("__clog") / F.col("n_tokens")).alias(
+            "entropy_bits"
+        ),
+    )

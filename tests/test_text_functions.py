@@ -147,3 +147,27 @@ def test_udtf_split_sentences(spark):
         (1, 2): "Third",  # trailing "? " is itself a boundary match
         (2, 0): "no boundary",
     }
+
+
+def test_token_entropy_values(spark):
+    import math
+    from quanta_etl_spark.operators import text_stats as ts_ops
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),            # one token: H = 0
+            (2, "a b c d"),            # uniform over 4: H = 2 bits
+            (3, "a a b b b b"),        # p = (1/3, 2/3)
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["entropy_bits"])
+        for r in ts_ops.token_entropy(df, "doc_id", "text").collect()
+    }
+    assert got[1] == (4, 0.0)
+    assert got[2][1] == pytest.approx(2.0)
+    expect3 = -(1 / 3) * math.log2(1 / 3) - (2 / 3) * math.log2(2 / 3)
+    assert got[3][1] == pytest.approx(expect3)
+    assert got[4] == (0, None)
