@@ -36,6 +36,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 _EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
@@ -85,6 +86,54 @@ class SyntheticEventsReader(DataSourceReader):
             )
 
 
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming twin of the batch reader: the offset is simply the
+    next ``event_id`` to generate, so each micro-batch emits
+    ``rows_per_batch`` new events and the checkpoint holds one integer.
+    Offsets are the whole streaming contract — a restart resumes from
+    the checkpointed offset and regenerates the identical rows
+    (deterministic generation is what makes the source replayable,
+    Spark's requirement for exactly-once sinks).
+
+    The Simple reader variant generates on the driver; it is for
+    demo/low-rate sources — a high-throughput connector implements the
+    partition-planned ``DataSourceStreamReader`` with the same offset
+    logic instead.
+    """
+
+    def __init__(self, options: dict):
+        self.rows_per_batch = int(options.get("rows_per_batch", 100))
+        self.seed = int(options.get("seed", 42))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict):
+        begin = int(start["next"])
+        end = begin + self.rows_per_batch
+        # a LIST, not a generator: Spark pickles the returned records
+        # into its prefetch cache before the batch is planned
+        return list(self.readBetweenOffsets(start, {"next": end})), {
+            "next": end
+        }
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # replay for recovery: regenerate [start, end) deterministically
+        begin, stop = int(start["next"]), int(end["next"])
+        rng = random.Random(self.seed * 1_000_003 + begin)
+        for event_id in range(begin, stop):
+            yield (
+                event_id,
+                _BASE_TS + dt.timedelta(seconds=event_id * 7),
+                rng.randrange(1000),
+                _EVENT_TYPES[rng.randrange(len(_EVENT_TYPES))],
+                round(rng.random() * 100, 6),
+            )
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up: generation is stateless
+
+
 class SyntheticEventsDataSource(DataSource):
     """``format("synthetic_events")`` — see module docstring."""
 
@@ -97,3 +146,6 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema) -> SyntheticEventsReader:
         return SyntheticEventsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SyntheticEventsStreamReader:
+        return SyntheticEventsStreamReader(self.options)

@@ -194,3 +194,29 @@ def test_python_datasource_synthetic_events(spark):
     assert ids == list(range(500))
     # partition plan drops empty tails (rows < partitions)
     assert load(rows=3, partitions=8, seed=1).rdd.getNumPartitions() == 3
+
+
+def test_python_datasource_streaming(spark, tmp_path):
+    from quanta_etl_spark.sources.pysource import SyntheticEventsDataSource
+
+    spark.dataSource.register(SyntheticEventsDataSource)
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("rows_per_batch", 50)
+        .option("seed", 3)
+        .load()
+    )
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("synthetic_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("synthetic_stream")
+    n = out.count()
+    assert n >= 50 and n % 50 == 0  # whole micro-batches of 50
+    ids = sorted(r["event_id"] for r in out.collect())
+    assert ids == list(range(n))  # offset = next event_id, no gaps
