@@ -1,0 +1,112 @@
+"""Randomized property tests (hypothesis): operator invariants over
+generated inputs — the layer of the §5 pyramid above hand-picked
+examples. Example counts are small (Spark jobs per example), but every
+run explores fresh inputs and shrinks failures to minimal cases.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from quanta_etl_spark.operators import corpus as corpus_ops
+from quanta_etl_spark.operators import merge as merge_ops
+from quanta_etl_spark.operators import quality as quality_ops
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_token = st.text(alphabet="abcdefg", min_size=1, max_size=4)
+_doc = st.lists(_token, min_size=0, max_size=40).map(" ".join)
+
+
+@given(docs=st.lists(_doc, min_size=1, max_size=6), chunk=st.integers(2, 8),
+       overlap=st.integers(0, 3))
+@settings(**_SETTINGS)
+def test_chunking_covers_every_token_once_per_stride(spark, docs, chunk, overlap):
+    if overlap >= chunk:
+        overlap = chunk - 1
+    stride = chunk - overlap
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    out = corpus_ops.chunk_documents(
+        df, "doc_id", "text", chunk_tokens=chunk, overlap=overlap
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, text in enumerate(docs):
+        toks = text.lower().split() if text.strip() else []
+        rows = sorted(by_doc[doc_id], key=lambda r: r["chunk_id"])
+        # chunk starts advance by exactly the stride
+        assert [r["chunk_start"] for r in rows] == [
+            i * stride for i in range(len(rows))
+        ]
+        # reconstruction: drop each chunk's first `overlap` tokens
+        # (except chunk 0) and the concatenation equals the doc
+        rebuilt: list[str] = []
+        for i, r in enumerate(rows):
+            ts = r["chunk_text"].split() if r["chunk_text"] else []
+            rebuilt.extend(ts if i == 0 else ts[overlap:])
+        assert rebuilt == toks
+        # every chunk except the last holds exactly chunk_tokens
+        for r in rows[:-1]:
+            assert r["n_chunk_tokens"] == chunk
+
+
+@given(
+    target=st.lists(
+        st.tuples(st.integers(0, 9), st.floats(0, 100, allow_nan=False)),
+        min_size=0, max_size=8, unique_by=lambda t: t[0],
+    ),
+    source=st.lists(
+        st.tuples(st.integers(0, 9), st.floats(0, 100, allow_nan=False)),
+        min_size=1, max_size=8, unique_by=lambda t: t[0],
+    ),
+)
+@settings(**_SETTINGS)
+def test_merge_upsert_idempotent_and_complete(spark, target, source):
+    t = spark.createDataFrame(target or [(99, -1.0)], ["k", "v"])
+    if not target:
+        t = t.where("k < 0")  # empty frame with the right schema
+    s = spark.createDataFrame(source, ["k", "v"])
+    once = merge_ops.merge_upsert(t, s, ["k"])
+    twice = merge_ops.merge_upsert(once, s, ["k"])
+    got_once = sorted(map(tuple, once.collect()))
+    got_twice = sorted(map(tuple, twice.collect()))
+    assert got_once == got_twice  # idempotent
+    # completeness: every source key present with the source value;
+    # every unmatched target key survives untouched
+    expect = dict(target)
+    expect.update(dict(source))
+    assert got_once == sorted(expect.items())
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 50),
+                  st.one_of(st.none(), st.floats(-10, 10, allow_nan=False))),
+        min_size=1, max_size=12,
+    )
+)
+@settings(**_SETTINGS)
+def test_validate_split_is_a_partition(spark, rows):
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(rows)],
+        "id int, k int, v double",
+    )
+    good, bad = quality_ops.validate_split(
+        df, {"v_pos": F.col("v") > 0, "k_small": F.col("k") < 25}
+    )
+    good_ids = {r["id"] for r in good.collect()}
+    bad_ids = {r["id"] for r in bad.collect()}
+    assert good_ids | bad_ids == set(range(len(rows)))
+    assert not (good_ids & bad_ids)
+    # NULL predicate results quarantine
+    for i, (k, v) in enumerate(rows):
+        if v is None:
+            assert i in bad_ids
