@@ -75,3 +75,33 @@ def test_derivative_underlying_join(spark):
     assert "underlying_end_price" in joined.columns
     # inner-join semantics: rows with null underlying_isin are dropped
     assert joined.where(F.col("underlying_isin").isNull()).count() == 0
+
+
+def test_job_registry_runs_reference_main(spark, tmp_path):
+    """The job registry's full_etl mirrors the reference main():
+    both pipelines run sequentially to partitioned parquet."""
+    import os
+
+    from quanta_etl_spark import jobs
+
+    assert set(jobs.available_jobs()) >= {"xetra", "eurex", "full_etl"}
+    out = str(tmp_path / "etl_out")
+    jobs.get_job("full_etl")(
+        spark,
+        input=XETRA_CSV,
+        eurex_input=EUREX_CSV,
+        dim_input=DIM_CSV,
+        output=out,
+    )
+    x = spark.read.parquet(f"{out}/xetra")
+    # eurex_job's output dir holds the fact + the two quality reports
+    e = spark.read.parquet(f"{out}/eurex/eurex")
+    assert x.count() == 15057
+    assert e.count() == 3546
+    assert os.path.isdir(f"{out}/eurex/missing_isin")
+    # hive-partitioned layout on trading_date (reference etl.py:62,171)
+    assert any(
+        d.startswith("trading_date=") for d in os.listdir(f"{out}/xetra")
+    )
+    with pytest.raises(KeyError):
+        jobs.get_job("nope")
