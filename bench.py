@@ -62,32 +62,45 @@ def main() -> None:
     # timed runs: this host is multi-tenant and per-run throughput swings
     # 2-3×; min-over-repetitions estimates the query's real cost rather
     # than the neighbors' load.
+    # One failing query must never zero out the whole perf signal
+    # (round 4: a single AnalysisException aborted the run with rc 1 and
+    # no timings at all) — record the error, keep timing the rest, and
+    # always emit the summary JSON line.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in qs.items():
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        best = float("inf")
-        for _ in range(2):
+        try:
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            best = float("inf")
+            for _ in range(2):
+                _drop_leftover_persists()
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 4)
+            print(
+                f"[bench] {name}: {timings[name]:.2f}s", file=sys.stderr, flush=True
+            )
+        except Exception as exc:  # noqa: BLE001 — survive any one query
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"[bench] {name}: FAILED {errors[name]}", file=sys.stderr, flush=True)
+        finally:
             _drop_leftover_persists()
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
-        _drop_leftover_persists()
-        print(f"[bench] {name}: {timings[name]:.2f}s", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    summary = {
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_failed": len(errors),
+    }
+    if errors:
+        summary["errors"] = errors
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

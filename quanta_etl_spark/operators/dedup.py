@@ -253,6 +253,48 @@ def _banded_pairs(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     )
 
 
+def _bucket_pair_indices(
+    starts: "np.ndarray", sizes: "np.ndarray", cap: int
+) -> tuple["np.ndarray", "np.ndarray"]:
+    """Global row-index pairs for contiguous bucket runs, with the
+    HOT-BUCKET guard that makes LSH pairing survive a skewed corpus.
+
+    Runs of size 2..cap emit the full upper triangle — vectorized
+    across all runs of equal size (one ``triu_indices`` per distinct
+    size, no per-bucket Python loop). Runs larger than ``cap`` (one
+    template shared by 10⁵ documents puts all of them in one bucket —
+    repartitioning cannot split a single key, and the full triangle
+    is O(s²) rows out of one task) instead emit a bounded SPANNING set:
+    the consecutive chain (i, i+1) plus a star from the bucket's
+    minimum id — ≤ 2s rows, linear work. Any two members remain
+    connected through the chain, so the connected-components stage
+    still assembles the full cluster and ``apply_dedup`` drops the same
+    losers; what a giant bucket gives up is only the explicit listing
+    of every quadratic cross-pair, which no dedup consumer needs.
+    Rows are id-sorted within each run, so pair order (gi < gj row-wise
+    → id_a < id_b) is preserved by construction.
+    """
+    ia_parts, ib_parts = [], []
+    eligible = (sizes >= 2) & (sizes <= cap)
+    for s in np.unique(sizes[eligible]):
+        offs = starts[(sizes == s) & eligible]
+        ti, tj = np.triu_indices(s, k=1)
+        ia_parts.append((offs[:, None] + ti[None, :]).ravel())
+        ib_parts.append((offs[:, None] + tj[None, :]).ravel())
+    hot = sizes > cap
+    for off, s in zip(starts[hot], sizes[hot]):
+        idx = np.arange(off, off + s)
+        ia_parts.append(idx[:-1])  # chain: (i, i+1)
+        ib_parts.append(idx[1:])
+        if s > 2:
+            ia_parts.append(np.full(s - 2, off))  # star from min id
+            ib_parts.append(idx[2:])
+    if not ia_parts:
+        empty = np.empty(0, dtype=np.int64)
+        return empty, empty
+    return np.concatenate(ia_parts), np.concatenate(ib_parts)
+
+
 def _fused_likely_pairs(
     df: DataFrame,
     id_col: str,
@@ -262,6 +304,7 @@ def _fused_likely_pairs(
     shingle_k: int,
     min_agree: int,
     seed: int = 42,
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """Likely near-dup pairs in TWO Python stages and one shuffle:
 
@@ -340,21 +383,14 @@ def _fused_likely_pairs(
             sig_mat = np.frombuffer(
                 b"".join(pdf["__sig"]), dtype=np.int32
             ).reshape(n, -1)
-            ia_parts, ib_parts = [], []
-            for s in np.unique(sizes[sizes >= 2]):
-                offs = starts[sizes == s]
-                ti, tj = np.triu_indices(s, k=1)
-                gi = (offs[:, None] + ti[None, :]).ravel()
-                gj = (offs[:, None] + tj[None, :]).ravel()
-                agree = (sig_mat[gi] == sig_mat[gj]).sum(axis=1)
-                keep = agree >= min_agree
-                if keep.any():
-                    ia_parts.append(gi[keep])
-                    ib_parts.append(gj[keep])
-            if not ia_parts:
+            gi, gj = _bucket_pair_indices(starts, sizes, max_bucket)
+            if not len(gi):
                 return None
-            ia = np.concatenate(ia_parts)
-            ib = np.concatenate(ib_parts)
+            agree = (sig_mat[gi] == sig_mat[gj]).sum(axis=1)
+            keep = agree >= min_agree
+            if not keep.any():
+                return None
+            ia, ib = gi[keep], gj[keep]
             return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
 
         for pdf in batches:
@@ -395,6 +431,7 @@ def _bucket_likely_pairs(
     num_hashes: int,
     bands: int,
     min_agree: int,
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """Likely near-dup pairs straight from the LSH buckets.
 
@@ -429,21 +466,14 @@ def _bucket_likely_pairs(
                 return None
             ids = pdf["__id"].values
             sig_mat = np.vstack(pdf["__sig"].values).astype(np.int32)
-            ia_parts, ib_parts = [], []
-            for s in np.unique(sizes[multi]):
-                offs = starts[sizes == s]
-                ti, tj = np.triu_indices(s, k=1)
-                gi = (offs[:, None] + ti[None, :]).ravel()
-                gj = (offs[:, None] + tj[None, :]).ravel()
-                agree = (sig_mat[gi] == sig_mat[gj]).sum(axis=1)
-                keep = agree >= min_agree
-                if keep.any():
-                    ia_parts.append(gi[keep])
-                    ib_parts.append(gj[keep])
-            if not ia_parts:
+            gi, gj = _bucket_pair_indices(starts, sizes, max_bucket)
+            if not len(gi):
                 return None
-            ia = np.concatenate(ia_parts)
-            ib = np.concatenate(ib_parts)
+            agree = (sig_mat[gi] == sig_mat[gj]).sum(axis=1)
+            keep = agree >= min_agree
+            if not keep.any():
+                return None
+            ia, ib = gi[keep], gj[keep]
             return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
 
         for pdf in batches:
@@ -516,6 +546,7 @@ def minhash_dedup_pairs(
     bands: int = 16,
     shingle_k: int = 5,
     use_arrow: bool = True,
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs, VERIFIED in two stages:
 
@@ -528,6 +559,12 @@ def minhash_dedup_pairs(
        is what makes that survivable.
     2. exact Jaccard over the true shingle sets (array_intersect/
        array_union) on the survivors only — no false positives remain.
+
+    ``max_bucket`` bounds in-bucket pair generation on skewed corpora
+    (see ``_bucket_pair_indices``): buckets beyond it emit a linear
+    spanning set instead of the quadratic triangle — cluster assembly
+    via ``assign_clusters``/``apply_dedup`` is unaffected, only the
+    exhaustive cross-pair listing inside a giant bucket is.
 
     Returns (id_a, id_b, jaccard) with jaccard >= threshold."""
     import math
@@ -554,7 +591,8 @@ def minhash_dedup_pairs(
         # lazily-checkpointed subtree consumed by two branches of one
         # job races and computes twice).
         likely = _fused_likely_pairs(
-            df, id_col, text_col, num_hashes, bands, shingle_k, min_agree
+            df, id_col, text_col, num_hashes, bands, shingle_k, min_agree,
+            max_bucket=max_bucket,
         ).dropDuplicates().localCheckpoint(eager=True)
     else:
         # Pure-Catalyst fallback: band self-join + interpreted estimate.

@@ -89,20 +89,35 @@ def iqr_outliers(
     by: Sequence[str],
     k: float = 1.5,
     mode: str = "flag",
+    exact: bool = True,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """Tukey-fence outlier detection per group: a row is an outlier if
     its value falls outside [q1 - k·IQR, q3 + k·IQR] of its group.
 
     ``mode="flag"`` appends a boolean ``is_outlier``; ``mode="drop"``
-    filters outliers out; ``mode="only"`` keeps only them. Exact
-    percentiles (one shuffle) + a broadcast-able bounds join — no
-    window-over-everything, no driver round-trip."""
+    filters outliers out; ``mode="only"`` keeps only them. One
+    aggregation (one shuffle) + a broadcast-able bounds join — no
+    window-over-everything, no driver round-trip.
+
+    ``exact=True`` computes true quartiles: ``percentile`` buffers each
+    group's values in the aggregation state, so per-group memory is
+    O(group size) — fine while groups fit an executor. For unbounded or
+    heavily skewed groups (the 100-TB case: billions of rows behind a
+    handful of keys), ``exact=False`` switches to
+    ``approx_percentile`` — a bounded KLL-style sketch whose state is
+    O(accuracy) per group regardless of group size, mergeable across
+    partitions (map-side partial aggregation stays effective). Relative
+    rank error ≤ 1/accuracy."""
     if mode not in ("flag", "drop", "only"):
         raise ValueError(f"unknown mode: {mode!r}")
-    bounds = df.groupBy(*by).agg(
-        F.percentile(value, F.lit(0.25)).alias("__q1"),
-        F.percentile(value, F.lit(0.75)).alias("__q3"),
-    )
+    if exact:
+        q1 = F.percentile(value, F.lit(0.25))
+        q3 = F.percentile(value, F.lit(0.75))
+    else:
+        q1 = F.approx_percentile(value, F.lit(0.25), F.lit(accuracy))
+        q3 = F.approx_percentile(value, F.lit(0.75), F.lit(accuracy))
+    bounds = df.groupBy(*by).agg(q1.alias("__q1"), q3.alias("__q3"))
     joined = df.join(bounds, list(by), "left")
     iqr = F.col("__q3") - F.col("__q1")
     is_out = (F.col(value) < F.col("__q1") - k * iqr) | (

@@ -111,11 +111,22 @@ def sessionize(
     Two stacked windows over ONE shuffle+sort (lag flag, then running
     sum) — the standard distributed sessionize; at scale the state per
     partition is one key's ordered history."""
+    # Gap arithmetic needs epoch seconds. `cast("long")` is illegal on
+    # TIMESTAMP_NTZ (which parquet `timestamp[us]` columns read as), so
+    # pick the conversion off the actual dtype: numeric ts columns are
+    # already epoch seconds; timestamp/ntz go through unix_timestamp
+    # (NTZ-safe, same truncate-to-seconds semantics as the old cast).
+    from pyspark.sql.types import NumericType
+
+    if isinstance(df.schema[ts].dataType, NumericType):
+        ts_secs = F.col(ts).cast("long")
+    else:
+        ts_secs = F.unix_timestamp(F.col(ts))
     order = [F.col(ts), *_order_cols(order_tiebreak)]
     w = Window.partitionBy(key).orderBy(*order)
-    prev = F.lag(F.col(ts).cast("long")).over(w)
+    prev = F.lag(ts_secs).over(w)
     is_new = F.when(
-        prev.isNull() | ((F.col(ts).cast("long") - prev) > gap_seconds), 1
+        prev.isNull() | ((ts_secs - prev) > gap_seconds), 1
     ).otherwise(0)
     running = Window.partitionBy(key).orderBy(*order).rowsBetween(
         Window.unboundedPreceding, 0

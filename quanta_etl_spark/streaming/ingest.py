@@ -45,6 +45,39 @@ def read_stream(
     return reader.format(fmt).load(path)
 
 
+def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Dtype-guarded event-time normalizer.
+
+    Upstream parquet has shipped the events ``ts`` column both as
+    INT64 epoch-NANOS (pandas-written, read as ``bigint`` under
+    ``spark.sql.legacy.parquet.nanosAsLong``) and as ``timestamp[us]``
+    (reads as ``TIMESTAMP_NTZ``). Every event-time consumer must accept
+    either, so the conversion is keyed off the actual schema instead of
+    being assumed:
+
+    * ``LongType``  → epoch-nanos: truncate to micros and build a
+      timestamp (identical to how DuckDB reads the same file);
+    * ``TimestampNTZType`` → cast to ``TIMESTAMP``: watermarks demand
+      an instant type (``EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE``
+      otherwise), and the engine pins
+      ``spark.sql.session.timeZone=UTC`` so the cast is wall-clock
+      preserving — NTZ and UTC-instant semantics coincide for every
+      epoch/format output;
+    * ``TimestampType`` → already correct; pass through.
+
+    Works on batch and streaming DataFrames alike — it only inspects
+    the schema and adds a projection.
+    """
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, LongType):
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    if isinstance(dt, TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def with_late_data_policy(
     df: DataFrame,
     ts_col: str,

@@ -252,3 +252,21 @@ def test_validate_split_quarantine(spark):
         4: "named",
         5: "positive,named",
     }
+
+
+def test_iqr_outliers_approx_mode(spark):
+    """approx_percentile mode: bounded sketch state for unbounded
+    groups. At high accuracy on small groups it matches exact quartiles
+    bit-for-bit, so the fence decisions agree."""
+    rows = [("a", float(v)) for v in range(1, 101)] + [("a", 1000.0)] + [
+        ("b", float(v)) for v in (1, 2, 3, 500)
+    ]
+    df = spark.createDataFrame(rows, "k string, v double")
+    exact = Q.iqr_outliers(df, "v", ["k"], k=1.5, mode="only", exact=True)
+    approx = Q.iqr_outliers(df, "v", ["k"], k=1.5, mode="only", exact=False)
+    assert sorted(map(tuple, exact.collect())) == sorted(
+        map(tuple, approx.collect())
+    )
+    assert {tuple(r) for r in approx.select("k", "v").collect()} >= {
+        ("a", 1000.0)
+    }

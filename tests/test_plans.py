@@ -162,3 +162,46 @@ def test_quarantine_rides_the_scan(spark, sf_dir):
     df = E.q_quality_quarantine(spark, sf_dir)
     assert P.count_shuffles(df) == 0
     assert not P.has_cartesian(df)
+
+
+def test_minhash_hot_bucket_bounded(spark):
+    """Skew stress (VERDICT r4 #5): one template shared by N docs puts
+    all N rows in the same LSH bucket — repartitioning cannot split a
+    single key, so pair generation itself must bound the work. With
+    max_bucket below N the hot bucket emits a linear spanning set
+    (chain + star, ≤ 2N pairs per band) instead of the N²/2 triangle;
+    this test fails if the quadratic listing ever comes back."""
+    from quanta_etl_spark.operators import dedup as D
+
+    n_hot, n_normal = 1200, 50
+    template = "the quick brown fox jumps over the lazy dog " * 8
+    rows = [(i, template) for i in range(n_hot)] + [
+        # every token carries i so the shingle sets are disjoint —
+        # the filler docs must NOT be near-dups of each other
+        (n_hot + i, " ".join(f"w{i}x{j}" for j in range(12)))
+        for i in range(n_normal)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    bands, num_hashes = 8, 32
+    likely = D._fused_likely_pairs(
+        df, "doc_id", "text", num_hashes=num_hashes, bands=bands,
+        shingle_k=5, min_agree=24, max_bucket=64,
+    )
+    n_pairs = likely.count()
+    # full triangle would be bands * n_hot*(n_hot-1)/2 ≈ 5.8M rows;
+    # the spanning set is ≤ bands * 2 * n_hot plus normal-doc noise
+    assert n_pairs <= bands * 2 * n_hot, n_pairs
+    assert n_pairs >= n_hot - 1  # still connected
+
+    # end-to-end: cluster assembly still finds ONE cluster with every
+    # template doc, and apply_dedup keeps exactly one survivor of it
+    from quanta_etl_spark.operators import graph as G
+
+    pairs = D.minhash_dedup_pairs(
+        df, "doc_id", "text", threshold=0.8, num_hashes=num_hashes,
+        bands=bands, shingle_k=5, max_bucket=64,
+    )
+    clusters = G.assign_clusters(pairs).where(F.col("cluster_id") == 0)
+    assert clusters.count() == n_hot
+    kept = G.apply_dedup(df, pairs, "doc_id")
+    assert kept.where(F.col("doc_id") < n_hot).count() == 1

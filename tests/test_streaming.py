@@ -262,3 +262,50 @@ def test_merge_stream_into_parquet_upserts_across_batches(spark, tmp_path):
         for r in spark.read.parquet(target).collect()
     }
     assert got == {1: ("done", 9.0), 2: ("new", 2.0), 3: ("new", 3.0)}
+
+
+def test_normalize_event_time_variants(spark):
+    """normalize_event_time must map every dtype the driver's testdata
+    has shipped for events.ts (int64 epoch-nanos, timestamp[us] →
+    TIMESTAMP_NTZ, plain TIMESTAMP) to a watermark-legal TIMESTAMP with
+    identical instants (session tz is pinned UTC)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 8, 0, 0, 123000)
+    epoch_s = int(base.replace(tzinfo=dt.timezone.utc).timestamp())
+    nanos = epoch_s * 1_000_000_000 + base.microsecond * 1_000
+
+    long_df = spark.createDataFrame([(nanos,)], "ts long")
+    ntz_df = spark.createDataFrame([(base,)], "ts timestamp_ntz")
+    ts_df = spark.createDataFrame([(base,)], "ts timestamp")
+    outs = []
+    for df in (long_df, ntz_df, ts_df):
+        out = ingest.normalize_event_time(df)
+        assert dict(out.dtypes)["ts"] == "timestamp"
+        outs.append(out.select(F.unix_micros("ts").alias("us")).first().us)
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_watermark_accepts_normalized_ntz_stream(spark, tmp_path):
+    """End-to-end: an NTZ-typed file stream passes through
+    normalize_event_time and sustains a watermarked windowed agg (the
+    exact shape that broke in round 4)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 8, 0)
+    rows = [(i, base + dt.timedelta(minutes=7 * i), float(i)) for i in range(10)]
+    path = str(tmp_path / "ntz_events")
+    spark.createDataFrame(rows, "eid long, ts timestamp_ntz, v double").write.parquet(
+        path
+    )
+    raw_schema = spark.read.parquet(path).schema
+    assert "timestamp_ntz" in [t for _, t in [(n, d) for n, d in
+                               spark.read.parquet(path).dtypes]]
+    stream = ingest.normalize_event_time(ingest.read_stream(spark, path, raw_schema))
+    agg = (
+        ingest.with_late_data_policy(stream, "ts", delay="10 minutes")
+        .groupBy(F.window("ts", "30 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = _run_to_memory(spark, agg, "ntz_watermark_agg", output_mode="complete")
+    assert got.agg(F.sum("n")).first()[0] == 10

@@ -137,3 +137,31 @@ def test_ewma_recursion_values(spark):
     assert out[2] == 15.0
     assert out[3] == 17.5
     assert out[4] == 5.0
+
+
+def test_sessionize_timestamp_ntz_input(spark):
+    """Driver testdata drift (VERDICT r4): events.ts now reads as
+    TIMESTAMP_NTZ, which forbids cast("long"). sessionize must accept
+    TIMESTAMP, TIMESTAMP_NTZ, and numeric-epoch-seconds inputs and
+    produce identical session ids."""
+    base = dt.datetime(2024, 1, 1, 8, 0)
+    rows = [
+        (1, base, 100),
+        (1, base + dt.timedelta(minutes=10), 101),
+        (1, base + dt.timedelta(minutes=50), 102),  # 40min gap -> new session
+        (2, base, 103),
+    ]
+    expected = {100: 1, 101: 1, 102: 2, 103: 1}
+    for ts_type in ("timestamp", "timestamp_ntz"):
+        df = spark.createDataFrame(rows, f"k int, ts {ts_type}, eid int")
+        out = W.sessionize(df, "k", "ts", gap_seconds=1800,
+                           order_tiebreak=["eid"])
+        got = {r.eid: r.session_id for r in out.collect()}
+        assert got == expected, ts_type
+    # numeric epoch-seconds path
+    num = spark.createDataFrame(
+        [(k, int(t.timestamp()), e) for k, t, e in rows],
+        "k int, ts long, eid int",
+    )
+    out = W.sessionize(num, "k", "ts", gap_seconds=1800, order_tiebreak=["eid"])
+    assert {r.eid: r.session_id for r in out.collect()} == expected
