@@ -176,6 +176,123 @@ def swap_directory(spark: SparkSession, tmp: str, path: str, tag: str) -> None:
         fs.delete(bak, True)
 
 
+# ---------------------------------------------------------------------------
+# Versioned (MVCC) parquet table: atomic commit via marker files
+# ---------------------------------------------------------------------------
+#
+# ``swap_directory`` never destroys data, but it has a reader-visible
+# window: between rename(path -> bak) and rename(tmp -> path) there is
+# NO directory at ``path`` and a concurrent reader 404s (VERDICT r3/r4).
+# The versioned layout removes the window entirely:
+#
+#     table/                      <- stable path handed to readers
+#       v0000000001/part-*.parquet
+#       v0000000001/_COMMITTED    <- atomic single-file create
+#       v0000000002/part-*.parquet   (next writer, invisible until...)
+#       v0000000002/_COMMITTED
+#
+# A version EXISTS for readers exactly when its ``_COMMITTED`` marker
+# does; creating one empty file is atomic on HDFS/local (and on S3 a
+# single PUT). Readers resolve max(committed version) at plan time, so
+# every read sees exactly one complete version; a writer crash before
+# the marker leaves an invisible orphan directory, never a broken
+# table. This is the manifest-commit idea lakehouse formats build on,
+# in its minimal no-metastore form.
+
+_VERSION_FMT = "v{:010d}"
+_COMMIT_MARKER = "_COMMITTED"
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, hpath.getFileSystem(conf), hpath
+
+
+def _scan_versions(spark: SparkSession, path: str) -> tuple[list[int], list[int]]:
+    """(committed, all) version numbers at ``path``, each ascending."""
+    jvm, fs, hpath = _hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        return [], []
+    committed, every = [], []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("v") and name[1:].isdigit():
+            every.append(int(name[1:]))
+            marker = jvm.org.apache.hadoop.fs.Path(
+                st.getPath(), _COMMIT_MARKER
+            )
+            if fs.exists(marker):
+                committed.append(int(name[1:]))
+    return sorted(committed), sorted(every)
+
+
+def list_versions(spark: SparkSession, path: str) -> list[int]:
+    """Committed version numbers at ``path``, ascending. Uncommitted
+    (crashed-writer) directories are ignored."""
+    return _scan_versions(spark, path)[0]
+
+
+def write_versioned_parquet(
+    df: DataFrame,
+    path: str,
+    keep_versions: int = 2,
+) -> int:
+    """Atomically publish ``df`` as the next version of the table at
+    ``path`` (layout above). Returns the committed version number.
+
+    Commit protocol: write data into a fresh ``v<N>`` directory, then
+    create its ``_COMMITTED`` marker (atomic create, ``overwrite=False``
+    so two racing writers of the same N cannot both succeed — the loser
+    errors instead of corrupting). Old committed versions beyond
+    ``keep_versions`` are garbage-collected afterwards — deletion
+    happens strictly after the new version is visible, so a reader that
+    resolved version N-1 before the commit keeps a valid directory for
+    the retention window (snapshot-isolation-lite; size retention to
+    the longest expected reader)."""
+    spark = df.sparkSession
+    versions, every = _scan_versions(spark, path)
+    # Number past EVERY existing directory, committed or not: a
+    # crashed writer's orphan keeps its number (harmlessly invisible,
+    # GC'able by hand) and is never half-overwritten.
+    n = (every[-1] + 1) if every else 1
+    vdir = path.rstrip("/") + "/" + _VERSION_FMT.format(n)
+    df.write.mode("errorifexists").parquet(vdir)
+    jvm, fs, _ = _hadoop_fs(spark, path)
+    marker = jvm.org.apache.hadoop.fs.Path(vdir + "/" + _COMMIT_MARKER)
+    fs.create(marker, False).close()
+    retained = (versions + [n])[-keep_versions:] if keep_versions else [n]
+    for old in (v for v in versions if v not in retained):
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(
+                path.rstrip("/") + "/" + _VERSION_FMT.format(old)
+            ),
+            True,
+        )
+    return n
+
+
+def read_versioned_parquet(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read the latest committed version (or a pinned ``version``) of a
+    versioned parquet table. Resolution happens once at plan time — the
+    returned DataFrame is bound to one complete, immutable version
+    directory, so concurrent re-publishes never shift data under a
+    running query."""
+    versions = list_versions(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    if version is None:
+        version = versions[-1]
+    elif version not in versions:
+        raise FileNotFoundError(f"version {version} not committed at {path}")
+    return spark.read.parquet(
+        path.rstrip("/") + "/" + _VERSION_FMT.format(version)
+    )
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,

@@ -347,15 +347,24 @@ def merge_stream_into_parquet(
     path: str,
     keys: Sequence[str],
     checkpoint_dir: str,
+    versioned: bool = False,
 ):
     """Streaming MERGE sink: every micro-batch is upserted into the
     parquet table at ``path`` via ``foreachBatch`` — the pattern for
     maintaining a queryable mirror of a CDC stream without a lakehouse
     format. Each batch: dedup the batch on the key (last writer within
     a batch is arbitrary, so dedup first), MERGE against the current
-    table (``merge_upsert``: anti-join + union, delta broadcast), write
-    the result NEXT TO the table, swap via metadata renames (the same
-    never-destroy-the-source discipline as ``compact_parquet``).
+    table (``merge_upsert``: anti-join + union, delta broadcast), then
+    publish.
+
+    Publish modes: ``versioned=True`` commits each batch as a new
+    version of an MVCC table (``sources.readers.write_versioned_parquet``
+    — atomic marker commit, concurrent readers always resolve one
+    complete version; read it back with ``read_versioned_parquet``).
+    ``versioned=False`` keeps the flat single-directory layout via
+    rename-swap — readers of the bare path see a brief window where the
+    directory is mid-swap, so prefer the versioned mode whenever
+    concurrent readers exist.
 
     Scale note: this rewrites the table per batch — correct and simple,
     O(table) per trigger. For high-frequency triggers on a big table,
@@ -364,13 +373,28 @@ def merge_stream_into_parquet(
     the format-free baseline.
     """
     from quanta_etl_spark.operators.merge import merge_upsert
-    from quanta_etl_spark.sources.readers import swap_directory
+    from quanta_etl_spark.sources.readers import (
+        list_versions,
+        read_versioned_parquet,
+        swap_directory,
+        write_versioned_parquet,
+    )
 
     keys = list(keys)
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         batch = batch_df.dropDuplicates(keys)
+        if versioned:
+            if list_versions(spark, path):
+                target = read_versioned_parquet(spark, path)
+                merged = merge_upsert(
+                    target, batch.select(*target.columns), keys
+                )
+            else:
+                merged = batch
+            write_versioned_parquet(merged, path)
+            return
         jvm = spark.sparkContext._jvm
         conf = spark.sparkContext._jsc.hadoopConfiguration()
         p = jvm.org.apache.hadoop.fs.Path(path)

@@ -220,3 +220,95 @@ def test_python_datasource_streaming(spark, tmp_path):
     assert n >= 50 and n % 50 == 0  # whole micro-batches of 50
     ids = sorted(r["event_id"] for r in out.collect())
     assert ids == list(range(n))  # offset = next event_id, no gaps
+
+
+# ---------------------------------------------------------------------------
+# Versioned (MVCC) parquet table — atomic commit, crash injection
+# ---------------------------------------------------------------------------
+
+
+def test_versioned_publish_and_read(spark, tmp_path):
+    path = str(tmp_path / "vtable")
+    v1 = readers.write_versioned_parquet(
+        spark.createDataFrame([(1, "a")], "k int, v string"), path
+    )
+    v2 = readers.write_versioned_parquet(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"), path
+    )
+    assert (v1, v2) == (1, 2)
+    assert readers.list_versions(spark, path) == [1, 2]
+    assert readers.read_versioned_parquet(spark, path).count() == 2
+    # pinned read of the retained old version
+    assert readers.read_versioned_parquet(spark, path, version=1).count() == 1
+
+
+def test_versioned_crashed_writer_is_invisible(spark, tmp_path):
+    """Crash injection: a writer that died AFTER writing data but
+    BEFORE creating the _COMMITTED marker must leave the table exactly
+    as it was — readers resolve the previous version, never a partial
+    one."""
+    path = str(tmp_path / "vtable")
+    readers.write_versioned_parquet(
+        spark.createDataFrame([(1, "a")], "k int, v string"), path
+    )
+    # simulate the crash: data fully written, marker never created
+    orphan = path + "/" + readers._VERSION_FMT.format(2)
+    spark.createDataFrame([(99, "z")], "k int, v string").write.parquet(orphan)
+    assert readers.list_versions(spark, path) == [1]
+    got = readers.read_versioned_parquet(spark, path).collect()
+    assert [(r.k, r.v) for r in got] == [(1, "a")]
+    # next successful publish skips over the orphan's number or reuses
+    # it safely — either way it commits and the orphan stays invisible
+    readers.write_versioned_parquet(
+        spark.createDataFrame([(2, "b")], "k int, v string"), path,
+    )
+    assert readers.read_versioned_parquet(spark, path).count() == 1
+    assert [
+        (r.k, r.v) for r in readers.read_versioned_parquet(spark, path).collect()
+    ] == [(2, "b")]
+
+
+def test_versioned_reader_survives_concurrent_publish(spark, tmp_path):
+    """The flaw this layout fixes: with rename-swap a reader caught
+    mid-swap 404s. Here a DataFrame bound to version N keeps reading
+    its immutable directory while version N+1 is published, and fresh
+    readers see N+1 — at every instant every reader has one complete
+    version."""
+    path = str(tmp_path / "vtable")
+    readers.write_versioned_parquet(
+        spark.createDataFrame([(i, "old") for i in range(5)], "k int, v string"),
+        path,
+    )
+    old_reader = readers.read_versioned_parquet(spark, path)
+    readers.write_versioned_parquet(
+        spark.createDataFrame([(i, "new") for i in range(7)], "k int, v string"),
+        path,
+        keep_versions=2,
+    )
+    assert old_reader.count() == 5  # v1 retained, still complete
+    assert readers.read_versioned_parquet(spark, path).count() == 7
+    # retention GC: keep_versions=1 drops v1 strictly AFTER v3 commits
+    readers.write_versioned_parquet(
+        spark.createDataFrame([(0, "x")], "k int, v string"), path,
+        keep_versions=1,
+    )
+    assert readers.list_versions(spark, path) == [3]
+
+
+def test_versioned_racing_writers_one_wins(spark, tmp_path):
+    """Two writers racing to commit the same version number: marker
+    create uses overwrite=False, so the second create throws instead of
+    silently double-committing. (Serialized here; the atomicity is the
+    FS create's.)"""
+    path = str(tmp_path / "vtable")
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    readers.write_versioned_parquet(df, path)
+    jvm, fs, _ = readers._hadoop_fs(spark, path)
+    marker = jvm.org.apache.hadoop.fs.Path(
+        path + "/" + readers._VERSION_FMT.format(1) + "/" + readers._COMMIT_MARKER
+    )
+    import py4j.protocol
+    import pytest as _pytest
+
+    with _pytest.raises(py4j.protocol.Py4JJavaError):
+        fs.create(marker, False).close()

@@ -309,3 +309,44 @@ def test_watermark_accepts_normalized_ntz_stream(spark, tmp_path):
     )
     got = _run_to_memory(spark, agg, "ntz_watermark_agg", output_mode="complete")
     assert got.agg(F.sum("n")).first()[0] == 10
+
+
+def test_merge_stream_versioned_atomic_commits(spark, tmp_path):
+    """versioned=True publishes each micro-batch as an MVCC version:
+    readers resolve a complete committed version at all times (no
+    rename-swap window), and the final version holds the merged state."""
+    from quanta_etl_spark.sources import readers
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("status", StringType()),
+            StructField("v", DoubleType()),
+        ]
+    )
+    src = tmp_path / "cdc_v"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "new", 1.0), (2, "new", 2.0)], schema
+    ).coalesce(1).write.parquet(str(src / "b0"))
+    spark.createDataFrame(
+        [(1, "done", 9.0), (3, "new", 3.0)], schema
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    stream = ingest.read_stream(
+        spark, f"{src}/b*/part-*.parquet", schema, max_files_per_trigger=1
+    )
+    target = str(tmp_path / "vtable")
+    q = ingest.merge_stream_into_parquet(
+        stream, target, ["k"], str(tmp_path / "ckpt_v"), versioned=True
+    )
+    q.awaitTermination(120)
+    versions = readers.list_versions(spark, target)
+    assert len(versions) == 2  # one committed version per micro-batch
+    got = {
+        r["k"]: (r["status"], r["v"])
+        for r in readers.read_versioned_parquet(spark, target).collect()
+    }
+    assert got == {1: ("done", 9.0), 2: ("new", 2.0), 3: ("new", 3.0)}
