@@ -16,11 +16,13 @@ Design rules for 100 TB media tables:
   task never holds a skewed set of huge payloads;
 * every transform is ``mapInPandas`` over an iterator of batches —
   constant memory per task regardless of partition size;
-* decode is pluggable: the real codecs (Pillow/ffmpeg/torchaudio) are
-  NOT in this container, so the default decoder is a clearly-marked
-  DETERMINISTIC STUB (pseudo-pixels derived from the payload bytes).
-  The Spark-side plumbing — schemas, batch iteration, partitioning —
-  is real and is what these functions test.
+* decode is pluggable: the default decoder uses Pillow when it is
+  importable and the payload is a real encoded image, and otherwise
+  falls back to a clearly-marked DETERMINISTIC STUB (pseudo-pixels
+  derived from the payload bytes) — this container ships no codecs, so
+  here the stub always runs. The Spark-side plumbing — schemas, batch
+  iteration, partitioning — is real either way and is what these
+  functions test.
 """
 
 from __future__ import annotations
@@ -127,6 +129,36 @@ def _stub_decode_image(data: bytes, width: int, height: int) -> np.ndarray:
     return np.tile(raw, reps)[:need].reshape(height, width, 3)
 
 
+def _pil_decode_image(data: bytes, width: int, height: int) -> np.ndarray:
+    """Real codec path: decode with Pillow. The encoded image's own
+    dimensions win over the metadata hints (metadata lies; pixels
+    don't). Raises on payloads that are not a decodable image."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(data)) as img:
+        return np.asarray(img.convert("RGB"), dtype=np.uint8)
+
+
+def _auto_decode_image(data: bytes, width: int, height: int) -> np.ndarray:
+    """Default decoder: Pillow when importable AND the payload really is
+    an encoded image; the deterministic stub otherwise. The fallback
+    keeps synthetic/fake payload corpora (and this container, which has
+    no codecs) behaving identically whether or not Pillow is installed —
+    the oracle-gated media queries depend on that. Runs inside the
+    executor (``mapInPandas``), so the import is per-worker, not
+    per-row."""
+    if data:
+        try:
+            return _pil_decode_image(data, width, height)
+        except ImportError:
+            pass  # no Pillow in this environment → stub
+        except Exception:
+            pass  # Pillow present but payload not an image → stub
+    return _stub_decode_image(data, width, height)
+
+
 def _default_dims(row: "pd.Series") -> tuple[int, int]:
     w = int(row["width"]) if pd.notna(row.get("width")) else 8
     h = int(row["height"]) if pd.notna(row.get("height")) else 8
@@ -146,7 +178,7 @@ def decode_image(
     Arrow batch is decoded inside the executor, never on the driver.
     Output: (media_id, width, height, n_channels, pixels) with pixels
     a C-order uint8 buffer."""
-    decode = decoder or _stub_decode_image
+    decode = decoder or _auto_decode_image
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

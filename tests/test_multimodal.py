@@ -215,3 +215,53 @@ def test_phash_neardup_banding_complete(spark):
     assert pairs == {(1, 2): 2}
     with _pytest.raises(ValueError):
         mm.phash_neardup_pairs(hashed, max_hamming=2)
+
+
+def test_decode_image_real_codec_or_stub(spark):
+    """The default decoder must work in BOTH environments: with Pillow
+    installed it decodes real encoded images (image's own dims win);
+    without it — or for payloads that aren't decodable images — the
+    deterministic stub produces identical pixels whether or not Pillow
+    exists. This container has no Pillow, but the test exercises the
+    real path too whenever it runs somewhere that does."""
+    from quanta_etl_spark.multimodal import media as mm
+
+    # non-image payload: auto decoder must equal the stub exactly
+    payload = b"definitely not a png"
+    rows = [(1, payload, "image/fake", 4, 4)]
+    df = mm.media_table(
+        spark.createDataFrame(
+            rows, "media_id long, content binary, mime_type string, "
+                  "width int, height int"
+        )
+    )
+    got = mm.decode_image(df).collect()[0]
+    import numpy as np
+
+    expected = mm._stub_decode_image(payload, 4, 4)
+    assert (got.width, got.height, got.n_channels) == (4, 4, 3)
+    assert got.pixels == expected.tobytes()
+
+    try:
+        from PIL import Image  # noqa: F401
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if has_pil:
+        import io
+
+        img = Image.new("RGB", (6, 3), color=(10, 20, 30))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        png_rows = [(2, buf.getvalue(), "image/png", None, None)]
+        pdf = mm.media_table(
+            spark.createDataFrame(
+                png_rows, "media_id long, content binary, mime_type string, "
+                          "width int, height int"
+            )
+        )
+        r = mm.decode_image(pdf).collect()[0]
+        # real dims (6x3) win over the 8x8 metadata defaults
+        assert (r.width, r.height, r.n_channels) == (6, 3, 3)
+        arr = np.frombuffer(r.pixels, dtype=np.uint8).reshape(3, 6, 3)
+        assert (arr == [10, 20, 30]).all()
