@@ -846,6 +846,48 @@ def q_stream_hourly_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_stream_ohlcv(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming OHLCV bars over the events stream (the B5 resample's
+    streaming twin, windowed_ohlcv): hourly open/high/low/close of
+    `value` per event type. Open/close are pinned by a composite
+    (fixed-width ts string + zero-padded event_id) ordering key so ties
+    at the same microsecond stay deterministic; the value sum goes
+    through decimal(20,6) on both sides so the hash can't drift."""
+    from quanta_etl_spark.streaming import ingest
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = ingest.read_stream(spark, f"{sf}/events.parque[t]", raw_schema)
+    ev = ingest.normalize_event_time(stream).withColumn(
+        "vol", F.col("value").cast("decimal(20,6)")
+    )
+    order_key = F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    agg = ingest.windowed_ohlcv(
+        ingest.with_late_data_policy(ev, "ts", delay="1 hour"),
+        "ts",
+        ["event_type"],
+        window="1 hour",
+        price_col="value",
+        volume_col="vol",
+        order_col=order_key,
+    )
+    q = ingest.write_stream_memory(agg, "stream_ohlcv", output_mode="complete")
+    q.awaitTermination()
+    return spark.table("stream_ohlcv").select(
+        F.unix_timestamp(F.col("win.start")).alias("bucket_start"),
+        "event_type",
+        "open",
+        "high",
+        "low",
+        "close",
+        F.col("volume").cast("double").alias("volume"),
+        "n_bars",
+    )
+
+
 def q_densify_fill(spark: SparkSession, sf: str) -> DataFrame:
     """B1 end-to-end: daily aggregate → dense per-user day spine
     (sequence + explode, no driver loops) → forward-fill over gaps."""
@@ -1635,6 +1677,7 @@ def queries() -> dict[str, QueryFn]:
         "stream_sliding_window": q_stream_sliding_window,
         "stream_stream_join": q_stream_stream_join,
         "stream_hourly_stats": q_stream_hourly_stats,
+        "stream_ohlcv": q_stream_ohlcv,  # new this round
         "sessionize": q_sessionize,
         # -- (2) r2-era rows needing a fresh driver green --------------
         "scan_filter_project": q_scan_filter_project,
@@ -1682,9 +1725,9 @@ def queries() -> dict[str, QueryFn]:
         "stream_stateful_running": q_stream_stateful_running,
         "media_pixel_stats": q_media_pixel_stats,
         "media_phash_dedup": q_media_phash_dedup,
-        "media_phash_neardup": q_media_phash_neardup,
         # ---- 50-entry gate cap lands here ----------------------------
         # -- (4) r4-green beyond the cap (rows recorded in r04) --------
+        "media_phash_neardup": q_media_phash_neardup,
         "emb_neardup_lsh": q_emb_neardup_lsh,
         "setop_union": q_setop_union,
         "setop_intersect": q_setop_intersect,
@@ -2314,6 +2357,27 @@ def oracle_sql() -> dict[str, str]:
                    min(value) AS low,
                    count(*) AS n_events
             FROM events
+            GROUP BY 1, 2
+        """,
+        # OHLCV: open/close via arg_min/arg_max on the same composite
+        # (fixed-width ts string + zero-padded event_id) ordering key
+        # the Spark query uses — tie-proof in both engines.
+        "stream_ohlcv": """
+            WITH e AS (
+                SELECT event_type, value,
+                       CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket_start,
+                       strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
+                           || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord_key
+                FROM events
+            )
+            SELECT bucket_start, event_type,
+                   arg_min(value, ord_key) AS "open",
+                   max(value) AS high,
+                   min(value) AS low,
+                   arg_max(value, ord_key) AS "close",
+                   CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS volume,
+                   count(*) AS n_bars
+            FROM e
             GROUP BY 1, 2
         """,
         "densify_fill": """

@@ -101,17 +101,25 @@ def windowed_ohlcv(
     slide: str | None = None,
     price_col: str = "end_price",
     volume_col: str = "traded_volume",
+    order_col: Column | None = None,
 ) -> DataFrame:
     """Event-time windowed OHLCV — streaming twin of
-    ``operators.resample.ohlcv_resample`` (first/last by event time)."""
+    ``operators.resample.ohlcv_resample`` (first/last by event time).
+
+    ``order_col`` overrides the min_by/max_by ordering key for
+    open/close: with multiple bars at the SAME event time, ordering by
+    the bare timestamp makes open/close nondeterministic across runs —
+    pass a composite key (e.g. a fixed-width ts string concatenated
+    with a zero-padded unique id) to pin them."""
     win = (
         F.window(ts_col, window) if slide is None else F.window(ts_col, window, slide)
     )
+    order = order_col if order_col is not None else F.col(ts_col)
     return df.groupBy(win.alias("win"), *keys).agg(
-        F.min_by(price_col, ts_col).alias("open"),
+        F.min_by(price_col, order).alias("open"),
         F.max(price_col).alias("high"),
         F.min(price_col).alias("low"),
-        F.max_by(price_col, ts_col).alias("close"),
+        F.max_by(price_col, order).alias("close"),
         F.sum(volume_col).alias("volume"),
         F.count(F.lit(1)).alias("n_bars"),
     )

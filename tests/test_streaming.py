@@ -350,3 +350,37 @@ def test_merge_stream_versioned_atomic_commits(spark, tmp_path):
         for r in readers.read_versioned_parquet(spark, target).collect()
     }
     assert got == {1: ("done", 9.0), 2: ("new", 2.0), 3: ("new", 3.0)}
+
+
+def test_windowed_ohlcv_order_col_tiebreak(spark, tmp_path):
+    """Two bars at the SAME event time: the composite order_col pins
+    open/close deterministically (bare-ts ordering would be
+    arbitrary)."""
+    t0 = dt.datetime(2024, 1, 1, 9, 30)
+    rows = [
+        ("X", t0, 100.0, 1.0, 1),
+        ("X", t0, 50.0, 1.0, 2),   # same ts, larger id -> open stays 100
+        ("X", t0 + dt.timedelta(minutes=5), 70.0, 1.0, 3),
+    ]
+    schema = "isin string, trading_ts timestamp, end_price double, traded_volume double, bar_id long"
+    d = tmp_path / "tie"
+    d.mkdir()
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(d / "b0"))
+    stream = ingest.read_stream(
+        spark, f"{d}/b*/part-*.parquet", spark.read.parquet(str(d / "b0")).schema
+    )
+    order_key = F.concat(
+        F.date_format("trading_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        F.lpad(F.col("bar_id").cast("string"), 12, "0"),
+    )
+    agg = ingest.windowed_ohlcv(
+        stream.withWatermark("trading_ts", "10 minutes"),
+        "trading_ts",
+        ["isin"],
+        window="1 hour",
+        order_col=order_key,
+    )
+    out = _run_to_memory(spark, agg, "tie_ohlcv", output_mode="complete").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["open"], r["close"], r["high"], r["low"]) == (100.0, 70.0, 100.0, 50.0)
