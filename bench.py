@@ -89,7 +89,7 @@ def main() -> None:
             _drop_leftover_persists()
 
     total = round(sum(timings.values()), 4)
-    summary = {
+    full = {
         "metric": "total_query_seconds",
         "value": total,
         "unit": "sec",
@@ -99,8 +99,29 @@ def main() -> None:
         "n_failed": len(errors),
     }
     if errors:
-        summary["errors"] = errors
-    print(json.dumps(summary))
+        full["errors"] = errors
+    # Full per-query record → repo file (the driver's stdout capture
+    # keeps only the last ~2000 chars; round 3's 74-query JSON line blew
+    # that budget and was recorded as parsed:null despite rc 0).
+    with open(os.path.join(REPO, "BENCH_LOCAL.json"), "w") as f:
+        json.dump(full, f, indent=1)
+    # Stdout line: same shape, but "queries" holds the slowest subset
+    # that keeps the LINE under the capture window — headline + hot
+    # spots always parse; the complete dict lives in BENCH_LOCAL.json.
+    summary = dict(full)
+    if errors:  # full messages live in the file; names suffice here
+        summary["errors"] = sorted(errors)[:20]
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])
+    for keep in range(len(slowest), -1, -4):
+        summary["queries"] = dict(
+            sorted(slowest[:keep])  # name-sorted for readability
+        )
+        summary["queries_truncated"] = len(timings) - keep
+        summary["queries_file"] = "BENCH_LOCAL.json"
+        line = json.dumps(summary)
+        if len(line) <= 1800:
+            break
+    print(line)
 
 
 if __name__ == "__main__":
