@@ -104,6 +104,19 @@ def has_cartesian(df: DataFrame) -> bool:
     return "CartesianProduct" in strategies or "BroadcastNestedLoopJoin" in strategies
 
 
+def executed_plan(df: DataFrame, execute: bool = True) -> str:
+    """FINAL physical plan — post-AQE. The static explain shows
+    ``AdaptiveSparkPlan isFinalPlan=false`` with the pre-runtime shape;
+    AQE's actual decisions (partition coalescing ``AQEShuffleRead
+    coalesced``, skew splits ``skew=true``, SMJ→BHJ demotions) only
+    appear after an action has run the query. ``execute=True`` runs a
+    driver-discarding ``foreach`` pass over THIS DataFrame's own query
+    execution so the returned string is the adaptive final plan."""
+    if execute:
+        df.foreach(lambda _: None)
+    return str(df._jdf.queryExecution().executedPlan())
+
+
 def codegen_stage_count(df: DataFrame) -> int:
     """Number of WholeStageCodegen subtrees — >0 means the plan's hot
     path runs in generated fused JVM loops (the AQE simple plan hides

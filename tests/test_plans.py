@@ -205,3 +205,56 @@ def test_minhash_hot_bucket_bounded(spark):
     assert clusters.count() == n_hot
     kept = G.apply_dedup(df, pairs, "doc_id")
     assert kept.where(F.col("doc_id") < n_hot).count() == 1
+
+
+def test_aqe_coalesces_post_shuffle_partitions(spark):
+    """SCALING.md contract: shuffle.partitions is an UPPER BOUND and AQE
+    coalesces the post-shuffle side to match the data. A small aggregate
+    must not fan out to all 32 configured reducers."""
+    df = (
+        spark.range(0, 20_000)
+        .withColumn("k", F.col("id") % 10)
+        .groupBy("k")
+        .count()
+    )
+    plan = P.executed_plan(df)
+    assert "AQEShuffleRead" in plan and "coalesced" in plan, plan
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """SCALING.md skew rule #1 ('first line: AQE skew-join splitting')
+    made checkable: a join whose left side is 95% one key must show
+    skew=true splits in the FINAL adaptive plan once the skew thresholds
+    are in range. Guards the engine defaults that keep skewJoin enabled."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        # small data → thresholds scaled down so the hot key qualifies
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        left = spark.range(0, 300_000).select(
+            F.when(F.col("id") < 285_000, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            (F.col("id") * 2).alias("payload"),
+        )
+        right = spark.range(0, 64).select(
+            F.col("id").alias("k"), F.lit("dim").alias("tag")
+        )
+        joined = left.join(right, "k")
+        plan = P.executed_plan(joined)
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
