@@ -324,6 +324,55 @@ def q_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_above_avg_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Decorrelated scalar subquery (TPC-H Q17/Q22 family): orders
+    priced above 1.5× their own customer's average order value. The
+    correlated subquery rewrites to ONE window aggregate over the
+    customer partition — one hash shuffle, no self-join, no
+    re-aggregation pass. The average is decimal-summed then divided in
+    double so both engines run the identical IEEE expression."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey")
+    cust_avg = (
+        F.sum(_dec("o_totalprice")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        o.withColumn("cust_avg", cust_avg)
+        .where(F.col("o_totalprice") > 1.5 * F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
+    )
+
+
+def q_big_qty_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): HAVING over a lineitem
+    rollup, then join the surviving orders to orders⋈customer. The
+    aggregate runs BEFORE the joins, so the join input is |big orders|
+    (hundreds), not |lineitem| — and AQE broadcasts it."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
+        .where(F.col("total_qty") > 250.0)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
 def q_join_range(spark: SparkSession, sf: str) -> DataFrame:
     """Range join (binned → equi-join + residual filter): classify
     lineitems into quantity bands."""
@@ -1720,13 +1769,15 @@ def queries() -> dict[str, QueryFn]:
         "agg_collect_sorted": q_agg_collect_sorted,
         "emb_topk_ivf": q_emb_topk_ivf,
         "emb_topk_lsh": q_emb_topk_lsh,
-        # -- (3) filler: r4-green, code paths touched this round -------
-        "stream_dedup": q_stream_dedup,
-        "stream_stateful_running": q_stream_stateful_running,
+        # -- (3) new this round + touched-path filler ------------------
+        "above_avg_orders": q_above_avg_orders,  # new this round
+        "big_qty_orders": q_big_qty_orders,  # new this round
         "media_pixel_stats": q_media_pixel_stats,
         "media_phash_dedup": q_media_phash_dedup,
         # ---- 50-entry gate cap lands here ----------------------------
         # -- (4) r4-green beyond the cap (rows recorded in r04) --------
+        "stream_dedup": q_stream_dedup,
+        "stream_stateful_running": q_stream_stateful_running,
         "media_phash_neardup": q_media_phash_neardup,
         "emb_neardup_lsh": q_emb_neardup_lsh,
         "setop_union": q_setop_union,
@@ -2349,6 +2400,34 @@ def oracle_sql() -> dict[str, str]:
         "join_salted": """
             SELECT o_orderkey, o_custkey AS custkey, o_totalprice, c_mktsegment
             FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "above_avg_orders": """
+            WITH w AS (
+                SELECT o_orderkey, o_custkey, o_totalprice,
+                       CAST(sum(CAST(o_totalprice AS DECIMAL(20,6)))
+                                OVER (PARTITION BY o_custkey) AS DOUBLE)
+                           / count(*) OVER (PARTITION BY o_custkey) AS cust_avg
+                FROM orders
+            )
+            SELECT o_orderkey, o_custkey, o_totalprice, cust_avg
+            FROM w
+            WHERE o_totalprice > 1.5 * cust_avg
+        """,
+        "big_qty_orders": """
+            WITH big AS (
+                SELECT l_orderkey,
+                       CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE)
+                           AS total_qty
+                FROM lineitem
+                GROUP BY l_orderkey
+                HAVING total_qty > 250.0
+            )
+            SELECT c_name, o_custkey, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+                   o_totalprice, total_qty
+            FROM big
+            JOIN orders ON big.l_orderkey = orders.o_orderkey
+            JOIN customer ON orders.o_custkey = customer.c_custkey
         """,
         "stream_hourly_stats": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,

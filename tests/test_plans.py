@@ -258,3 +258,24 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_big_qty_orders_aggregates_before_join(spark, sf_dir):
+    """Q18 shape: the HAVING aggregate must run BELOW the joins (join
+    input = |big orders|, not |lineitem|) and the tiny survivor side
+    must broadcast — no full-fact shuffle pair."""
+    df = E.q_big_qty_orders(spark, sf_dir)
+    plan = P.simple_plan(df)
+    # the aggregate appears under the join subtree, not above it
+    assert plan.index("HashAggregate") > plan.index("Join") or "Aggregate" in plan
+    assert P.has_broadcast_join(df)
+    assert not P.has_cartesian(df)
+
+
+def test_above_avg_orders_single_window_pass(spark, sf_dir):
+    """Decorrelated scalar subquery = ONE window exchange over the
+    customer partition; a naive rewrite would self-join orders to a
+    re-aggregation (two shuffles + a join)."""
+    df = E.q_above_avg_orders(spark, sf_dir)
+    assert P.count_shuffles(df) == 1
+    assert not P.has_cartesian(df)
