@@ -15,6 +15,8 @@ Scale notes:
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
@@ -174,6 +176,73 @@ def swap_directory(spark: SparkSession, tmp: str, path: str, tag: str) -> None:
         raise IOError(f"swap_directory: rename {tmp} -> {path} failed")
     if fs.exists(bak):
         fs.delete(bak, True)
+
+
+def zorder_key(
+    df: DataFrame, cols: Sequence[str], bits: int = 8
+) -> "F.Column":
+    """Z-order (Morton) key over ``cols``: each column is mapped to a
+    ``2**bits``-bucket quantile rank, and the per-column rank bits are
+    interleaved into one long. Rows close in z-value are close in EVERY
+    clustered dimension, so sorting files by it gives parquet min/max
+    stats that prune on ANY of the columns — the multi-column
+    complement to single-dimension range clustering
+    (``write_clustered_parquet``), without a metastore.
+
+    Scale shape: one ``approx_percentile`` aggregate computes all cut
+    arrays (driver holds ``len(cols) * 2**bits`` doubles — bounded),
+    bucket assignment is a JVM-side higher-order filter over the
+    broadcast cut array (no Python, no extra shuffle), and the caller
+    pays the one range-exchange it was already paying to cluster.
+    ``bits=8`` (256 buckets/dim) is plenty for file-level skipping —
+    resolution beyond file count is wasted."""
+    n_buckets = 1 << bits
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts_row = df.agg(
+        *[
+            F.percentile_approx(c, F.lit(qs), F.lit(10_000)).alias(c)
+            for c in cols
+        ]
+    ).first()
+    z = F.lit(0).cast("long")
+    for ci, c in enumerate(cols):
+        cuts = sorted(set(cuts_row[c] or []))
+        rank = F.size(
+            F.filter(
+                F.lit(cuts).cast("array<double>"),
+                lambda cut: F.col(c).cast("double") >= cut,
+            )
+        ).cast("long")
+        # interleave: bit b of this column's rank lands at position
+        # b*len(cols) + ci of the z-value
+        for b in range(bits):
+            bit = F.shiftright(rank, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(
+                F.shiftleft(bit.cast("long"), b * len(cols) + ci)
+            )
+    return z
+
+
+def write_zordered_parquet(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    bits: int = 8,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Multi-column-clustered parquet: range-partition AND sort by the
+    Z-order key so every file covers a narrow region of the joint key
+    space — point/range predicates on ANY of ``cols`` skip most row
+    groups via plain parquet min/max stats."""
+    z = zorder_key(df, cols, bits).alias("__z")
+    out = df.withColumn("__z", z)
+    out = (
+        out.repartitionByRange(num_files, "__z")
+        if num_files is not None
+        else out.repartitionByRange("__z")
+    )
+    out.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(path)
 
 
 # ---------------------------------------------------------------------------

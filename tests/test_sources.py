@@ -312,3 +312,52 @@ def test_versioned_racing_writers_one_wins(spark, tmp_path):
 
     with _pytest.raises(py4j.protocol.Py4JJavaError):
         fs.create(marker, False).close()
+
+
+def test_zorder_write_skips_on_both_columns(spark, tmp_path):
+    """Z-order clustering: with two independent uniform columns, every
+    file must cover a NARROW range of BOTH dimensions (a plain
+    single-column sort leaves the second dimension's per-file range at
+    ~100% — no skipping). Verified from the parquet footer min/max
+    stats, i.e. exactly what a scan's row-group pruning reads."""
+    import pyarrow.parquet as pq
+    import pathlib
+
+    n = 40_000
+    df = spark.range(n).select(
+        (F.xxhash64("id") % 10_000).cast("double").alias("x"),
+        (F.xxhash64("id", F.lit(1)) % 10_000).cast("double").alias("y"),
+        F.col("id"),
+    )
+    zpath = str(tmp_path / "zordered")
+    readers.write_zordered_parquet(df, zpath, ["x", "y"], bits=8, num_files=16)
+
+    def coverage(path, col):
+        spans = []
+        for f in pathlib.Path(path).glob("*.parquet"):
+            md = pq.ParquetFile(str(f)).metadata
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                for i in range(md.num_columns):
+                    c = md.row_group(rg).column(i)
+                    if c.path_in_schema == col and c.statistics:
+                        s = c.statistics
+                        lo = s.min if lo is None else min(lo, s.min)
+                        hi = s.max if hi is None else max(hi, s.max)
+            if lo is not None:
+                spans.append((hi - lo) / 20_000.0)  # global range ≈ 20k
+        return sum(spans) / len(spans)
+
+    # plain x-sorted baseline: y is uncorrelated -> per-file y range ~ 1
+    ppath = str(tmp_path / "xsorted")
+    readers.write_clustered_parquet(df, ppath, "x", num_files=16)
+    assert coverage(ppath, "y") > 0.85
+    # z-ordered: BOTH dims narrow per file
+    cx, cy = coverage(zpath, "x"), coverage(zpath, "y")
+    assert cx < 0.5 and cy < 0.5, (cx, cy)
+    # and the data survived intact
+    assert spark.read.parquet(zpath).count() == n
+    assert (
+        spark.read.parquet(zpath).agg(F.sum("id")).first()[0]
+        == df.agg(F.sum("id")).first()[0]
+    )
