@@ -544,6 +544,10 @@ def q_stream_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
     from quanta_etl_spark.streaming import ingest
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # NTZ→TIMESTAMP conversion (normalize_event_time) reads the session
+    # tz; pin it so a driver-built session in a non-UTC environment
+    # can't shift instants relative to the DuckDB oracle's epoch().
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
     stream = ingest.read_stream(spark, f"{sf}/events.parque[t]", raw_schema)
     ev = ingest.normalize_event_time(stream)
@@ -604,6 +608,10 @@ def q_stream_stateful_running(spark: SparkSession, sf: str) -> DataFrame:
     from quanta_etl_spark.streaming import ingest
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # NTZ→TIMESTAMP conversion (normalize_event_time) reads the session
+    # tz; pin it so a driver-built session in a non-UTC environment
+    # can't shift instants relative to the DuckDB oracle's epoch().
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
     stream = ingest.read_stream(spark, f"{sf}/events.parque[t]", raw_schema)
     out = ingest.running_event_stats(stream)
@@ -871,6 +879,10 @@ def q_stream_hourly_stats(spark: SparkSession, sf: str) -> DataFrame:
     from quanta_etl_spark.streaming import ingest
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # NTZ→TIMESTAMP conversion (normalize_event_time) reads the session
+    # tz; pin it so a driver-built session in a non-UTC environment
+    # can't shift instants relative to the DuckDB oracle's epoch().
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
     # file streams take a directory/glob, not a bare file path
     stream = ingest.read_stream(spark, f"{sf}/events.parque[t]", raw_schema)
@@ -905,6 +917,10 @@ def q_stream_ohlcv(spark: SparkSession, sf: str) -> DataFrame:
     from quanta_etl_spark.streaming import ingest
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # NTZ→TIMESTAMP conversion (normalize_event_time) reads the session
+    # tz; pin it so a driver-built session in a non-UTC environment
+    # can't shift instants relative to the DuckDB oracle's epoch().
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
     stream = ingest.read_stream(spark, f"{sf}/events.parque[t]", raw_schema)
     ev = ingest.normalize_event_time(stream).withColumn(
@@ -1312,6 +1328,10 @@ def q_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     from quanta_etl_spark.streaming import ingest
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # NTZ→TIMESTAMP conversion (normalize_event_time) reads the session
+    # tz; pin it so a driver-built session in a non-UTC environment
+    # can't shift instants relative to the DuckDB oracle's epoch().
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
     # single-FILE stream sources need a glob spelling (a bare file path
     # fails FileStreamSource's "basePath must be a directory" check);
@@ -1433,6 +1453,10 @@ def q_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
     from quanta_etl_spark.streaming import ingest
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # NTZ→TIMESTAMP conversion (normalize_event_time) reads the session
+    # tz; pin it so a driver-built session in a non-UTC environment
+    # can't shift instants relative to the DuckDB oracle's epoch().
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
     s1 = ingest.read_stream(spark, f"{sf}/events.parque[t]", raw_schema)
     s2 = ingest.read_stream(spark, f"{sf}/events.[p]arquet", raw_schema)
@@ -1577,6 +1601,10 @@ def q_stream_session_window(spark: SparkSession, sf: str) -> DataFrame:
     from quanta_etl_spark.streaming import ingest
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # NTZ→TIMESTAMP conversion (normalize_event_time) reads the session
+    # tz; pin it so a driver-built session in a non-UTC environment
+    # can't shift instants relative to the DuckDB oracle's epoch().
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
     stream = ingest.read_stream(spark, f"{sf}/events.parque[t]", raw_schema)
     ev = ingest.normalize_event_time(stream)
