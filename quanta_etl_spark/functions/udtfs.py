@@ -58,3 +58,44 @@ def register_udtfs(spark) -> None:
         "split_sentences",
         udtf(SplitSentences, returnType=SPLIT_SENTENCES_RETURN_TYPE),
     )
+    # no returnType: the analyze() hook computes it per call site
+    spark.udtf.register("parse_kv", udtf(ParseKV))
+
+
+class ParseKV:
+    """POLYMORPHIC UDTF (Spark 4 ``analyze`` hook): parse ``k=v;k2=v2``
+    payloads into one STRING column per requested key — the output
+    schema is computed at PLAN TIME from the constant ``keys`` argument,
+    so each call site gets exactly the columns it asked for (the
+    capability ``explode``/static UDTFs can't express: schema varies per
+    call, not per deployment).
+
+    ``keys`` must be a foldable (constant) comma-separated string;
+    ``analyze`` rejects non-constant arguments with a plan-time error
+    instead of a runtime surprise. Missing keys yield NULL. One output
+    row per input row — flat parse, no fan-out."""
+
+    @staticmethod
+    def analyze(text, keys):
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        if keys.value is None:
+            raise Exception("parse_kv: `keys` must be a constant string")
+        names = [k.strip() for k in str(keys.value).split(",") if k.strip()]
+        if not names:
+            raise Exception("parse_kv: `keys` names at least one column")
+        from pyspark.sql.udtf import AnalyzeResult
+
+        return AnalyzeResult(
+            StructType([StructField(n, StringType()) for n in names])
+        )
+
+    def eval(self, text: str | None, keys: str) -> Iterator[tuple]:
+        names = [k.strip() for k in keys.split(",") if k.strip()]
+        d: dict[str, str] = {}
+        if text:
+            for pair in text.split(";"):
+                if "=" in pair:
+                    k, v = pair.split("=", 1)
+                    d[k.strip()] = v
+        yield tuple(d.get(n) for n in names)

@@ -171,3 +171,31 @@ def test_token_entropy_values(spark):
     expect3 = -(1 / 3) * math.log2(1 / 3) - (2 / 3) * math.log2(2 / 3)
     assert got[3][1] == pytest.approx(expect3)
     assert got[4] == (0, None)
+
+
+def test_parse_kv_polymorphic_schema(spark):
+    """The analyze() hook derives a DIFFERENT output schema per call
+    site from the constant `keys` argument; missing keys are NULL."""
+    from quanta_etl_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    df = spark.createDataFrame(
+        [(1, "a=1;b=two;c=3"), (2, "b=only"), (3, None)], "id long, payload string"
+    )
+    df.createOrReplaceTempView("kv_payloads")
+    two = spark.sql(
+        "SELECT p.id, s.* FROM kv_payloads p, "
+        "LATERAL parse_kv(p.payload, 'a,b') s"
+    )
+    assert two.columns == ["id", "a", "b"]
+    got = {r.id: (r.a, r.b) for r in two.collect()}
+    assert got == {1: ("1", "two"), 2: (None, "only"), 3: (None, None)}
+    # same UDTF, different call site, different schema
+    three = spark.sql(
+        "SELECT s.* FROM kv_payloads p, "
+        "LATERAL parse_kv(p.payload, 'c, b, missing') s"
+    )
+    assert three.columns == ["c", "b", "missing"]
+    assert {tuple(r) for r in three.collect()} == {
+        ("3", "two", None), (None, "only", None), (None, None, None)
+    }
