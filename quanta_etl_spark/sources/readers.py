@@ -133,6 +133,7 @@ def write_clustered_parquet(
     cluster_by: str | list[str],
     num_files: int | None = None,
     mode: str = "overwrite",
+    bloom_cols: Sequence[str] = (),
 ) -> None:
     """Range-clustered parquet: rows are range-partitioned AND sorted on
     the cluster keys before writing, so each file (and each row group
@@ -143,6 +144,12 @@ def write_clustered_parquet(
 
     Classic use: cluster the fact table by (isin) or (ts) so point and
     range lookups touch a handful of row groups out of a 100 TB table.
+
+    ``bloom_cols`` additionally writes parquet BLOOM FILTERS for the
+    named columns — the skipping mechanism for point lookups on
+    columns the clustering does NOT order (min/max zone maps are
+    useless on a hash-like id scattered across every file; a bloom
+    filter answers "definitely not in this row group" per lookup).
     """
     keys = [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
     cols = [F.col(k) for k in keys]
@@ -151,7 +158,10 @@ def write_clustered_parquet(
         if num_files is not None
         else df.repartitionByRange(*cols)
     )
-    out.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
+    writer = out.sortWithinPartitions(*cols).write.mode(mode)
+    for c in bloom_cols:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+    writer.parquet(path)
 
 
 def swap_directory(spark: SparkSession, tmp: str, path: str, tag: str) -> None:
