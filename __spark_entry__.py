@@ -1715,6 +1715,21 @@ def q_merge_scd2(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_corpus_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Target-mixture source sampling (50/30/20 over three sources):
+    per-source rates derived in-plan from counts vs target shares, rows
+    kept by the portable md5 60-bit bucket — the oracle recomputes the
+    identical rates and bucket cut in SQL."""
+    docs = load_table(spark, sf, "documents")
+    out = corpus_ops.mix_sources(
+        docs,
+        "source",
+        "doc_id",
+        {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+    )
+    return out.select("doc_id", "source", "lang")
+
+
 def q_corpus_shuffle_index(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic global training order: contiguous 0-based index
     over the hash-permuted corpus via two-stage bucket ranking — no
@@ -1800,10 +1815,11 @@ def queries() -> dict[str, QueryFn]:
         # -- (3) new this round + touched-path filler ------------------
         "above_avg_orders": q_above_avg_orders,  # new this round
         "big_qty_orders": q_big_qty_orders,  # new this round
+        "corpus_mix": q_corpus_mix,  # new this round
         "media_pixel_stats": q_media_pixel_stats,
-        "media_phash_dedup": q_media_phash_dedup,
         # ---- 50-entry gate cap lands here ----------------------------
         # -- (4) r4-green beyond the cap (rows recorded in r04) --------
+        "media_phash_dedup": q_media_phash_dedup,
         "stream_dedup": q_stream_dedup,
         "stream_stateful_running": q_stream_stateful_running,
         "media_phash_neardup": q_media_phash_neardup,
@@ -2428,6 +2444,27 @@ def oracle_sql() -> dict[str, str]:
         "join_salted": """
             SELECT o_orderkey, o_custkey AS custkey, o_totalprice, c_mktsegment
             FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "corpus_mix": """
+            WITH counts AS (
+                SELECT source, count(*) AS n,
+                       CASE source WHEN 'src0' THEN 0.5
+                                   WHEN 'src1' THEN 0.3
+                                   WHEN 'src2' THEN 0.2 END AS share
+                FROM documents GROUP BY source
+            ), eligible AS (
+                SELECT * FROM counts WHERE share IS NOT NULL AND share > 0
+            ), tgt AS (
+                SELECT min(n / share) AS n_target FROM eligible
+            ), rates AS (
+                SELECT source,
+                       least(1.0, share * n_target / n) AS rate
+                FROM eligible CROSS JOIN tgt
+            )
+            SELECT d.doc_id, d.source, d.lang
+            FROM documents d JOIN rates r ON d.source = r.source
+            WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::UBIGINT
+                       % 10000 AS BIGINT) < CAST(round(r.rate * 10000) AS BIGINT)
         """,
         "above_avg_orders": """
             WITH w AS (

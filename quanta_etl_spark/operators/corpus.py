@@ -345,3 +345,60 @@ def chunk_documents(
             F.concat_ws(" ", "__toks").alias("chunk_text"),
         )
     )
+
+
+def mix_sources(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    weights: dict[str, float],
+    num_buckets: int = 10_000,
+) -> DataFrame:
+    """Down-sample sources to a TARGET MIXTURE — the training-data op
+    behind "50% web, 30% code, 20% books": keep a deterministic subset
+    of each named source so the output's composition matches
+    ``weights`` as closely as down-sampling allows (never upsamples;
+    the scarcest source relative to its target share binds the total
+    and keeps rate 1.0, every other source down-samples toward it).
+
+    Everything stays in-plan and engine-portable: one count aggregate
+    over the tiny |sources| table, the achievable total from its
+    minimum, rates broadcast-joined back, and row selection by the same
+    md5 60-bit bucket ``sampling.hash_bucket`` uses — the same rows are
+    kept on any cluster size, any run, any engine with md5. Sources
+    absent from ``weights`` are dropped (inner join).
+
+    Scale: one shuffle (the per-source count), then a broadcast join +
+    map-side filter over the corpus — the corpus itself never
+    re-shuffles, and the filter rides the scan when ``id_col`` and
+    ``source_col`` are stored columns.
+    """
+    from quanta_etl_spark.operators.sampling import hash_bucket
+
+    w_total = sum(weights.values())
+    if w_total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    wmap = F.create_map(
+        *[F.lit(x) for k, v in weights.items() for x in (k, float(v))]
+    )
+    counts = (
+        df.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__share", wmap[F.col(source_col)] / F.lit(float(w_total)))
+        .where(F.col("__share").isNotNull() & (F.col("__share") > 0))
+    )
+    achievable = counts.agg(
+        F.min(F.col("__n") / F.col("__share")).alias("__n_target")
+    )
+    rates = counts.crossJoin(F.broadcast(achievable)).select(
+        source_col,
+        F.least(
+            F.lit(1.0),
+            F.col("__share") * F.col("__n_target") / F.col("__n"),
+        ).alias("__rate"),
+    )
+    out = df.join(F.broadcast(rates), source_col, "inner")
+    keep = hash_bucket(id_col, num_buckets) < F.round(
+        F.col("__rate") * num_buckets
+    ).cast("long")
+    return out.where(keep).drop("__rate")

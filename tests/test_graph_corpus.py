@@ -328,3 +328,35 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     with pytest.raises(ValueError):
         corpus_ops.chunk_documents(docs, "doc_id", "text",
                                    chunk_tokens=4, overlap=4)
+
+
+def test_mix_sources_matches_target_mixture(spark):
+    """Down-sample to a target mixture: the binding source keeps every
+    row (rate 1.0), the others down-sample toward their shares, and
+    selection is deterministic (same rows every run)."""
+    from quanta_etl_spark.operators import corpus as corpus_ops
+
+    rows = (
+        [(i, "web") for i in range(4000)]
+        + [(10_000 + i, "code") for i in range(1000)]
+        + [(20_000 + i, "books") for i in range(500)]
+        + [(30_000 + i, "junk") for i in range(300)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = corpus_ops.mix_sources(
+        df, "source", "doc_id", {"web": 0.5, "code": 0.3, "books": 0.2}
+    )
+    got = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # books binds: 500/0.2 = 2500 target → web rate 0.3125, code rate 0.75
+    assert "junk" not in got          # unweighted sources dropped
+    assert got["books"] == 500        # binding source keeps everything
+    assert abs(got["web"] - 1250) < 100   # hash-sampling tolerance
+    assert abs(got["code"] - 750) < 75
+    # deterministic: the same rows, not just the same counts
+    again = corpus_ops.mix_sources(
+        df, "source", "doc_id", {"web": 0.5, "code": 0.3, "books": 0.2}
+    )
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
