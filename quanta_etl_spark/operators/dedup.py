@@ -597,7 +597,11 @@ def minhash_dedup_pairs(
     else:
         # Pure-Catalyst fallback: band self-join + interpreted estimate.
         # Here the signature table IS consumed twice (both join sides),
-        # so it is materialized first.
+        # so it is materialized first. NOTE: this path has no
+        # ``max_bucket`` guard — the join materializes every in-bucket
+        # collision pair as rows (AQE can split the partitions, not the
+        # O(s²) output volume). It exists for parity/debugging; the
+        # Arrow path is the production shape on skewed corpora.
         sigs = _minhash_sigs(
             df, id_col, text_col, num_hashes, shingle_k, use_arrow
         ).localCheckpoint(eager=True)
