@@ -953,6 +953,31 @@ def q_stream_ohlcv(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_stream_static_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-static enrichment: the events stream left-joined to the
+    static customer dimension (broadcast — stateless, no watermark
+    needed). Bounded input ⇒ equals the batch left join, which is the
+    oracle."""
+    from quanta_etl_spark.streaming import ingest
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # NTZ→TIMESTAMP conversion (normalize_event_time) reads the session
+    # tz; pin it so a driver-built session in a non-UTC environment
+    # can't shift instants relative to the DuckDB oracle's epoch().
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = ingest.read_stream(spark, f"{sf}/events.parque[t]", raw_schema)
+    dim = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment", "c_nationkey"
+    )
+    joined = ingest.enrich_stream(
+        ingest.normalize_event_time(stream), dim, "user_id"
+    ).select("event_id", "user_id", "event_type", "c_mktsegment", "c_nationkey")
+    q = ingest.write_stream_memory(joined, "stream_static_join")
+    q.awaitTermination()
+    return spark.table("stream_static_join")
+
+
 def q_densify_fill(spark: SparkSession, sf: str) -> DataFrame:
     """B1 end-to-end: daily aggregate → dense per-user day spine
     (sequence + explode, no driver loops) → forward-fill over gaps."""
@@ -1816,8 +1841,9 @@ def queries() -> dict[str, QueryFn]:
         "above_avg_orders": q_above_avg_orders,  # new this round
         "big_qty_orders": q_big_qty_orders,  # new this round
         "corpus_mix": q_corpus_mix,  # new this round
-        "media_pixel_stats": q_media_pixel_stats,
+        "stream_static_join": q_stream_static_join,  # new this round
         # ---- 50-entry gate cap lands here ----------------------------
+        "media_pixel_stats": q_media_pixel_stats,
         # -- (4) r4-green beyond the cap (rows recorded in r04) --------
         "media_phash_dedup": q_media_phash_dedup,
         "stream_dedup": q_stream_dedup,
@@ -2444,6 +2470,12 @@ def oracle_sql() -> dict[str, str]:
         "join_salted": """
             SELECT o_orderkey, o_custkey AS custkey, o_totalprice, c_mktsegment
             FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "stream_static_join": """
+            SELECT e.event_id, e.user_id, e.event_type,
+                   c.c_mktsegment, c.c_nationkey
+            FROM events e
+            LEFT JOIN customer c ON e.user_id = c.c_custkey
         """,
         "corpus_mix": """
             WITH counts AS (

@@ -317,6 +317,26 @@ def dedup_stream(
     return df.dropDuplicates(keys)
 
 
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str] | str,
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static dimension enrichment — the streaming twin of the
+    reference's fact⋈dim join (etl.py:160-164). Stream-static joins are
+    STATELESS: each micro-batch joins against the static side's current
+    snapshot, no watermark and no join state to bound (the fundamental
+    difference from a stream-stream join). ``broadcast_dim`` ships the
+    dimension to every executor once per batch — the right call for
+    every dimension in this workload; disable only when the static side
+    is too big to broadcast (then pre-bucket both sides)."""
+    d = F.broadcast(dim) if broadcast_dim else dim
+    keys = [on] if isinstance(on, str) else list(on)
+    return stream.join(d, keys, how)
+
+
 def interval_join_streams(
     left: DataFrame,
     right: DataFrame,

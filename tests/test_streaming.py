@@ -384,3 +384,18 @@ def test_windowed_ohlcv_order_col_tiebreak(spark, tmp_path):
     assert len(out) == 1
     r = out[0]
     assert (r["open"], r["close"], r["high"], r["low"]) == (100.0, 70.0, 100.0, 50.0)
+
+
+def test_enrich_stream_is_stateless_broadcast(spark, bar_dir):
+    """Stream-static joins are stateless (no watermark, no join state);
+    the static side broadcasts. Values must equal the batch join."""
+    stream = ingest.read_stream(spark, bar_dir, BAR_SCHEMA)
+    dim = spark.createDataFrame(
+        [("DE0001", "SAP SE"), ("DE0002", "BMW AG")], "isin string, name string"
+    )
+    out = ingest.enrich_stream(stream, dim, "isin").select(
+        "isin", "trading_ts", "name"
+    )
+    got = _run_to_memory(spark, out, "enriched_bars")
+    assert got.count() == 6
+    assert {r.name for r in got.collect()} == {"SAP SE", "BMW AG"}
