@@ -43,8 +43,29 @@ def read_csv(
     return reader.csv(path)
 
 
-def read_parquet(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+def read_parquet(
+    spark: SparkSession, path: str, merge_schema: bool = False
+) -> DataFrame:
+    """Parquet scan. ``merge_schema=True`` reconciles files written
+    under EVOLVING schemas (new nullable columns appear over time —
+    the long-lived-corpus case): the scan schema is the union of every
+    file's footer schema and files missing a column yield NULLs.
+    Off by default — schema merging reads every footer at planning
+    time, which on a 100-TB table with millions of files is a real
+    cost to opt into, not a freebie."""
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(path)
+
+
+def union_evolved(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union two batches whose schemas drifted (columns added or
+    reordered between pipeline versions): name-based alignment with
+    NULL-fill for columns either side lacks. The positional ``union``
+    silently mismatches reordered columns — this is the safe default
+    for appending evolving corpus batches."""
+    return a.unionByName(b, allowMissingColumns=True)
 
 
 def read_json(

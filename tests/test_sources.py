@@ -392,3 +392,27 @@ def test_clustered_write_bloom_filters(spark, tmp_path):
     a = spark.read.parquet(plain).agg(F.bit_xor("doc_hash")).first()[0]
     b = spark.read.parquet(bloomed).agg(F.bit_xor("doc_hash")).first()[0]
     assert a == b
+
+
+def test_schema_evolution_merge_and_union(spark, tmp_path):
+    """Evolving corpus batches: mergeSchema reconciles footers written
+    before/after a column was added; union_evolved aligns drifted
+    batch schemas by NAME with NULL-fill (positional union would
+    silently mismatch)."""
+    old = spark.createDataFrame([(1, "a")], "id long, text string")
+    new = spark.createDataFrame(
+        [(2, "b", "en")], "id long, text string, lang string"
+    )
+    p = str(tmp_path / "evolving")
+    old.write.parquet(p + "/batch=0")
+    new.write.parquet(p + "/batch=1")
+    merged = readers.read_parquet(spark, p, merge_schema=True)
+    assert set(merged.columns) >= {"id", "text", "lang"}
+    got = {r.id: r.lang for r in merged.collect()}
+    assert got == {1: None, 2: "en"}
+    # name-based union of drifted in-memory batches
+    u = readers.union_evolved(old, new.select("lang", "text", "id"))
+    assert u.count() == 2
+    assert {r.id: (r.text, r.lang) for r in u.collect()} == {
+        1: ("a", None), 2: ("b", "en")
+    }
