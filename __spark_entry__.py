@@ -491,6 +491,16 @@ def q_impute_group_mean(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_profile_columns(spark: SparkSession, sf: str) -> DataFrame:
+    """Single-pass column profiling of the orders fact: counts, nulls,
+    exact distincts, stringified min/max — one aggregation + map-side
+    stack unpivot (no per-column jobs)."""
+    o = load_table(spark, sf, "orders")
+    return quality_ops.profile_columns(
+        o, ["o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"]
+    )
+
+
 def q_iqr_outliers(spark: SparkSession, sf: str) -> DataFrame:
     """Tukey-fence outliers per order priority (exact quartiles +
     bounds join; k tightened to 0.5 — the testdata totals have thin
@@ -1842,6 +1852,7 @@ def queries() -> dict[str, QueryFn]:
         "big_qty_orders": q_big_qty_orders,  # new this round
         "corpus_mix": q_corpus_mix,  # new this round
         "stream_static_join": q_stream_static_join,  # new this round
+        "profile_columns": q_profile_columns,  # new this round
         # ---- 50-entry gate cap lands here ----------------------------
         "media_pixel_stats": q_media_pixel_stats,
         # -- (4) r4-green beyond the cap (rows recorded in r04) --------
@@ -2470,6 +2481,36 @@ def oracle_sql() -> dict[str, str]:
         "join_salted": """
             SELECT o_orderkey, o_custkey AS custkey, o_totalprice, c_mktsegment
             FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "profile_columns": """
+            WITH s AS (SELECT * FROM orders)
+            SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+                   sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+                   count(DISTINCT o_orderkey) AS n_distinct,
+                   CAST(min(o_orderkey) AS VARCHAR) AS min_str,
+                   CAST(max(o_orderkey) AS VARCHAR) AS max_str
+            FROM s
+            UNION ALL
+            SELECT 'o_custkey', count(*),
+                   sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+                   count(DISTINCT o_custkey),
+                   CAST(min(o_custkey) AS VARCHAR),
+                   CAST(max(o_custkey) AS VARCHAR)
+            FROM s
+            UNION ALL
+            SELECT 'o_orderpriority', count(*),
+                   sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+                   count(DISTINCT o_orderpriority),
+                   CAST(min(o_orderpriority) AS VARCHAR),
+                   CAST(max(o_orderpriority) AS VARCHAR)
+            FROM s
+            UNION ALL
+            SELECT 'o_totalprice', count(*),
+                   sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+                   count(DISTINCT o_totalprice),
+                   CAST(min(o_totalprice) AS VARCHAR),
+                   CAST(max(o_totalprice) AS VARCHAR)
+            FROM s
         """,
         "stream_static_join": """
             SELECT e.event_id, e.user_id, e.event_type,

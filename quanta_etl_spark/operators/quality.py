@@ -65,6 +65,43 @@ def null_report(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
     )
 
 
+def profile_columns(
+    df: DataFrame, cols: Sequence[str] | None = None
+) -> DataFrame:
+    """One-pass column profile: per column, row count, null count,
+    exact distinct count, and min/max (stringified so heterogeneous
+    column types share one output schema). The profiling workhorse for
+    landing unknown data — schema drift, null floods, and cardinality
+    surprises all show up here before they break a pipeline.
+
+    Plan shape: ONE aggregation over the scan computes every statistic
+    (count/sum are map-side partial; count(DISTINCT c1), count(DISTINCT
+    c2)… expand to a single multi-distinct aggregate), then a map-side
+    ``stack`` unpivots the single result row to one row per column —
+    no per-column jobs, no driver loop."""
+    cols = list(cols or df.columns)
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__dist_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __n_{c}, __null_{c}, __dist_{c}, __min_{c}, __max_{c}"
+        for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column, n_rows, n_null, n_distinct, min_str, max_str)"
+        )
+    )
+
+
 def impute_group_mean(
     df: DataFrame, value: str, by: Sequence[str], out_col: str | None = None
 ) -> DataFrame:

@@ -270,3 +270,21 @@ def test_iqr_outliers_approx_mode(spark):
     assert {tuple(r) for r in approx.select("k", "v").collect()} >= {
         ("a", 1000.0)
     }
+
+
+def test_profile_columns_one_pass(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "a", None), (3, None, 3.5), (3, "b", 3.5)],
+        "id long, name string, v double",
+    )
+    out = {r["column"]: r for r in Q.profile_columns(df).collect()}
+    assert set(out) == {"id", "name", "v"}
+    assert out["id"].n_rows == 4 and out["id"].n_null == 0
+    assert out["id"].n_distinct == 3
+    assert (out["id"].min_str, out["id"].max_str) == ("1", "3")
+    assert out["name"].n_null == 1 and out["name"].n_distinct == 2
+    assert out["v"].n_null == 1 and out["v"].n_distinct == 2
+    # single aggregation + map-side stack: exactly one shuffle
+    from quanta_etl_spark.plans import inspect as P
+
+    assert P.count_shuffles(Q.profile_columns(df)) <= 1
