@@ -804,6 +804,28 @@ def q_window_rank(spark: SparkSession, sf: str) -> DataFrame:
     return r2.select("c_custkey", "c_mktsegment", "c_acctbal", "bal_rank", "quartile")
 
 
+def q_window_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution window family (percent_rank + cume_dist) over the
+    customer balance per segment — completes the ranking surface
+    (window_rank gates rank/ntile)."""
+    c = load_table(spark, sf, "customer")
+    base = c.select("c_custkey", "c_mktsegment", "c_acctbal")
+    order = [F.col("c_acctbal").desc(), F.col("c_custkey").asc()]
+    r1 = win_ops.ranked(
+        base, ["c_mktsegment"], order, "percent_rank", out="pct_rank"
+    )
+    r2 = win_ops.ranked(r1, ["c_mktsegment"], order, "cume_dist", out="cume")
+    return r2.select("c_custkey", "c_mktsegment", "c_acctbal", "pct_rank", "cume")
+
+
+def q_fuzzy_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity-resolution fuzzy matching: customer-name pairs within
+    edit distance 2 under (first-char, length) blocking — verification
+    by levenshtein, reproduced verbatim by the oracle."""
+    c = load_table(spark, sf, "customer").where(F.col("c_custkey") < 300)
+    return dedup_ops.fuzzy_match_pairs(c, "c_custkey", "c_name", max_distance=2)
+
+
 def q_forward_fill(spark: SparkSession, sf: str) -> DataFrame:
     """B1: carry the last purchase value forward over every event of a
     user (nulls before the first purchase remain null)."""
@@ -1855,7 +1877,10 @@ def queries() -> dict[str, QueryFn]:
         "profile_columns": q_profile_columns,  # new this round
         # ---- 50-entry gate cap lands here ----------------------------
         "media_pixel_stats": q_media_pixel_stats,
-        # -- (4) r4-green beyond the cap (rows recorded in r04) --------
+        # -- (4) past the cap: newest-first so next round's rotation
+        #        gates them, then r4-green rows ----------------------
+        "window_distribution": q_window_distribution,  # new this round
+        "fuzzy_pairs": q_fuzzy_pairs,  # new this round
         "media_phash_dedup": q_media_phash_dedup,
         "stream_dedup": q_stream_dedup,
         "stream_stateful_running": q_stream_stateful_running,
@@ -2481,6 +2506,27 @@ def oracle_sql() -> dict[str, str]:
         "join_salted": """
             SELECT o_orderkey, o_custkey AS custkey, o_totalprice, c_mktsegment
             FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "window_distribution": """
+            SELECT c_custkey, c_mktsegment, c_acctbal,
+                   percent_rank() OVER w AS pct_rank,
+                   cume_dist() OVER w AS cume
+            FROM customer
+            WINDOW w AS (PARTITION BY c_mktsegment
+                         ORDER BY c_acctbal DESC, c_custkey ASC)
+        """,
+        "fuzzy_pairs": """
+            WITH c AS (
+                SELECT c_custkey, c_name,
+                       lower(substr(c_name, 1, 1)) AS b0,
+                       length(c_name) AS b1
+                FROM customer WHERE c_custkey < 300
+            )
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                   levenshtein(a.c_name, b.c_name) AS distance
+            FROM c a JOIN c b
+              ON a.b0 = b.b0 AND a.b1 = b.b1 AND a.c_custkey < b.c_custkey
+            WHERE levenshtein(a.c_name, b.c_name) <= 2
         """,
         "profile_columns": """
             WITH s AS (SELECT * FROM orders)

@@ -192,3 +192,30 @@ def test_dedup_against_registry(spark):
     kept = sorted(r["id"] for r in out.collect())
     assert kept == [11, 17]
     assert set(out.columns) == {"fp", "id", "text"}
+
+
+def test_fuzzy_match_pairs_blocking_and_verify(spark):
+    from quanta_etl_spark.operators import dedup as D
+
+    rows = [
+        (1, "ACME Corp"),
+        (2, "ACME Corp."),   # 1 insertion — but length differs: needs custom block
+        (3, "ACMR Corp"),    # 1 substitution, same length -> default block finds it
+        (4, "Zenith Ltd"),
+        (5, "acme corp"),    # case differs everywhere: distance > 2 from ACME Corp
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {
+        (r.id_a, r.id_b): r.distance
+        for r in D.fuzzy_match_pairs(df, "id", "name", max_distance=2).collect()
+    }
+    assert got == {(1, 3): 1}  # substitution typo found; length-drift pair not
+    # custom multi-block: first char only -> the insertion pair appears too
+    wide = {
+        (r.id_a, r.id_b): r.distance
+        for r in D.fuzzy_match_pairs(
+            df, "id", "name", max_distance=2,
+            blocks=[F.lower(F.substring("__t", 1, 1))],
+        ).collect()
+    }
+    assert wide == {(1, 2): 1, (1, 3): 1, (2, 3): 2}
