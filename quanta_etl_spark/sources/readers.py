@@ -393,6 +393,47 @@ def read_versioned_parquet(
     )
 
 
+def diff_versions(
+    spark: SparkSession,
+    path: str,
+    old_version: int,
+    new_version: int,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Row-level CDC between two committed versions of a versioned
+    table: one full-outer join on the key, emitting one row per changed
+    key with ``change_type`` ∈ {insert, delete, update} and both images
+    (``old_<col>`` / ``new_<col>``). The incremental-processing
+    primitive the MVCC layout enables: downstream jobs consume the
+    delta between the version they last saw and the current one
+    instead of re-reading the table.
+
+    Scale: one sort-merge/hash join keyed on the primary key — O(table)
+    but single-pass, and unchanged rows never leave the join (the
+    struct inequality filters them before any projection widens)."""
+    keys = list(keys)
+    o = read_versioned_parquet(spark, path, old_version)
+    n = read_versioned_parquet(spark, path, new_version)
+    payload = [c for c in n.columns if c not in keys]
+    o2 = o.select(*keys, F.struct(*payload).alias("__old"))
+    n2 = n.select(*keys, F.struct(*payload).alias("__new"))
+    j = o2.join(n2, keys, "full_outer")
+    change = (
+        F.when(F.col("__old").isNull(), F.lit("insert"))
+        .when(F.col("__new").isNull(), F.lit("delete"))
+        .when(F.col("__old") != F.col("__new"), F.lit("update"))
+    )
+    out = j.withColumn("change_type", change).where(
+        F.col("change_type").isNotNull()
+    )
+    return out.select(
+        *keys,
+        "change_type",
+        *[F.col("__old").getField(c).alias(f"old_{c}") for c in payload],
+        *[F.col("__new").getField(c).alias(f"new_{c}") for c in payload],
+    )
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,

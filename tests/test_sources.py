@@ -416,3 +416,32 @@ def test_schema_evolution_merge_and_union(spark, tmp_path):
     assert {r.id: (r.text, r.lang) for r in u.collect()} == {
         1: ("a", None), 2: ("b", "en")
     }
+
+
+def test_diff_versions_cdc(spark, tmp_path):
+    """CDC between MVCC versions: insert/delete/update detection with
+    both row images; unchanged rows never appear."""
+    path = str(tmp_path / "cdc_table")
+    readers.write_versioned_parquet(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)],
+            "k int, s string, v double",
+        ),
+        path,
+    )
+    readers.write_versioned_parquet(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "B", 2.5), (4, "d", 4.0)],
+            "k int, s string, v double",
+        ),
+        path,
+    )
+    got = {
+        r.k: (r.change_type, r.old_s, r.new_s, r.old_v, r.new_v)
+        for r in readers.diff_versions(spark, path, 1, 2, ["k"]).collect()
+    }
+    assert got == {
+        2: ("update", "b", "B", 2.0, 2.5),
+        3: ("delete", "c", None, 3.0, None),
+        4: ("insert", None, "d", None, 4.0),
+    }
