@@ -66,7 +66,9 @@ def null_report(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
 
 
 def profile_columns(
-    df: DataFrame, cols: Sequence[str] | None = None
+    df: DataFrame,
+    cols: Sequence[str] | None = None,
+    exact_distinct: bool = True,
 ) -> DataFrame:
     """One-pass column profile: per column, row count, null count,
     exact distinct count, and min/max (stringified so heterogeneous
@@ -78,14 +80,22 @@ def profile_columns(
     (count/sum are map-side partial; count(DISTINCT c1), count(DISTINCT
     c2)… expand to a single multi-distinct aggregate), then a map-side
     ``stack`` unpivots the single result row to one row per column —
-    no per-column jobs, no driver loop."""
+    no per-column jobs, no driver loop.
+
+    ``exact_distinct=False`` swaps ``count_distinct`` for HLL
+    ``approx_count_distinct`` — at 100 TB the exact multi-distinct's
+    Expand (one duplicated row per profiled column) is the dominant
+    cost, while the sketch keeps the aggregate a plain single-pass
+    partial/final with O(1) state per column. Use approx for wide
+    profiling sweeps; exact when the distinct count feeds a decision."""
     cols = list(cols or df.columns)
+    n_distinct = F.count_distinct if exact_distinct else F.approx_count_distinct
     aggs = []
     for c in cols:
         aggs += [
             F.count(F.lit(1)).alias(f"__n_{c}"),
             F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"),
-            F.count_distinct(F.col(c)).alias(f"__dist_{c}"),
+            n_distinct(F.col(c)).alias(f"__dist_{c}"),
             F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
             F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
         ]

@@ -288,3 +288,15 @@ def test_profile_columns_one_pass(spark):
     from quanta_etl_spark.plans import inspect as P
 
     assert P.count_shuffles(Q.profile_columns(df)) <= 1
+
+
+def test_profile_columns_approx_mode(spark):
+    df = spark.createDataFrame(
+        [(i % 7, f"s{i % 3}") for i in range(1000)], "a int, b string"
+    )
+    out = {r["column"]: r for r in
+           Q.profile_columns(df, exact_distinct=False).collect()}
+    # HLL at these cardinalities is exact
+    assert out["a"].n_distinct == 7
+    assert out["b"].n_distinct == 3
+    assert out["a"].n_rows == 1000
