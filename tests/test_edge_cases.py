@@ -124,3 +124,59 @@ def test_ngram_counts_short_docs(spark):
     assert got == {"one two": 2, "two three": 1}
     # docs shorter than n tokens contribute nothing (ML convention)
     assert TS.ngram_counts(docs.where("doc_id = 3"), "text", n=2).count() == 0
+
+
+def test_round5_operators_edge_cases(spark):
+    """Degenerate inputs for the round-5 surface: empty frames, absent
+    sources, single-element buckets."""
+    from quanta_etl_spark.operators import corpus as corpus_ops
+    from quanta_etl_spark.operators import quality as Q
+    from quanta_etl_spark.streaming import ingest
+
+    empty_docs = spark.createDataFrame([], "doc_id long, source string")
+    # mix_sources on empty corpus: no rows, no division blowups
+    assert corpus_ops.mix_sources(
+        empty_docs, "source", "doc_id", {"web": 1.0}
+    ).count() == 0
+    # weights naming only absent sources: everything dropped
+    some = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, source string")
+    assert corpus_ops.mix_sources(
+        some, "source", "doc_id", {"nope": 1.0}
+    ).count() == 0
+    # fuzzy pairs: empty and single-row inputs produce no pairs
+    assert dedup_ops.fuzzy_match_pairs(
+        empty_docs.withColumnRenamed("source", "name"), "doc_id", "name"
+    ).count() == 0
+    one = spark.createDataFrame([(1, "solo")], "doc_id long, name string")
+    assert dedup_ops.fuzzy_match_pairs(one, "doc_id", "name").count() == 0
+    # profile of an all-NULL column
+    nulls = spark.createDataFrame([(None,), (None,)], "x string")
+    row = Q.profile_columns(nulls).collect()[0]
+    assert (row.n_rows, row.n_null, row.n_distinct) == (2, 2, 0)
+    assert row.min_str is None and row.max_str is None
+    # normalize_event_time leaves a TIMESTAMP column untouched
+    import datetime as dt
+
+    ts_df = spark.createDataFrame([(dt.datetime(2024, 1, 1),)], "ts timestamp")
+    assert ingest.normalize_event_time(ts_df).schema == ts_df.schema
+
+
+def test_bucket_pair_indices_edge_cases():
+    """Pure-numpy helper: singleton runs emit nothing; a size-2 hot run
+    (> cap=1) emits exactly the chain pair; cap boundary is inclusive."""
+    import numpy as np
+
+    from quanta_etl_spark.operators.dedup import _bucket_pair_indices
+
+    # all singletons
+    gi, gj = _bucket_pair_indices(np.array([0, 1, 2]), np.array([1, 1, 1]), 64)
+    assert len(gi) == 0
+    # size-2 run over cap → chain only (1 pair), star degenerate
+    gi, gj = _bucket_pair_indices(np.array([0]), np.array([2]), 1)
+    assert list(zip(gi, gj)) == [(0, 1)]
+    # at the cap → full triangle
+    gi, gj = _bucket_pair_indices(np.array([0]), np.array([3]), 3)
+    assert len(gi) == 3
+    # just past the cap → 2s-3 spanning pairs
+    gi, gj = _bucket_pair_indices(np.array([0]), np.array([4]), 3)
+    assert len(gi) == 2 * 4 - 3
