@@ -1710,6 +1710,21 @@ def q_json_extract_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_json_map_explode(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema-free JSON handling via MapType: parse props into
+    map<string,string> and explode to (event_id, key, value) rows —
+    the dynamic-payload path when keys aren't known at plan time
+    (with_json_fields is the typed path). Map columns can't be gated
+    (canonicalizer), so the EXPLODED pairs are — which also exercises
+    the map→rows explode the corpus ops lean on."""
+    from quanta_etl_spark.functions import semistructured as SS
+
+    ev = load_table(spark, sf, "events").where(F.col("event_id") < 3000)
+    return ev.select(
+        "event_id", F.explode(SS.map_from_json("props")).alias("key", "value")
+    )
+
+
 def q_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
     """SQL MERGE (SCD1 upsert) on the orders fact: a deterministic
     correction batch (keys % 97, price bumped 10%, priority rewritten)
@@ -1881,6 +1896,7 @@ def queries() -> dict[str, QueryFn]:
         #        gates them, then r4-green rows ----------------------
         "window_distribution": q_window_distribution,  # new this round
         "fuzzy_pairs": q_fuzzy_pairs,  # new this round
+        "json_map_explode": q_json_map_explode,  # new this round
         "media_phash_dedup": q_media_phash_dedup,
         "stream_dedup": q_stream_dedup,
         "stream_stateful_running": q_stream_stateful_running,
@@ -2506,6 +2522,12 @@ def oracle_sql() -> dict[str, str]:
         "join_salted": """
             SELECT o_orderkey, o_custkey AS custkey, o_totalprice, c_mktsegment
             FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "json_map_explode": """
+            SELECT e.event_id, k AS key,
+                   CAST(e.props ->> k AS VARCHAR) AS value
+            FROM events e, unnest(json_keys(e.props)) AS t(k)
+            WHERE e.event_id < 3000
         """,
         "window_distribution": """
             SELECT c_custkey, c_mktsegment, c_acctbal,
