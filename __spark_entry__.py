@@ -818,6 +818,31 @@ def q_window_distribution(spark: SparkSession, sf: str) -> DataFrame:
     return r2.select("c_custkey", "c_mktsegment", "c_acctbal", "pct_rank", "cume")
 
 
+def q_window_value_picks(spark: SparkSession, sf: str) -> DataFrame:
+    """Value-picking analytic windows: first_value / last_value /
+    nth_value over the FULL partition frame (the default running frame
+    makes last_value useless — a classic trap) plus lead. All picks,
+    no arithmetic, so the hash is drift-proof; total order via the
+    (balance, key) tiebreak."""
+    from pyspark.sql.window import Window
+
+    c = load_table(spark, sf, "customer")
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    )
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.first_value("c_acctbal").over(full).alias("seg_top"),
+        F.last_value("c_acctbal").over(full).alias("seg_bottom"),
+        F.nth_value("c_acctbal", 3).over(full).alias("seg_third"),
+        F.lead("c_acctbal", 1).over(w).alias("next_bal"),
+    )
+
+
 def q_fuzzy_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Entity-resolution fuzzy matching: customer-name pairs within
     edit distance 2 under (first-char, length) blocking — verification
@@ -1897,6 +1922,7 @@ def queries() -> dict[str, QueryFn]:
         "window_distribution": q_window_distribution,  # new this round
         "fuzzy_pairs": q_fuzzy_pairs,  # new this round
         "json_map_explode": q_json_map_explode,  # new this round
+        "window_value_picks": q_window_value_picks,  # new this round
         "media_phash_dedup": q_media_phash_dedup,
         "stream_dedup": q_stream_dedup,
         "stream_stateful_running": q_stream_stateful_running,
@@ -2528,6 +2554,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(e.props ->> k AS VARCHAR) AS value
             FROM events e, unnest(json_keys(e.props)) AS t(k)
             WHERE e.event_id < 3000
+        """,
+        "window_value_picks": """
+            SELECT c_custkey, c_mktsegment, c_acctbal,
+                   first_value(c_acctbal) OVER wf AS seg_top,
+                   last_value(c_acctbal) OVER wf AS seg_bottom,
+                   nth_value(c_acctbal, 3) OVER wf AS seg_third,
+                   lead(c_acctbal, 1) OVER w AS next_bal
+            FROM customer
+            WINDOW w AS (PARTITION BY c_mktsegment
+                         ORDER BY c_acctbal DESC, c_custkey ASC),
+                   wf AS (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal DESC, c_custkey ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND UNBOUNDED FOLLOWING)
         """,
         "window_distribution": """
             SELECT c_custkey, c_mktsegment, c_acctbal,
