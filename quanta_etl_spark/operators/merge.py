@@ -121,3 +121,77 @@ def scd2_from_changelog(
         F.lead(ts_col).over(w2).alias("valid_to"),
         F.lead(ts_col).over(w2).isNull().alias("is_current"),
     )
+
+
+def incremental_agg_maintain(
+    agg: DataFrame,
+    cdc: DataFrame,
+    group_keys: Sequence[str],
+    sum_cols: dict[str, tuple[str, str]],
+    count_col: str | None = None,
+) -> DataFrame:
+    """Incremental maintenance of a sum/count rollup from a CDC delta
+    (``sources.readers.diff_versions`` output) — the
+    materialized-view-refresh primitive: updating a 100-TB table's
+    rollup costs O(delta), not O(table).
+
+    ``sum_cols`` maps aggregate column → (old_image_col, new_image_col)
+    in the CDC frame; ``count_col`` names the row-count aggregate if the
+    rollup keeps one. Per CDC row the contribution is
+    ``coalesce(new, 0) - coalesce(old, 0)`` (insert adds, delete
+    subtracts, update adds the difference), summed per group and
+    full-outer-merged into the rollup. Groups whose count reaches 0
+    drop out. Only works for ALGEBRAIC aggregates (sum/count/avg via
+    sum+count) — min/max need the base table on deletes, by design.
+
+    Group keys resolve from the row IMAGES (``old_<key>`` /
+    ``new_<key>`` when present in the CDC frame, the plain column when
+    the group key is the join key): an update that MOVES a row between
+    groups subtracts its old image from the old group and adds the new
+    image to the new group — the case a single-sided delta gets wrong.
+
+    Plan: one aggregation over the (small) delta + one outer join keyed
+    on the group key — the rollup is never rescanned beyond the join,
+    and AQE broadcasts the delta side when it fits."""
+    keys = list(group_keys)
+
+    def side(prefix: str, change_types: tuple[str, ...], sign: int) -> DataFrame:
+        key_cols = [
+            (
+                F.col(f"{prefix}_{k}") if f"{prefix}_{k}" in cdc.columns
+                else F.col(k)
+            ).alias(k)
+            for k in keys
+        ]
+        contribs = [
+            (F.lit(sign) * F.coalesce(F.col(img[0 if sign < 0 else 1]), F.lit(0))).alias(
+                f"__d_{out}"
+            )
+            for out, img in sum_cols.items()
+        ]
+        if count_col is not None:
+            contribs.append(F.lit(sign).alias(f"__d_{count_col}"))
+        return cdc.where(F.col("change_type").isin(*change_types)).select(
+            *key_cols, *contribs
+        )
+
+    contributions = side("old", ("delete", "update"), -1).unionByName(
+        side("new", ("insert", "update"), +1)
+    )
+    deltas = contributions.groupBy(*keys).agg(
+        *[
+            F.sum(f"__d_{c}").alias(f"__d_{c}")
+            for c in list(sum_cols) + ([count_col] if count_col else [])
+        ]
+    )
+    merged = agg.join(deltas, keys, "full_outer")
+    out_cols = list(sum_cols) + ([count_col] if count_col else [])
+    for c in out_cols:
+        merged = merged.withColumn(
+            c,
+            F.coalesce(F.col(c), F.lit(0)) + F.coalesce(F.col(f"__d_{c}"), F.lit(0)),
+        )
+    merged = merged.drop(*[f"__d_{c}" for c in out_cols])
+    if count_col is not None:
+        merged = merged.where(F.col(count_col) > 0)
+    return merged

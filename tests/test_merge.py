@@ -85,3 +85,41 @@ def test_merge_upsert_plan_broadcasts_small_delta(spark):
     source = spark.range(0, 10).withColumn("v", F.lit(-1).cast("bigint"))
     plan = merge_ops.merge_upsert(target, source, ["id"])._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_incremental_agg_maintain_equals_recompute(spark, tmp_path):
+    """Maintaining a rollup from the CDC delta must equal recomputing
+    it from the new table version — inserts, updates, deletes, and a
+    group emptied to zero all covered."""
+    from pyspark.sql import functions as F
+
+    from quanta_etl_spark.operators.merge import incremental_agg_maintain
+    from quanta_etl_spark.sources import readers
+
+    path = str(tmp_path / "fact")
+    v1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 5.0), (3, "b", 7.0), (4, "c", 2.0)],
+        "k int, grp string, v double",
+    )
+    readers.write_versioned_parquet(v1, path)
+    v2 = spark.createDataFrame(
+        # a: value update; k=2 MOVES group a->d; b: insert; c: deleted
+        # entirely; d: new group (move + fresh insert)
+        [(1, "a", 12.0), (2, "d", 5.0), (3, "b", 7.0), (5, "b", 1.0), (6, "d", 9.0)],
+        "k int, grp string, v double",
+    )
+    readers.write_versioned_parquet(v2, path)
+
+    agg_v1 = v1.groupBy("grp").agg(
+        F.sum("v").alias("total"), F.count(F.lit(1)).alias("n")
+    )
+    cdc = readers.diff_versions(spark, path, 1, 2, ["k"])
+    maintained = incremental_agg_maintain(
+        agg_v1, cdc, ["grp"], {"total": ("old_v", "new_v")}, count_col="n"
+    )
+    expected = v2.groupBy("grp").agg(
+        F.sum("v").alias("total"), F.count(F.lit(1)).alias("n")
+    )
+    got = {r.grp: (r.total, r.n) for r in maintained.collect()}
+    want = {r.grp: (r.total, r.n) for r in expected.collect()}
+    assert got == want, (got, want)
