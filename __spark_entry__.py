@@ -324,6 +324,26 @@ def q_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_sql_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """The SQL-text API end-to-end (TPC-H Q6 shape): the engine's
+    tables registered as views and queried with spark.sql — same
+    Catalyst plan as the DataFrame form, proving both front doors reach
+    the same engine. Decimal-summed like every money aggregate."""
+    from quanta_etl_spark.sources.testdata import register_views
+
+    register_views(spark, sf)
+    return spark.sql(
+        """
+        SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(20,6)))
+                    AS DOUBLE) AS revenue_delta,
+               count(*) AS n_rows
+        FROM lineitem
+        WHERE l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """
+    )
+
+
 def q_above_avg_orders(spark: SparkSession, sf: str) -> DataFrame:
     """Decorrelated scalar subquery (TPC-H Q17/Q22 family): orders
     priced above 1.5× their own customer's average order value. The
@@ -1923,6 +1943,7 @@ def queries() -> dict[str, QueryFn]:
         "fuzzy_pairs": q_fuzzy_pairs,  # new this round
         "json_map_explode": q_json_map_explode,  # new this round
         "window_value_picks": q_window_value_picks,  # new this round
+        "sql_forecast_revenue": q_sql_forecast_revenue,  # new this round
         "media_phash_dedup": q_media_phash_dedup,
         "stream_dedup": q_stream_dedup,
         "stream_stateful_running": q_stream_stateful_running,
@@ -2548,6 +2569,14 @@ def oracle_sql() -> dict[str, str]:
         "join_salted": """
             SELECT o_orderkey, o_custkey AS custkey, o_totalprice, c_mktsegment
             FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "sql_forecast_revenue": """
+            SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(20,6)))
+                        AS DOUBLE) AS revenue_delta,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
         """,
         "json_map_explode": """
             SELECT e.event_id, k AS key,
