@@ -324,6 +324,29 @@ def q_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_array_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """Array function family as a gated surface (used internally by the
+    vector/dedup ops, here exercised directly): collect → sort_array →
+    distinct/slice/contains plus a higher-order aggregate fold. Arrays
+    are emitted as joined strings (gate outputs must be scalar)."""
+    li = load_table(spark, sf, "lineitem").where(F.col("l_orderkey") < 1000)
+    g = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_linenumber")).alias("arr")
+    )
+    return g.select(
+        "l_orderkey",
+        F.concat_ws(",", F.col("arr").cast("array<string>")).alias("lines"),
+        F.size(F.array_distinct("arr")).alias("n_distinct"),
+        F.aggregate(
+            "arr", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("line_sum"),
+        F.array_contains("arr", F.lit(1)).alias("has_first"),
+        F.concat_ws(
+            ",", F.slice("arr", 1, 2).cast("array<string>")
+        ).alias("first_two"),
+    )
+
+
 def q_sql_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """The SQL-text API end-to-end (TPC-H Q6 shape): the engine's
     tables registered as views and queried with spark.sql — same
@@ -1944,6 +1967,7 @@ def queries() -> dict[str, QueryFn]:
         "json_map_explode": q_json_map_explode,  # new this round
         "window_value_picks": q_window_value_picks,  # new this round
         "sql_forecast_revenue": q_sql_forecast_revenue,  # new this round
+        "array_functions": q_array_functions,  # new this round
         "media_phash_dedup": q_media_phash_dedup,
         "stream_dedup": q_stream_dedup,
         "stream_stateful_running": q_stream_stateful_running,
@@ -2569,6 +2593,20 @@ def oracle_sql() -> dict[str, str]:
         "join_salted": """
             SELECT o_orderkey, o_custkey AS custkey, o_totalprice, c_mktsegment
             FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "array_functions": """
+            WITH g AS (
+                SELECT l_orderkey, list_sort(list(l_linenumber)) AS arr
+                FROM lineitem WHERE l_orderkey < 1000
+                GROUP BY l_orderkey
+            )
+            SELECT l_orderkey,
+                   array_to_string(arr, ',') AS lines,
+                   CAST(len(list_distinct(arr)) AS INT) AS n_distinct,
+                   CAST(list_aggregate(arr, 'sum') AS BIGINT) AS line_sum,
+                   list_contains(arr, 1) AS has_first,
+                   array_to_string(arr[1:2], ',') AS first_two
+            FROM g
         """,
         "sql_forecast_revenue": """
             SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(20,6)))
