@@ -110,3 +110,76 @@ def test_validate_split_is_a_partition(spark, rows):
     for i, (k, v) in enumerate(rows):
         if v is None:
             assert i in bad_ids
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    v1=st.lists(
+        st.tuples(
+            st.integers(0, 30),                       # key
+            st.sampled_from(["a", "b", "c"]),        # group
+            st.integers(-50, 50),                     # value (int: exact)
+        ),
+        min_size=0,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+    v2=st.lists(
+        st.tuples(
+            st.integers(0, 30),
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(-50, 50),
+        ),
+        min_size=0,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_incremental_maintain_equals_recompute_random(spark, v1, v2):
+    """For ANY two table versions (random inserts/deletes/updates,
+    including group moves and groups emptied either way), maintaining
+    the v1 rollup with the v1→v2 CDC must equal recomputing from v2."""
+    from pyspark.sql import functions as F
+
+    from quanta_etl_spark.operators.merge import incremental_agg_maintain
+
+    schema = "k int, grp string, v int"
+    d1 = spark.createDataFrame(v1, schema) if v1 else spark.createDataFrame([], schema)
+    d2 = spark.createDataFrame(v2, schema) if v2 else spark.createDataFrame([], schema)
+    # synthesize the CDC frame the diff_versions layout produces
+    o = d1.select("k", F.struct("grp", "v").alias("__old"))
+    n = d2.select("k", F.struct("grp", "v").alias("__new"))
+    j = o.join(n, "k", "full_outer")
+    change = (
+        F.when(F.col("__old").isNull(), F.lit("insert"))
+        .when(F.col("__new").isNull(), F.lit("delete"))
+        .when(F.col("__old") != F.col("__new"), F.lit("update"))
+    )
+    cdc = (
+        j.withColumn("change_type", change)
+        .where(F.col("change_type").isNotNull())
+        .select(
+            "k",
+            "change_type",
+            F.col("__old.grp").alias("old_grp"),
+            F.col("__old.v").alias("old_v"),
+            F.col("__new.grp").alias("new_grp"),
+            F.col("__new.v").alias("new_v"),
+        )
+    )
+    agg1 = d1.groupBy("grp").agg(
+        F.sum("v").alias("total"), F.count(F.lit(1)).alias("n")
+    )
+    maintained = incremental_agg_maintain(
+        agg1, cdc, ["grp"], {"total": ("old_v", "new_v")}, count_col="n"
+    )
+    expected = d2.groupBy("grp").agg(
+        F.sum("v").alias("total"), F.count(F.lit(1)).alias("n")
+    )
+    got = {r.grp: (r.total, r.n) for r in maintained.collect()}
+    want = {r.grp: (r.total, r.n) for r in expected.collect()}
+    assert got == want, (got, want)
