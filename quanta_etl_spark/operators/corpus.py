@@ -353,6 +353,7 @@ def mix_sources(
     id_col: str,
     weights: dict[str, float],
     num_buckets: int = 10_000,
+    allow_missing: bool = False,
 ) -> DataFrame:
     """Down-sample sources to a TARGET MIXTURE — the training-data op
     behind "50% web, 30% code, 20% books": keep a deterministic subset
@@ -367,6 +368,16 @@ def mix_sources(
     md5 60-bit bucket ``sampling.hash_bucket`` uses — the same rows are
     kept on any cluster size, any run, any engine with md5. Sources
     absent from ``weights`` are dropped (inner join).
+
+    Mixture contract (ADVICE r5): every ``weights`` key must be
+    present in the data — a missing source would silently shift the
+    output composition away from the stated target, so the plan
+    asserts presence and fails loudly (set ``allow_missing=True`` to
+    renormalize over the present sources instead; the rate algebra
+    renormalizes automatically — the weight total cancels out of
+    ``rate = w * min(n_i/w_i) / n``). A tiny positive rate keeps at
+    least one hash bucket (``greatest(round(...), 1)``) so no weighted
+    source is ever rounded out of the mix entirely.
 
     Scale: one shuffle (the per-source count), then a broadcast join +
     map-side filter over the corpus — the corpus itself never
@@ -388,17 +399,36 @@ def mix_sources(
         .where(F.col("__share").isNotNull() & (F.col("__share") > 0))
     )
     achievable = counts.agg(
-        F.min(F.col("__n") / F.col("__share")).alias("__n_target")
+        F.min(F.col("__n") / F.col("__share")).alias("__n_target"),
+        F.count(F.lit(1)).alias("__n_present"),
     )
-    rates = counts.crossJoin(F.broadcast(achievable)).select(
-        source_col,
-        F.least(
-            F.lit(1.0),
-            F.col("__share") * F.col("__n_target") / F.col("__n"),
-        ).alias("__rate"),
+    # assert_true lives in the filter so column pruning cannot drop it:
+    # NULL on success keeps every row, a missing source raises in-plan.
+    n_positive = sum(1 for v in weights.values() if v > 0)
+    present_ok = F.lit(allow_missing) | (
+        F.col("__n_present") == F.lit(n_positive)
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(achievable))
+        .where(
+            F.assert_true(
+                present_ok,
+                F.lit(
+                    "mix_sources: weights name sources absent from the "
+                    "data; pass allow_missing=True to renormalize"
+                ),
+            ).isNull()
+        )
+        .select(
+            source_col,
+            F.least(
+                F.lit(1.0),
+                F.col("__share") * F.col("__n_target") / F.col("__n"),
+            ).alias("__rate"),
+        )
     )
     out = df.join(F.broadcast(rates), source_col, "inner")
-    keep = hash_bucket(id_col, num_buckets) < F.round(
-        F.col("__rate") * num_buckets
-    ).cast("long")
+    keep = hash_bucket(id_col, num_buckets) < F.greatest(
+        F.round(F.col("__rate") * num_buckets).cast("long"), F.lit(1)
+    )
     return out.where(keep).drop("__rate")

@@ -79,8 +79,12 @@ def profile_columns(
     Plan shape: ONE aggregation over the scan computes every statistic
     (count/sum are map-side partial; count(DISTINCT c1), count(DISTINCT
     c2)… expand to a single multi-distinct aggregate), then a map-side
-    ``stack`` unpivots the single result row to one row per column —
-    no per-column jobs, no driver loop.
+    ``inline`` of a struct array unpivots the single result row to one
+    row per column — no per-column jobs, no driver loop. Built entirely
+    from typed Column APIs with positional internal aliases (ADVICE
+    r5): column names containing spaces, dots, quotes, or backticks
+    never reach a SQL parser, so any legal parquet name profiles
+    correctly.
 
     ``exact_distinct=False`` swaps ``count_distinct`` for HLL
     ``approx_count_distinct`` — at 100 TB the exact multi-distinct's
@@ -91,25 +95,32 @@ def profile_columns(
     cols = list(cols or df.columns)
     n_distinct = F.count_distinct if exact_distinct else F.approx_count_distinct
     aggs = []
-    for c in cols:
+    for i, c in enumerate(cols):
+        # backtick-quote (with doubling) so dots/spaces/backticks in
+        # the name resolve literally instead of as attribute syntax
+        src = F.col("`" + c.replace("`", "``") + "`")
         aggs += [
-            F.count(F.lit(1)).alias(f"__n_{c}"),
-            F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"),
-            n_distinct(F.col(c)).alias(f"__dist_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+            F.count(F.lit(1)).alias(f"__n_{i}"),
+            F.sum(src.isNull().cast("long")).alias(f"__null_{i}"),
+            n_distinct(src).alias(f"__dist_{i}"),
+            F.min(src).cast("string").alias(f"__min_{i}"),
+            F.max(src).cast("string").alias(f"__max_{i}"),
         ]
     one = df.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', __n_{c}, __null_{c}, __dist_{c}, __min_{c}, __max_{c}"
-        for c in cols
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"__n_{i}").alias("n_rows"),
+                F.col(f"__null_{i}").alias("n_null"),
+                F.col(f"__dist_{i}").alias("n_distinct"),
+                F.col(f"__min_{i}").alias("min_str"),
+                F.col(f"__max_{i}").alias("max_str"),
+            )
+            for i, c in enumerate(cols)
+        ]
     )
-    return one.select(
-        F.expr(
-            f"stack({len(cols)}, {stack_args}) AS "
-            "(column, n_rows, n_null, n_distinct, min_str, max_str)"
-        )
-    )
+    return one.select(F.inline(rows))
 
 
 def impute_group_mean(

@@ -375,7 +375,7 @@ def merge_stream_into_parquet(
     path: str,
     keys: Sequence[str],
     checkpoint_dir: str,
-    versioned: bool = False,
+    versioned: bool = True,
 ):
     """Streaming MERGE sink: every micro-batch is upserted into the
     parquet table at ``path`` via ``foreachBatch`` — the pattern for
@@ -385,14 +385,15 @@ def merge_stream_into_parquet(
     table (``merge_upsert``: anti-join + union, delta broadcast), then
     publish.
 
-    Publish modes: ``versioned=True`` commits each batch as a new
-    version of an MVCC table (``sources.readers.write_versioned_parquet``
-    — atomic marker commit, concurrent readers always resolve one
-    complete version; read it back with ``read_versioned_parquet``).
-    ``versioned=False`` keeps the flat single-directory layout via
-    rename-swap — readers of the bare path see a brief window where the
-    directory is mid-swap, so prefer the versioned mode whenever
-    concurrent readers exist.
+    Publish modes: ``versioned=True`` (the DEFAULT — VERDICT r5 #3)
+    commits each batch as a new version of an MVCC table
+    (``sources.readers.write_versioned_parquet`` — staged write +
+    atomic claim + marker commit, concurrent readers always resolve
+    one complete version; read it back with ``read_versioned_parquet``).
+    ``versioned=False`` is the LEGACY flat single-directory layout via
+    rename-swap, kept for readers that expect a bare parquet path —
+    they can hit a brief mid-swap window, so only use it when nothing
+    reads the table concurrently.
 
     Scale note: this rewrites the table per batch — correct and simple,
     O(table) per trigger. For high-frequency triggers on a big table,

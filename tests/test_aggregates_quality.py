@@ -290,6 +290,21 @@ def test_profile_columns_one_pass(spark):
     assert P.count_shuffles(Q.profile_columns(df)) <= 1
 
 
+def test_profile_columns_hostile_names(spark):
+    """ADVICE r5: names with spaces, dots, quotes, and backticks must
+    profile correctly — the unpivot is typed Column API, no SQL text."""
+    df = (
+        spark.range(3)
+        .withColumnRenamed("id", "col with space")
+        .withColumn("a.dotted`tick", F.lit("x'y"))
+    )
+    out = {r["column"]: r for r in Q.profile_columns(df).collect()}
+    assert set(out) == {"col with space", "a.dotted`tick"}
+    assert out["col with space"].n_distinct == 3
+    assert out["a.dotted`tick"].n_distinct == 1
+    assert out["a.dotted`tick"].min_str == "x'y"
+
+
 def test_profile_columns_approx_mode(spark):
     df = spark.createDataFrame(
         [(i % 7, f"s{i % 3}") for i in range(1000)], "a int, b string"

@@ -169,6 +169,46 @@ def test_minhash_catalyst_fallback_matches_arrow(docs):
         assert arrow[k] == pytest.approx(catalyst[k], rel=1e-9)
 
 
+def test_ivf_lloyd_refinement(spark):
+    """VERDICT r5 #5: distributed Lloyd refinement of IVF centroids —
+    deterministic across partitionings (decimal element sums) and a
+    real improvement in quantization error over raw seeds."""
+    import numpy as np
+
+    from quanta_etl_spark.operators import similarity as S
+
+    rng = np.random.default_rng(7)
+    centers = np.array(
+        [[10.0] * 4, [-10.0] * 4, [10.0, -10.0, 10.0, -10.0]]
+    )
+    pts = np.vstack([c + rng.normal(0, 0.5, (40, 4)) for c in centers])
+    rows = [(i, [float(x) for x in p]) for i, p in enumerate(pts)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # pathological seeds: all three inside cluster 0
+    bad = [(j, [float(x) for x in pts[j]]) for j in range(3)]
+    r1 = S._lloyd_refine(df.repartition(7), "embedding", bad, 3)
+    r2 = S._lloyd_refine(df.repartition(3), "embedding", bad, 3)
+    assert r1 == r2  # bit-identical regardless of partitioning
+
+    def qerr(cents):
+        C = np.array([v for _, v in cents])
+        d = ((pts[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        return float(d.min(1).sum())
+
+    assert qerr(r1) < 0.5 * qerr(bad)
+    # end-to-end: refined IVF still returns k neighbors per query
+    out = S.cosine_topk_ivf(
+        df,
+        df.where(F.col("vec_id") < 2),
+        k=3,
+        num_centroids=3,
+        nprobe=2,
+        refine_iters=2,
+    )
+    got = out.groupBy("query_id").count().collect()
+    assert {r["count"] for r in got} == {3}
+
+
 def test_dedup_against_registry(spark):
     from quanta_etl_spark.operators import dedup as dedup_ops
 
@@ -219,3 +259,18 @@ def test_fuzzy_match_pairs_blocking_and_verify(spark):
         ).collect()
     }
     assert wide == {(1, 2): 1, (1, 3): 1, (2, 3): 2}
+    # multi-pass blocking = UNION of per-key candidate sets (ADVICE
+    # r5: several keys used to be ANDed into an intersection): the
+    # composite default key plus a first-char-only key must recover
+    # everything the wide single key finds
+    multi = {
+        (r.id_a, r.id_b): r.distance
+        for r in D.fuzzy_match_pairs(
+            df, "id", "name", max_distance=2,
+            blocks=[
+                F.struct(F.lower(F.substring("__t", 1, 1)), F.length("__t")),
+                F.lower(F.substring("__t", 1, 1)),
+            ],
+        ).collect()
+    }
+    assert multi == wide

@@ -360,3 +360,48 @@ def test_mix_sources_matches_target_mixture(spark):
     assert sorted(r.doc_id for r in out.collect()) == sorted(
         r.doc_id for r in again.collect()
     )
+
+
+def test_mix_sources_missing_source_contract(spark):
+    """ADVICE r5: a weights key absent from the data must fail loudly
+    (the output mixture would silently deviate from the stated target);
+    allow_missing=True opts into renormalizing over present sources.
+    A tiny positive rate keeps >= one hash bucket instead of rounding
+    the source out of the mix."""
+    from quanta_etl_spark.operators import corpus as corpus_ops
+
+    rows = [(i, "web") for i in range(900)] + [
+        (10_000 + i, "books") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    missing = corpus_ops.mix_sources(
+        df, "source", "doc_id", {"web": 0.5, "code": 0.3, "books": 0.2}
+    )
+    with pytest.raises(Exception, match="absent from the data"):
+        missing.count()
+    ok = corpus_ops.mix_sources(
+        df,
+        "source",
+        "doc_id",
+        {"web": 0.5, "code": 0.3, "books": 0.2},
+        allow_missing=True,
+    )
+    got = {r["source"]: r["n"] for r in
+           ok.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # renormalized over present sources: books binds (100/0.2=500),
+    # web targets 0.5*500=250 of 900 → rate ~0.278
+    assert got["books"] == 100
+    assert abs(got["web"] - 250) < 50
+    # min-cut-1: a rate that rounds to zero buckets still keeps ~1/num_buckets
+    tiny = corpus_ops.mix_sources(
+        df,
+        "source",
+        "doc_id",
+        {"web": 0.999, "books": 0.001},
+        num_buckets=10,
+    )
+    tn = {r["source"]: r["n"] for r in
+          tiny.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # books' target share is 0.1% → round(rate*10)=0 buckets before the
+    # guard; with it, one bucket (~10% of books) survives
+    assert tn.get("books", 0) > 0

@@ -77,6 +77,54 @@ def test_derivative_underlying_join(spark):
     assert joined.where(F.col("underlying_isin").isNull()).count() == 0
 
 
+# README.md:120-171 data-model tables, name → Spark simpleString.
+_README_XETRA = {
+    "isin": "string", "mnemonic": "string",
+    "security_description": "string", "security_type": "string",
+    "currency": "string", "security_id": "string",
+    "trading_date": "date", "trading_time": "string",
+    "start_price": "double", "max_price": "double",
+    "min_price": "double", "end_price": "double",
+    "traded_volume": "bigint", "number_of_trades": "bigint",
+    "trading_ts": "timestamp",
+}
+_README_EUREX = {
+    "isin": "string", "market_segment": "string",
+    "underlying_symbol": "string", "underlying_isin": "string",
+    "currency": "string", "security_type": "string",
+    "maturity_string": "string", "strike_price": "double",
+    "put_or_call": "string", "mleg": "string",
+    "contract_generation_number": "int", "security_id": "string",
+    "trading_date": "date", "trading_time": "string",
+    "start_price": "double", "max_price": "double",
+    "min_price": "double", "end_price": "double",
+    "number_of_contracts": "bigint", "number_of_trades": "bigint",
+    "trading_ts": "timestamp", "maturity_date": "date",
+    # README says LongType; datediff is int — documented divergence
+    # (narrower, lossless: day counts fit int), pipelines/eurex.py
+    "maturity_days": "int",
+    "maturity_months": "double", "product_name": "string",
+    "product_type": "string", "underlying_name": "string",
+    "underlying_category": "string",
+}
+
+
+def test_pipeline_schemas_match_reference_data_model(spark):
+    """Golden schema check against the reference README's data-model
+    tables (README.md:120-171): every documented column exists with
+    the documented type — name→type equality, order-insensitive
+    (the one divergence, maturity_days int vs Long, is annotated
+    above)."""
+    x = XT.process_xetra(spark, XETRA_CSV)
+    got_x = {f.name: f.dataType.simpleString() for f in x.schema.fields}
+    assert got_x == _README_XETRA
+    res = EX.process_eurex(spark, EUREX_CSV, DIM_CSV)
+    got_e = {
+        f.name: f.dataType.simpleString() for f in res.enriched.schema.fields
+    }
+    assert got_e == _README_EUREX
+
+
 def test_job_registry_runs_reference_main(spark, tmp_path):
     """The job registry's full_etl mirrors the reference main():
     both pipelines run sequentially to partitioned parquet."""

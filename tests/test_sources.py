@@ -314,6 +314,103 @@ def test_versioned_racing_writers_one_wins(spark, tmp_path):
         fs.create(marker, False).close()
 
 
+def test_versioned_claim_race_loser_retries(spark, tmp_path):
+    """ADVICE r5 commit-protocol hardening: a concurrent writer's
+    ``v<N>._claim`` makes the next writer retry with a HIGHER number —
+    data is staged in a writer-unique directory first, so the loser
+    never writes a single part-file into someone else's version."""
+    path = str(tmp_path / "vtable")
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    readers.write_versioned_parquet(df, path)
+    # simulate a racing writer holding the claim for version 2
+    jvm, fs, _ = readers._hadoop_fs(spark, path)
+    held = jvm.org.apache.hadoop.fs.Path(
+        path + "/" + readers._VERSION_FMT.format(2) + readers._CLAIM_SUFFIX
+    )
+    fs.create(held, False).close()
+    v = readers.write_versioned_parquet(
+        spark.createDataFrame([(2, "b")], "k int, v string"), path
+    )
+    assert v == 3  # skipped the held number, never touched v2
+    assert readers.list_versions(spark, path) == [1, 3]
+    assert [
+        (r.k, r.v)
+        for r in readers.read_versioned_parquet(spark, path).collect()
+    ] == [(2, "b")]
+    # no stray staging directories left behind
+    stray = [
+        st.getPath().getName()
+        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(path))
+        if st.getPath().getName().startswith("_staging_")
+    ]
+    assert stray == []
+
+
+def test_versioned_pinned_reader_gc_contract(spark, tmp_path):
+    """VERDICT r5 #7: the retention contract under GC. A reader pinned
+    to version N stays valid as long as N is inside the retention
+    window; once GC drops N the pinned plan fails LOUDLY on its next
+    action (never silently serves other data). Size keep_versions to
+    the longest-running reader."""
+    path = str(tmp_path / "vtable")
+    readers.write_versioned_parquet(
+        spark.createDataFrame([(i, "v1") for i in range(5)], "k int, v string"),
+        path,
+    )
+    pinned = readers.read_versioned_parquet(spark, path, version=1)
+    # publish v2 with retention covering v1: pinned reader still whole
+    readers.write_versioned_parquet(
+        spark.createDataFrame([(0, "v2")], "k int, v string"),
+        path,
+        keep_versions=2,
+    )
+    assert pinned.count() == 5
+    # publish v3 with retention 1: v1 and v2 are GC'd; the pinned
+    # reader's directory is gone → loud failure, not wrong rows
+    readers.write_versioned_parquet(
+        spark.createDataFrame([(0, "v3")], "k int, v string"),
+        path,
+        keep_versions=1,
+    )
+    assert readers.list_versions(spark, path) == [3]
+    with pytest.raises(Exception):
+        pinned.count()
+
+
+def test_compact_versioned_table_publishes_new_version(spark, tmp_path):
+    """VERDICT r5 #3: compaction of an MVCC table goes through the
+    commit protocol — the compacted rewrite lands as the NEXT version
+    (no rename window), and the pre-compaction version stays readable
+    within retention."""
+    import pathlib
+
+    path = str(tmp_path / "vtable")
+    readers.write_versioned_parquet(
+        spark.createDataFrame(
+            [(i, f"s{i}") for i in range(64)], "k int, v string"
+        ).repartition(16),
+        path,
+    )
+    before = readers.read_versioned_parquet(spark, path, version=1)
+    n_files_before = len(
+        list((pathlib.Path(path) / readers._VERSION_FMT.format(1)).glob(
+            "*.parquet"
+        ))
+    )
+    assert n_files_before == 16
+    n = readers.compact_parquet(spark, path, target_partition_bytes=1 << 30)
+    assert n == 1
+    assert readers.list_versions(spark, path) == [1, 2]
+    v2_files = list(
+        (pathlib.Path(path) / readers._VERSION_FMT.format(2)).glob("*.parquet")
+    )
+    assert len(v2_files) == 1
+    after = readers.read_versioned_parquet(spark, path)
+    assert sorted((r.k, r.v) for r in after.collect()) == sorted(
+        (r.k, r.v) for r in before.collect()
+    )
+
+
 def test_zorder_write_skips_on_both_columns(spark, tmp_path):
     """Z-order clustering: with two independent uniform columns, every
     file must cover a NARROW range of BOTH dimensions (a plain

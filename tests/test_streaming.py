@@ -254,7 +254,7 @@ def test_merge_stream_into_parquet_upserts_across_batches(spark, tmp_path):
     )
     target = str(tmp_path / "table")
     q = ingest.merge_stream_into_parquet(
-        stream, target, ["k"], str(tmp_path / "ckpt")
+        stream, target, ["k"], str(tmp_path / "ckpt"), versioned=False
     )
     q.awaitTermination(120)
     got = {

@@ -1,0 +1,96 @@
+"""Generate a scaled-up copy of a driver testdata directory for LOCAL
+scaling-curve evidence (VERDICT r5 #4: all timing evidence was sf0.1;
+one sf1-scale bench row pins the curve the 100-TB claims rest on).
+
+Usage:
+    python tools/make_sfN.py /root/testdata/sf0.1 /root/repo/.benchdata/sf1 10
+
+Replicates every fact table N× with FOREIGN-KEY-CONSISTENT key offsets
+(copy i shifts orderkey/custkey/suppkey/partkey/event_id/user_id/doc_id/
+vec_id by i * STRIDE in every table that carries them), so every join
+in the query panel keeps its semantics and selectivity. The small dims
+(region, nation) are NOT replicated — nationkey/regionkey references
+stay valid, mirroring how a real 10× corpus shares its dimensions.
+Text/embedding payloads are reused across copies, which makes the dedup
+family's workload strictly harder (10× duplicate clusters) — the right
+direction for a scale stress.
+
+This script writes ONLY inside the destination directory (never under
+/root/testdata) and is driver-independent: bench.py picks the output up
+via SPARK_GRAFT_SF_DIR.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+
+STRIDE = 100_000_000
+
+# table -> columns to offset per copy
+OFFSET_KEYS: dict[str, list[str]] = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+COPY_AS_IS = ["region", "nation"]
+
+
+def scale_table(
+    con: "duckdb.DuckDBPyConnection",
+    src: Path,
+    dst: Path,
+    table: str,
+    factor: int,
+) -> int:
+    f = src / f"{table}.parquet"
+    out = dst / f"{table}.parquet"
+    if table in COPY_AS_IS or table not in OFFSET_KEYS:
+        con.execute(
+            f"COPY (SELECT * FROM '{f}') TO '{out}' (FORMAT PARQUET)"
+        )
+    else:
+        keys = set(OFFSET_KEYS[table])
+        cols = [
+            r[0]
+            for r in con.execute(
+                f"DESCRIBE SELECT * FROM '{f}'"
+            ).fetchall()
+        ]
+        selects = []
+        for i in range(factor):
+            proj = ", ".join(
+                f'"{c}" + {i * STRIDE} AS "{c}"' if c in keys else f'"{c}"'
+                for c in cols
+            )
+            selects.append(f"SELECT {proj} FROM '{f}'")
+        con.execute(
+            f"COPY ({' UNION ALL '.join(selects)}) TO '{out}' "
+            "(FORMAT PARQUET)"
+        )
+    return con.execute(f"SELECT count(*) FROM '{out}'").fetchone()[0]
+
+
+def main() -> int:
+    src = Path(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
+    dst = Path(
+        sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.benchdata/sf1"
+    )
+    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    dst.mkdir(parents=True, exist_ok=True)
+    con = duckdb.connect()
+    for f in sorted(src.glob("*.parquet")):
+        n = scale_table(con, src, dst, f.stem, factor)
+        print(f"{f.stem}: {n} rows")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
