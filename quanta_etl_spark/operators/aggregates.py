@@ -177,3 +177,51 @@ def pivot_agg(
     at 100 TB it's also a cardinality hazard)."""
     fn, col = agg
     return df.groupBy(*by).pivot(pivot_col, list(pivot_values)).agg(_AGG_FNS[fn](col))
+
+
+def histogram_fixed(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    num_bins: int,
+    extra_by: Sequence[str] = (),
+) -> DataFrame:
+    """Fixed-width histogram over [lo, hi): (bucket, bucket_lo,
+    bucket_hi, n) with EVERY bucket present (zero-count buckets
+    included) — the contract a plotting/profiling layer wants.
+    Values below ``lo`` clamp into bucket 0, at-or-above ``hi`` into
+    the last bucket (width_bucket's overflow buckets folded in).
+
+    Shape: the bucket id is a pure map-side expression; one partial-agg
+    shuffle on (bucket, *extra_by); the dense bucket spine is a
+    ``sequence()`` literal cross-joined only against the distinct
+    ``extra_by`` combos (tiny). No driver round-trips; the raw column
+    never leaves the scan stage un-aggregated.
+    """
+    width = (hi - lo) / num_bins
+    raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
+    bucket = F.least(
+        F.greatest(raw, F.lit(0)), F.lit(num_bins - 1)
+    ).cast("int")
+    counts = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*extra_by, bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spine = df.sparkSession.range(num_bins).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    if extra_by:
+        spine = spine.crossJoin(df.select(*extra_by).distinct())
+    out = (
+        spine.join(counts, [*extra_by, "bucket"], "left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+        .withColumn(
+            "bucket_lo", F.lit(lo) + F.col("bucket") * F.lit(width)
+        )
+        .withColumn(
+            "bucket_hi", F.lit(lo) + (F.col("bucket") + 1) * F.lit(width)
+        )
+    )
+    return out.select(*extra_by, "bucket", "bucket_lo", "bucket_hi", "n")

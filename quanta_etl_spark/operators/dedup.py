@@ -22,6 +22,7 @@ construction.
 
 from __future__ import annotations
 
+import math
 import random
 import re
 import zlib
@@ -1027,9 +1028,10 @@ def embedding_neardup_pairs(
     id_col: str,
     vec_col: str,
     threshold: float = 0.95,
-    num_planes: int = 8,
+    num_planes: int | str = 8,
     seed: int = 42,
     dim: int | None = None,
+    target_bucket_rows: int = 256,
 ) -> DataFrame:
     """Embedding near-duplicates: cosine >= threshold, found via
     random-hyperplane sign-LSH bucketing + in-bucket verification.
@@ -1040,8 +1042,20 @@ def embedding_neardup_pairs(
     threshold. Approximate (a near-dup pair split by a plane is
     missed); raise recall by repeating with several seeds and unioning.
 
+    ``num_planes="auto"`` sizes the bucket count to the corpus:
+    ``max(4, ceil(log2(n / target_bucket_rows)))`` — in-bucket pairing
+    is quadratic per bucket, so a FIXED plane count turns quadratic as
+    the corpus grows (measured: 2k→20k vectors at 4 planes = 34×
+    runtime). Auto keeps expected bucket size ~``target_bucket_rows``
+    and pairing cost ~linear in n. Costs one metadata-cheap count().
+
     Pass ``dim`` to skip the one-row sampling job that otherwise
     infers the embedding dimensionality."""
+    if num_planes == "auto":
+        n = df.count()
+        num_planes = max(
+            4, math.ceil(math.log2(max(n, 1) / target_bucket_rows))
+        )
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     rng = random.Random(seed)

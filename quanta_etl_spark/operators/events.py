@@ -1,0 +1,195 @@
+"""Behavioral / event-log analytics operators.
+
+The reference's minute-bar model is an event log in disguise (one row
+per observation, entity key + event time — SURVEY.md §1.1); this module
+adds the log-analytics workload every large clickstream/telemetry
+pipeline runs on such data: ordered conversion funnels, cohort
+retention, and time-weighted averages (the TWAP cousin of the
+reference's OHLCV resample, README.md:178).
+
+Scale doctrine: every operator here aggregates or windows **per user /
+per entity**, so all shuffles hash on the entity key — at 100 TB,
+bucketing the event table by that key (SCALING.md) makes the whole
+module exchange-free. No driver-side actions, no UDFs: each step is a
+native filter/groupBy/join/window, fully inside WholeStageCodegen.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def funnel_user_steps(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user ordered conversion funnel: one row per user who entered
+    the funnel, with the timestamp at which they completed each step
+    (null from the step where the chain breaks onward).
+
+    ``t_i`` is the user's earliest ``steps[i]`` event at-or-after their
+    ``t_{i-1}`` (strict-order funnel; ties at the same timestamp count,
+    matching the common product-analytics definition).
+
+    Shape: step 0 is a filtered min-aggregation (shuffle on the user
+    key); each later step left-joins the (slim, one-row-per-user)
+    funnel frame to the step's filtered events and re-aggregates — the
+    step filter pushes into the event scan, and every shuffle hashes on
+    the same user key, so consecutive exchanges collapse under
+    co-partitioning. Entirely lazy: no counts, no collects.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    out = (
+        df.where(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t_0"))
+    )
+    for i, step in enumerate(steps[1:], start=1):
+        nxt = (
+            df.where(F.col(type_col) == step)
+            .select(F.col(user_col), F.col(ts_col).alias("__ts"))
+        )
+        prev_cols = [f"t_{j}" for j in range(i)]
+        out = (
+            out.join(nxt, user_col, "left")
+            .groupBy(user_col, *prev_cols)
+            .agg(
+                F.min(
+                    F.when(
+                        F.col("__ts") >= F.col(f"t_{i - 1}"), F.col("__ts")
+                    )
+                ).alias(f"t_{i}")
+            )
+        )
+    return out
+
+
+def funnel_report(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Funnel summary: (step_index, step_name, users) — how many users
+    reached each step in order. A lazy unpivot over
+    :func:`funnel_user_steps` (count of non-null ``t_i``), so the whole
+    report is one Spark job with no driver-side loops over data.
+    """
+    per_user = funnel_user_steps(df, steps, user_col, ts_col, type_col)
+    agg = per_user.agg(
+        *[F.count(f"t_{i}").alias(f"c_{i}") for i in range(len(steps))]
+    )
+    pairs = []
+    for i, name in enumerate(steps):
+        pairs.append(
+            F.struct(
+                F.lit(i).alias("step_index"),
+                F.lit(name).alias("step_name"),
+                F.col(f"c_{i}").alias("users"),
+            )
+        )
+    return (
+        agg.select(F.explode(F.array(*pairs)).alias("s"))
+        .select("s.step_index", "s.step_name", "s.users")
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention triangle: bucket each user into the period of
+    their FIRST activity (the cohort), then count distinct active users
+    per (cohort, period-offset).
+
+    Returns (cohort, period_offset, active_users), where
+    ``period_offset`` = whole periods between the cohort period and the
+    activity period (0 = the cohort period itself).
+
+    Shape: distinct (user, period) pairs first — collapsing the event
+    stream to at most users × periods rows before anything else — then
+    one per-user min-aggregation and one final aggregation on (cohort,
+    offset). All three shuffles hash on the user key or a key derived
+    from it; none touches the raw event volume twice.
+    """
+    per_days = {"day": 1, "week": 7}[period]
+    act = df.select(
+        F.col(user_col).alias("__u"),
+        F.date_trunc(period, F.col(ts_col)).alias("__p"),
+    ).distinct()
+    first = act.groupBy("__u").agg(F.min("__p").alias("__cohort"))
+    return (
+        act.join(first, "__u")
+        .select(
+            F.to_date("__cohort").alias("cohort"),
+            (
+                F.datediff(F.col("__p"), F.col("__cohort")) / per_days
+            ).cast("int").alias("period_offset"),
+            F.col("__u"),
+        )
+        .groupBy("cohort", "period_offset")
+        .agg(F.count_distinct("__u").alias("active_users"))
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    value_col: str,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Time-weighted average per entity (TWAP): each observation's
+    weight is its holding time — the microseconds until the entity's
+    next observation. The final observation of each entity has no
+    successor and weight 0 (it never "held"); entities with a single
+    observation fall back to the plain average of their values.
+
+    Weights use integer microseconds (``unix_micros``) so the exact
+    same arithmetic is reproducible in any engine with microsecond
+    timestamps — no double-epoch rounding drift. ``tiebreak_col``
+    makes the lead() ordering total when two observations share a
+    timestamp.
+
+    Determinism: the per-row products are doubles (IEEE-exact given
+    identical inputs), but their SUM is accumulated in decimal and the
+    weight sum in int64 — so the result is independent of partition
+    count and task order, a property every gated aggregate in this
+    engine keeps (partition-order-dependent floats are flaky at scale).
+
+    Shape: one window (lead) + one aggregation, both on the entity key.
+    """
+    w = Window.partitionBy(entity_col).orderBy(ts_col, tiebreak_col)
+    # NTZ-safe: parquet event times may read as TIMESTAMP_NTZ, which
+    # unix_micros rejects; the session tz is pinned UTC so the cast is
+    # the identity on the wall-clock value.
+    micros = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    dur = F.lead(micros).over(w) - micros
+    wv = (F.col(value_col) * F.col("__dur")).cast("decimal(30,6)")
+    mean = (
+        F.sum(F.col(value_col).cast("decimal(30,6)")).cast("double")
+        / F.count(value_col)
+    )
+    return (
+        df.withColumn("__dur", dur)
+        .groupBy(entity_col)
+        .agg(
+            F.coalesce(
+                F.sum(wv).cast("double")
+                / F.nullif(F.sum("__dur"), F.lit(0)).cast("double"),
+                mean,
+            ).alias("twap"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+    )

@@ -221,3 +221,74 @@ def apply_dedup(
         .select(F.col("id").alias(id_col))
     )
     return corpus.join(losers, id_col, "left_anti")
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an edge list — the canonical
+    iterative-join algorithm, included to demonstrate how this engine
+    runs fixpoint graph workloads (the CC routine above converges by
+    checksum; PageRank runs a declared iteration budget, the common
+    production choice because rank deltas stabilize long before exact
+    convergence).
+
+    Semantics: dangling nodes (no out-edges) hold rank but leak their
+    mass (the simple formulation most SQL engines mirror 1:1 —
+    deterministic and cross-engine reproducible). Initial rank 1/N;
+    each round: rank = (1-d)/N + d * Σ_in rank/out_deg.
+
+    Determinism at scale: per-round contribution sums accumulate in
+    decimal(38,18), so results are identical across partitionings and
+    task orders — the same discipline every gated aggregate in this
+    engine keeps. The loop is K chained (join + groupBy) stages, all
+    hashing on node id; ranks are localCheckpointed every round to
+    truncate lineage (without it, round k's plan re-derives rounds
+    1..k-1 and the DAG grows quadratically).
+
+    At 100 TB: out_deg and the node set are computed once; each
+    iteration shuffles edge-count rows on dst — pre-bucketing edges by
+    dst makes every round exchange-free on the big side.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    # N via a 1-row frame, crossJoin-broadcast (never .collect())
+    n_frame = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(n_frame)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    ranks = ranks.localCheckpoint(eager=False)
+    for _ in range(iterations):
+        contribs = (
+            e.join(out_deg, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("out_deg")).alias("c"),
+            )
+        )
+        summed = contribs.groupBy("node").agg(
+            F.sum(F.col("c").cast("decimal(38,18)")).cast("double").alias("s")
+        )
+        ranks = (
+            nodes.join(summed, "node", "left")
+            .crossJoin(F.broadcast(n_frame))
+            .select(
+                "node",
+                (
+                    (1.0 - damping) / F.col("n")
+                    + damping * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

@@ -81,3 +81,44 @@ def weighted_index(
     return df.groupBy(bucket, *group_cols).agg(
         (F.sum(F.col(price) * w) / F.sum(w)).alias(out)
     )
+
+
+def vwap(
+    df: DataFrame,
+    key: str,
+    price_col: str,
+    volume_col: str,
+    bucket_col: Column | str | None = None,
+) -> DataFrame:
+    """Volume-weighted average price per key (and optional time
+    bucket) — the execution-quality benchmark on the reference's
+    minute bars (start/end price × traded_volume, README.md:120-138).
+
+    Zero-volume groups fall back to the plain average price rather
+    than dividing by zero. Weighted sums accumulate in decimal so the
+    result is identical across partitionings (the engine-wide
+    determinism discipline). Single partial-aggregating shuffle.
+    """
+    keys = [F.col(key)] if isinstance(key, str) else [key]
+    if bucket_col is not None:
+        b = F.col(bucket_col) if isinstance(bucket_col, str) else bucket_col
+        keys.append(b)
+    pv = (F.col(price_col) * F.col(volume_col)).cast("decimal(30,6)")
+    mean_price = (
+        F.sum(F.col(price_col).cast("decimal(30,6)")).cast("double")
+        / F.count(price_col)
+    )
+    return df.groupBy(*keys).agg(
+        F.coalesce(
+            F.sum(pv).cast("double")
+            / F.nullif(
+                F.sum(F.col(volume_col).cast("decimal(30,6)")).cast("double"),
+                F.lit(0.0),
+            ),
+            mean_price,
+        ).alias("vwap"),
+        F.sum(F.col(volume_col).cast("decimal(20,6)")).cast("double").alias(
+            "total_volume"
+        ),
+        F.count(F.lit(1)).alias("n_obs"),
+    )

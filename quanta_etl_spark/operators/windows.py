@@ -297,3 +297,239 @@ def ewma(
         return pdf
 
     return df.select(*cols).groupBy(key).applyInPandas(fn, out_schema)
+
+
+def rolling_median(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    window_rows: int = 10,
+    tiebreak_cols: Sequence[str] = (),
+    out_col: str = "rolling_median",
+) -> DataFrame:
+    """Exact rolling median (interpolated, the ``percentile``/
+    ``quantile_cont`` definition) of the trailing ``window_rows``
+    observations per key — the robust-location cousin of the rolling
+    mean/volatility family (reference README.md:177).
+
+    Spark's ``percentile`` aggregate is window-capable, so this stays a
+    single native window: one shuffle + sort per key partition, frame
+    state bounded by ``window_rows``. No UDF, no applyInPandas.
+    """
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*_order_cols([ts_col, *tiebreak_cols]))
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    return df.withColumn(
+        out_col, F.percentile(F.col(value_col), F.lit(0.5)).over(w)
+    )
+
+
+def linear_interpolate(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_cols: Sequence[str] = (),
+    out_col: str | None = None,
+) -> DataFrame:
+    """Fill null values by LINEAR interpolation between each key's
+    previous and next non-null observation, weighted by event-time
+    distance — the refinement of forward-fill (B1) for quantities that
+    drift rather than step (reference README.md:22-24 infers prices at
+    silent minutes; interpolation is the standard alternative fill).
+
+    Edges: rows before the first non-null observation take the next
+    value (back-fill); rows after the last take the previous (forward-
+    fill); keys with no observations stay null.
+
+    Implementation is four IGNORE NULLS window picks (prev/next value
+    and their timestamps) over two frames on the same (key, ts) sort —
+    Catalyst evaluates them in one Window node pair with a single
+    shuffle+sort. Time distance uses integer microseconds, portable to
+    any engine with microsecond timestamps.
+    """
+    out_col = out_col or value_col
+    order = _order_cols([ts_col, *tiebreak_cols])
+    prev_w = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    next_w = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    v = F.col(value_col)
+    # NTZ-safe micros (session tz pinned UTC; cast is identity on NTZ)
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    obs_ts = F.when(v.isNotNull(), t)
+    prev_v = F.last(v, ignorenulls=True).over(prev_w)
+    next_v = F.first(v, ignorenulls=True).over(next_w)
+    prev_t = F.last(obs_ts, ignorenulls=True).over(prev_w)
+    next_t = F.first(obs_ts, ignorenulls=True).over(next_w)
+    frac = (t - prev_t).cast("double") / F.nullif(
+        (next_t - prev_t).cast("double"), F.lit(0.0)
+    )
+    interp = prev_v + (next_v - prev_v) * frac
+    filled = F.when(v.isNotNull(), v).otherwise(
+        F.coalesce(interp, prev_v, next_v)
+    )
+    return df.withColumn(out_col, filled)
+
+
+def skyline_2d(
+    df: DataFrame,
+    min_col: str,
+    max_col: str,
+    num_bands: int = 64,
+) -> DataFrame:
+    """2-D Pareto frontier (skyline): the distinct (min_col, max_col)
+    pairs not STRICTLY dominated by any other pair — dominated meaning
+    another pair is <= on ``min_col``, >= on ``max_col``, and strictly
+    better on at least one. The classic "cheapest price / largest
+    quantity" frontier query.
+
+    The naive formulation is an O(n²) dominance anti-join; in 2-D it
+    collapses to a running-max window pass: sort by (min_col asc,
+    max_col desc) — every earlier row then has min_col <= current —
+    and keep rows whose ``max_col`` strictly exceeds the running max
+    of all earlier rows. On distinct pairs this is exactly strict
+    dominance: a tie on the running max means an earlier pair with
+    equal max_col and strictly smaller min_col (dominates), or the
+    same pair (impossible after distinct).
+
+    Scale shape (two-phase, no single giant window): phase 1 bands the
+    pair set into ``num_bands`` equal-width ``min_col`` ranges (band
+    edges from a 1-row min/max aggregate, broadcast in-plan — never
+    collected) and skylines each band in parallel; a band-local
+    dominance loss implies a global loss, so phase 1 only discards
+    safely. Phase 2 runs the same pass over the union of band
+    frontiers — bounded by frontier size × bands, typically tiny —
+    in one partition. Phase 2 alone equals the textbook algorithm;
+    the result is identical either way.
+    """
+    pairs = df.select(min_col, max_col).distinct()
+    rng = pairs.agg(
+        F.min(min_col).cast("double").alias("__lo"),
+        F.max(min_col).cast("double").alias("__hi"),
+    )
+    band = F.when(
+        F.col("__hi") > F.col("__lo"),
+        F.least(
+            F.floor(
+                (F.col(min_col) - F.col("__lo"))
+                / ((F.col("__hi") - F.col("__lo")) / num_bands)
+            ),
+            F.lit(num_bands - 1),
+        ),
+    ).otherwise(F.lit(0))
+
+    def _keep(frame: DataFrame, *partition) -> DataFrame:
+        w = (
+            Window.partitionBy(*partition)
+            .orderBy(F.col(min_col).asc(), F.col(max_col).desc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        ) if partition else (
+            Window.orderBy(F.col(min_col).asc(), F.col(max_col).desc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        run_max = F.max(max_col).over(w)
+        return (
+            frame.withColumn("__m", run_max)
+            .where(F.col("__m").isNull() | (F.col(max_col) > F.col("__m")))
+            .drop("__m")
+        )
+
+    banded = pairs.crossJoin(F.broadcast(rng)).withColumn("__band", band)
+    phase1 = _keep(banded, "__band").drop("__band", "__lo", "__hi")
+    return _keep(phase1)
+
+
+def max_drawdown(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Maximum drawdown per entity — the canonical risk metric on the
+    reference's price series (README.md:177 motivates rolling risk
+    measures; drawdown is the path-dependent one): the deepest
+    peak-to-trough fraction ``1 - value/running_max(value)`` over each
+    entity's history.
+
+    Returns one row per key: (key, max_drawdown, peak_value,
+    trough_value) where peak/trough are the values at the deepest
+    drawdown's peak and trough (trough = the row attaining the max
+    drawdown, earliest such row wins ties via min-struct ordering).
+
+    One window (running max) + one aggregation, both on the entity key;
+    the struct-min trick picks the argmax row without a second join.
+    """
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*_order_cols([ts_col, *tiebreak_cols]))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run_max = F.max(value_col).over(w)
+    dd = 1.0 - F.col(value_col) / run_max
+    # min over struct(-dd, ts, tiebreaks..., peak, value) = argmax dd,
+    # earliest row on ties
+    pick = F.struct(
+        (-dd).alias("neg_dd"),
+        F.col(ts_col).alias("ts"),
+        *[F.col(c) for c in tiebreak_cols],
+        run_max.alias("peak"),
+        F.col(value_col).alias("val"),
+    )
+    return (
+        df.withColumn("__pick", pick)
+        .groupBy(key)
+        .agg(F.min("__pick").alias("__best"))
+        .select(
+            key,
+            (-F.col("__best.neg_dd")).alias("max_drawdown"),
+            F.col("__best.peak").alias("peak_value"),
+            F.col("__best.val").alias("trough_value"),
+        )
+    )
+
+
+def anomaly_zscore(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    window_rows: int = 20,
+    threshold: float = 3.0,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Rolling z-score anomaly flags: a row is anomalous when its value
+    deviates from the trailing-window mean by more than ``threshold``
+    sample standard deviations. The window EXCLUDES the current row
+    (…rowsBetween(-window_rows, -1)) so an outlier can't mask itself by
+    inflating its own baseline; rows without at least 2 prior
+    observations are never flagged (stddev undefined).
+
+    Adds (zscore, is_anomaly). One window pass per entity; mean/stddev
+    share the frame so Catalyst computes them in a single Window node.
+    """
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*_order_cols([ts_col, *tiebreak_cols]))
+        .rowsBetween(-window_rows, -1)
+    )
+    mu = F.avg(value_col).over(w)
+    sd = F.stddev_samp(value_col).over(w)
+    z = (F.col(value_col) - mu) / sd
+    return df.withColumn("zscore", z).withColumn(
+        "is_anomaly",
+        F.when(
+            F.col("zscore").isNotNull(),
+            F.abs(F.col("zscore")) > threshold,
+        ).otherwise(F.lit(False)),
+    )

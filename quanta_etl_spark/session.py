@@ -103,6 +103,17 @@ def get_spark(
     if master is not None:
         builder = builder.master(master)
     conf = dict(_DEFAULTS)
+    if master is not None and master.startswith("local"):
+        # Spark's 1g driver-heap default is sized for a thin cluster
+        # driver, but in local mode the "driver" IS the executor — all
+        # N worker threads share that one heap. Size it like an
+        # executor (>=4 GB/core guidance in SCALING.md, bounded here to
+        # stay friendly on small hosts); only effective at JVM start,
+        # a no-op when attaching to an existing session.
+        conf.setdefault(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)

@@ -29,6 +29,9 @@ def test_oracle_sql_names_registered_tables_only():
     tables = {
         "region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings",
+        # DuckDB table functions (FROM generate_series(...) s(g)) are
+        # not table refs; allowlist the ones oracles legitimately use
+        "generate_series", "range",
     }
     for name, sql in E.oracle_sql().items():
         refs = set(

@@ -1,0 +1,275 @@
+"""Unit tests for operators/events.py (funnel, cohort, TWAP) and the
+round-6 window/aggregate additions (interpolation, rolling median,
+histogram, skyline)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from quanta_etl_spark.operators import aggregates as agg_ops
+from quanta_etl_spark.operators import events as event_ops
+from quanta_etl_spark.operators import windows as win_ops
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+EV_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, EV_SCHEMA)
+
+
+class TestFunnel:
+    def test_ordered_funnel_counts(self, spark):
+        rows = [
+            # u1 completes in order: A(1) B(2) C(3)
+            (1, _ts(1), 1, "A", 0.0),
+            (2, _ts(2), 1, "B", 0.0),
+            (3, _ts(3), 1, "C", 0.0),
+            # u2 does B BEFORE A, never again -> stops at A
+            (4, _ts(1), 2, "B", 0.0),
+            (5, _ts(2), 2, "A", 0.0),
+            (6, _ts(3), 2, "C", 0.0),  # C without qualifying B: no count
+            # u3 A then B only
+            (7, _ts(1), 3, "A", 0.0),
+            (8, _ts(5), 3, "B", 0.0),
+            # u4 never enters
+            (9, _ts(1), 4, "C", 0.0),
+        ]
+        out = event_ops.funnel_report(
+            _events(spark, rows), ["A", "B", "C"]
+        ).collect()
+        by_step = {r.step_name: r.users for r in out}
+        assert by_step == {"A": 3, "B": 2, "C": 1}
+        assert [r.step_index for r in sorted(out, key=lambda r: r.step_index)] == [0, 1, 2]
+
+    def test_same_timestamp_counts(self, spark):
+        # B at exactly t(A) counts (>= semantics)
+        rows = [
+            (1, _ts(1), 1, "A", 0.0),
+            (2, _ts(1), 1, "B", 0.0),
+        ]
+        out = event_ops.funnel_report(_events(spark, rows), ["A", "B"]).collect()
+        assert {r.step_name: r.users for r in out} == {"A": 1, "B": 1}
+
+    def test_user_steps_keeps_broken_chain_users(self, spark):
+        # u1's only B precedes their A: must still appear with t_1 null
+        rows = [
+            (1, _ts(5), 1, "A", 0.0),
+            (2, _ts(1), 1, "B", 0.0),
+        ]
+        out = event_ops.funnel_user_steps(
+            _events(spark, rows), ["A", "B"]
+        ).collect()
+        assert len(out) == 1
+        assert out[0].t_0 is not None and out[0].t_1 is None
+
+
+class TestCohortRetention:
+    def test_weekly_triangle(self, spark):
+        # week of 2024-01-01 (Mon) and week of 2024-01-08
+        rows = [
+            (1, dt.datetime(2024, 1, 2), 1, "x", 0.0),   # cohort w1
+            (2, dt.datetime(2024, 1, 9), 1, "x", 0.0),   # w1 + 1
+            (3, dt.datetime(2024, 1, 3), 2, "x", 0.0),   # cohort w1
+            (4, dt.datetime(2024, 1, 10), 3, "x", 0.0),  # cohort w2
+        ]
+        out = event_ops.cohort_retention(_events(spark, rows)).collect()
+        got = {(str(r.cohort), r.period_offset): r.active_users for r in out}
+        assert got == {
+            ("2024-01-01", 0): 2,
+            ("2024-01-01", 1): 1,
+            ("2024-01-08", 0): 1,
+        }
+
+
+class TestTimeWeightedAvg:
+    def test_holding_time_weights(self, spark):
+        # value 10 held 60s, value 20 held 120s, value 99 held 0 (last)
+        rows = [
+            (1, _ts(0), 1, "x", 10.0),
+            (2, _ts(1), 1, "x", 20.0),
+            (3, _ts(3), 1, "x", 99.0),
+        ]
+        out = event_ops.time_weighted_avg(_events(spark, rows), "value").collect()
+        assert len(out) == 1
+        expect = (10.0 * 60 + 20.0 * 120) / 180
+        assert abs(out[0].twap - expect) < 1e-9
+        assert out[0].n_obs == 3
+
+    def test_single_observation_falls_back_to_value(self, spark):
+        rows = [(1, _ts(0), 1, "x", 42.0)]
+        out = event_ops.time_weighted_avg(_events(spark, rows), "value").collect()
+        assert out[0].twap == 42.0
+
+
+class TestLinearInterpolate:
+    def test_interior_interpolation(self, spark):
+        rows = [
+            (1, _ts(0), 1, "x", 10.0),
+            (2, _ts(1), 1, "x", None),   # 1/3 of the way 10 -> 40
+            (3, _ts(3), 1, "x", 40.0),
+        ]
+        out = win_ops.linear_interpolate(
+            _events(spark, rows), "user_id", "ts", "value",
+            tiebreak_cols=["event_id"], out_col="f",
+        ).orderBy("event_id").collect()
+        assert [r.f for r in out] == [10.0, 20.0, 40.0]
+
+    def test_edges_fall_back_to_nearest(self, spark):
+        rows = [
+            (1, _ts(0), 1, "x", None),  # before first obs -> back-fill
+            (2, _ts(1), 1, "x", 5.0),
+            (3, _ts(2), 1, "x", None),  # after last obs -> forward-fill
+        ]
+        out = win_ops.linear_interpolate(
+            _events(spark, rows), "user_id", "ts", "value",
+            tiebreak_cols=["event_id"], out_col="f",
+        ).orderBy("event_id").collect()
+        assert [r.f for r in out] == [5.0, 5.0, 5.0]
+
+    def test_all_null_key_stays_null(self, spark):
+        rows = [(1, _ts(0), 1, "x", None), (2, _ts(1), 1, "x", None)]
+        out = win_ops.linear_interpolate(
+            _events(spark, rows), "user_id", "ts", "value",
+            tiebreak_cols=["event_id"], out_col="f",
+        ).collect()
+        assert all(r.f is None for r in out)
+
+
+class TestRollingMedian:
+    def test_trailing_window_median(self, spark):
+        rows = [
+            (i, _ts(i), 1, "x", float(v))
+            for i, v in enumerate([1, 9, 5, 3, 7])
+        ]
+        out = win_ops.rolling_median(
+            _events(spark, rows), "user_id", "ts", "value",
+            window_rows=3, tiebreak_cols=["event_id"],
+        ).orderBy("event_id").collect()
+        meds = [r.rolling_median for r in out]
+        assert meds == [1.0, 5.0, 5.0, 5.0, 5.0]
+
+
+class TestHistogram:
+    def test_buckets_dense_with_clamping(self, spark):
+        df = spark.createDataFrame(
+            [(float(v),) for v in [-5, 0, 10, 10, 25, 99, 150]], "x double"
+        )
+        out = agg_ops.histogram_fixed(df, "x", lo=0.0, hi=100.0, num_bins=4)
+        got = {r.bucket: (r.bucket_lo, r.bucket_hi, r.n) for r in out.collect()}
+        # -5 clamps into bucket 0; 150 clamps into bucket 3
+        assert got[0] == (0.0, 25.0, 4)
+        assert got[1] == (25.0, 50.0, 1)
+        assert got[2] == (50.0, 75.0, 0)   # zero-count bucket present
+        assert got[3] == (75.0, 100.0, 2)
+
+    def test_nulls_excluded(self, spark):
+        df = spark.createDataFrame([(1.0,), (None,)], "x double")
+        out = agg_ops.histogram_fixed(df, "x", 0.0, 10.0, 2)
+        assert sum(r.n for r in out.collect()) == 1
+
+
+class TestSkyline:
+    def test_strict_dominance_frontier(self, spark):
+        # minimize x, maximize y
+        pts = [(1.0, 5.0), (2.0, 9.0), (3.0, 9.0), (2.0, 1.0), (0.5, 2.0)]
+        df = spark.createDataFrame(pts, "x double, y double")
+        out = {(r.x, r.y) for r in win_ops.skyline_2d(df, "x", "y").collect()}
+        # (3,9) dominated by (2,9); (2,1) dominated by (1,5); rest survive
+        assert out == {(0.5, 2.0), (1.0, 5.0), (2.0, 9.0)}
+
+    def test_duplicates_collapse(self, spark):
+        df = spark.createDataFrame(
+            [(1.0, 1.0), (1.0, 1.0)], "x double, y double"
+        )
+        out = win_ops.skyline_2d(df, "x", "y").collect()
+        assert len(out) == 1
+
+
+class TestMaxDrawdown:
+    def test_deepest_peak_to_trough(self, spark):
+        # path: 100, 80 (dd .2), 120 (peak), 60 (dd .5), 90
+        rows = [
+            (1, _ts(0), 1, "x", 100.0),
+            (2, _ts(1), 1, "x", 80.0),
+            (3, _ts(2), 1, "x", 120.0),
+            (4, _ts(3), 1, "x", 60.0),
+            (5, _ts(4), 1, "x", 90.0),
+        ]
+        out = win_ops.max_drawdown(
+            _events(spark, rows), "user_id", "ts", "value",
+            tiebreak_cols=["event_id"],
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert abs(r.max_drawdown - 0.5) < 1e-12
+        assert r.peak_value == 120.0 and r.trough_value == 60.0
+
+    def test_monotonic_series_zero_drawdown(self, spark):
+        rows = [(i, _ts(i), 1, "x", float(10 + i)) for i in range(4)]
+        out = win_ops.max_drawdown(
+            _events(spark, rows), "user_id", "ts", "value",
+            tiebreak_cols=["event_id"],
+        ).collect()
+        assert out[0].max_drawdown == 0.0
+
+
+class TestAnomalyZscore:
+    def test_flags_spike_not_baseline(self, spark):
+        vals = [10.0, 11.0, 9.0, 10.0, 10.5, 9.5, 10.0, 500.0, 10.0]
+        rows = [(i, _ts(i), 1, "x", v) for i, v in enumerate(vals)]
+        out = win_ops.anomaly_zscore(
+            _events(spark, rows), "user_id", "ts", "value",
+            window_rows=20, threshold=3.0, tiebreak_cols=["event_id"],
+        ).collect()
+        flagged = {r.event_id for r in out if r.is_anomaly}
+        assert flagged == {7}
+
+    def test_first_rows_never_flagged(self, spark):
+        rows = [(1, _ts(0), 1, "x", 1e9), (2, _ts(1), 1, "x", 0.0)]
+        out = win_ops.anomaly_zscore(
+            _events(spark, rows), "user_id", "ts", "value",
+            tiebreak_cols=["event_id"],
+        ).collect()
+        assert not any(r.is_anomaly for r in out)
+
+
+class TestVwap:
+    def test_volume_weighting(self, spark):
+        from quanta_etl_spark.operators import resample as resample_ops
+        df = spark.createDataFrame(
+            [("a", 10.0, 1.0), ("a", 20.0, 3.0), ("b", 5.0, 0.0)],
+            "k string, p double, v double",
+        )
+        out = {r.k: r for r in resample_ops.vwap(df, "k", "p", "v").collect()}
+        assert abs(out["a"].vwap - (10 * 1 + 20 * 3) / 4.0) < 1e-9
+        # zero total volume falls back to plain mean
+        assert out["b"].vwap == 5.0
+        assert out["a"].n_obs == 2
+
+
+class TestPagerank:
+    def test_star_graph_center_ranks_highest(self, spark):
+        from quanta_etl_spark.operators import graph as graph_ops
+        edges = spark.createDataFrame(
+            [("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "a")],
+            "src string, dst string",
+        )
+        # the hub↔a 2-cycle oscillates while converging (amplitude decays
+        # by the damping factor per round); run past it so the fixpoint
+        # ordering (hub on top) is reached
+        out = {r.node: r.rank for r in graph_ops.pagerank(edges, iterations=25).collect()}
+        assert out["hub"] == max(out.values())
+        assert abs(sum(out.values())) <= 1.0 + 1e-9  # mass leaks, never grows
+
+    def test_uniform_cycle_stays_uniform(self, spark):
+        from quanta_etl_spark.operators import graph as graph_ops
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+        )
+        out = [r.rank for r in graph_ops.pagerank(edges, iterations=3).collect()]
+        assert all(abs(r - 1.0 / 3) < 1e-12 for r in out)

@@ -310,3 +310,52 @@ def test_above_avg_orders_single_window_pass(spark, sf_dir):
     df = E.q_above_avg_orders(spark, sf_dir)
     assert P.count_shuffles(df) == 1
     assert not P.has_cartesian(df)
+
+
+def test_linear_interpolate_single_shuffle(spark, sf_dir):
+    # two frames (preceding/following picks) share one partitioning+sort
+    df = E.q_linear_interpolate(spark, sf_dir)
+    assert P.count_shuffles(df) == 1
+
+
+def test_rolling_median_single_shuffle_no_python(spark, sf_dir):
+    df = E.q_rolling_median(spark, sf_dir)
+    assert P.count_shuffles(df) == 1
+    assert "Python" not in P.simple_plan(df)  # native window percentile
+
+
+def test_histogram_partial_aggregates_before_shuffle(spark, sf_dir):
+    df = E.q_histogram_prices(spark, sf_dir)
+    plan = P.simple_plan(df)
+    # map-side partial agg on the bucket expression, then the spine join
+    # broadcasts (20-row side) — the raw column never shuffles unaggregated
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert P.has_broadcast_join(df)
+
+
+def test_skyline_phase1_parallel_window(spark, sf_dir):
+    df = E.q_skyline_pareto(spark, sf_dir)
+    plan = P.formatted_plan(df)
+    # phase-1 window partitions by the derived band (parallel), only the
+    # tiny phase-2 frontier pass is single-partition
+    assert "__band" in plan
+    assert not P.has_cartesian(df) or "BroadcastNestedLoopJoin" in P.simple_plan(df)
+
+
+def test_funnel_pushes_step_filters_into_scan(spark, sf_dir):
+    df = E.q_funnel_conversion(spark, sf_dir)
+    pushed = " ".join(P.pushed_filters(df))
+    assert "event_type" in pushed
+
+
+def test_vwap_single_shuffle(spark, sf_dir):
+    df = E.q_vwap_bucketed(spark, sf_dir)
+    assert P.count_shuffles(df) == 1
+
+
+def test_pagerank_no_cartesian_no_collect(spark, sf_dir):
+    # the N-divisor rides a broadcast of a 1-row aggregate — the only
+    # nested-loop joins allowed are those broadcasts
+    df = E.q_graph_pagerank(spark, sf_dir)
+    simple = P.simple_plan(df)
+    assert "CartesianProduct" not in simple
