@@ -2056,6 +2056,37 @@ def q_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     return graph_ops.pagerank(edges, iterations=5).select("node", "rank")
 
 
+def q_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    timelines: exact counts + row-normalized next-action
+    probabilities."""
+    ev = load_table(spark, sf, "events")
+    return event_ops.event_transitions(ev).select(
+        "from_type", "to_type", "n", "prob"
+    )
+
+
+def q_referential_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Referential-integrity report over three FK relations of the
+    star schema (generalizes the reference's null-check reports,
+    etl.py:166-175): totals + null keys + orphans per relation —
+    never vacuously empty even on a healthy warehouse."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    orders_report = quality_ops.referential_check(
+        o,
+        {"orders_customer": (load_table(spark, sf, "customer"), "o_custkey", "c_custkey")},
+    )
+    lineitem_report = quality_ops.referential_check(
+        li,
+        {
+            "lineitem_part": (load_table(spark, sf, "part"), "l_partkey", "p_partkey"),
+            "lineitem_supplier": (load_table(spark, sf, "supplier"), "l_suppkey", "s_suppkey"),
+        },
+    )
+    return orders_report.unionByName(lineitem_report)
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -2098,6 +2129,8 @@ def queries() -> dict[str, QueryFn]:
         "anomaly_zscore": q_anomaly_zscore,
         "vwap_bucketed": q_vwap_bucketed,
         "graph_pagerank": q_graph_pagerank,
+        "event_transitions": q_event_transitions,
+        "referential_check": q_referential_check,
         # -- (1) new this round + never-driver-gated r5 queries --------
         "stream_forward_fill": q_stream_forward_fill,  # new this round
         "profile_columns": q_profile_columns,
@@ -2137,12 +2170,12 @@ def queries() -> dict[str, QueryFn]:
         "window_cumulative": q_window_cumulative,
         "window_ewma": q_window_ewma,
         "agg_percentiles": q_agg_percentiles,
-        "corpus_decontaminate": q_corpus_decontaminate,
-        "corpus_cap_per_source": q_corpus_cap_per_source,
         # ---- 50-entry gate cap lands after the entry above -----------
-        # -- (4) past the cap: the 12 r4+J rows displaced by this
+        # -- (4) past the cap: the 14 r4+J rows displaced by this
         #    round's new batch (r4 driver row + r5 judge re-verify
         #    stand; they rotate back under the cap next round) ---------
+        "corpus_decontaminate": q_corpus_decontaminate,
+        "corpus_cap_per_source": q_corpus_cap_per_source,
         "corpus_pack_sequences": q_corpus_pack_sequences,
         "corpus_shuffle_index": q_corpus_shuffle_index,
         "corpus_quality_filter": q_corpus_quality_filter,
@@ -2511,6 +2544,54 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_partkey
         """,
         "graph_pagerank": _pagerank_oracle(),
+        "event_transitions": """
+            WITH p AS (
+                SELECT event_type AS from_type,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS to_type
+                FROM events
+            ), c AS (
+                SELECT from_type, to_type, count(*) AS n
+                FROM p WHERE to_type IS NOT NULL
+                GROUP BY 1, 2
+            )
+            SELECT from_type, to_type, n,
+                   CAST(n AS DOUBLE)
+                   / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE)
+                       AS prob
+            FROM c
+        """,
+        "referential_check": """
+            SELECT 'orders_customer' AS relation,
+                   count(*) AS total_rows,
+                   sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                       AS null_keys,
+                   sum(CASE WHEN o_custkey IS NOT NULL
+                                 AND c.c_custkey IS NULL
+                            THEN 1 ELSE 0 END) AS orphans
+            FROM orders LEFT JOIN (
+                SELECT DISTINCT c_custkey FROM customer
+            ) c ON o_custkey = c.c_custkey
+            UNION ALL
+            SELECT 'lineitem_part', count(*),
+                   sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END),
+                   sum(CASE WHEN l_partkey IS NOT NULL
+                                 AND p.p_partkey IS NULL
+                            THEN 1 ELSE 0 END)
+            FROM lineitem LEFT JOIN (
+                SELECT DISTINCT p_partkey FROM part
+            ) p ON l_partkey = p.p_partkey
+            UNION ALL
+            SELECT 'lineitem_supplier', count(*),
+                   sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END),
+                   sum(CASE WHEN l_suppkey IS NOT NULL
+                                 AND s.s_suppkey IS NULL
+                            THEN 1 ELSE 0 END)
+            FROM lineitem LEFT JOIN (
+                SELECT DISTINCT s_suppkey FROM supplier
+            ) s ON l_suppkey = s.s_suppkey
+        """,
         "stratified_sample": """
             WITH b AS (
                 SELECT o_orderkey, o_orderpriority, o_totalprice,

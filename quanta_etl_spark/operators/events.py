@@ -193,3 +193,38 @@ def time_weighted_avg(
             F.count(F.lit(1)).alias("n_obs"),
         )
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: for
+    each (from_type, to_type) adjacent pair within a user's timeline,
+    the transition count and the row-normalized probability
+    P(next=to | current=from). The standard session-flow / next-action
+    model over clickstream data.
+
+    Shape: one lead() window per user (shuffle on the user key), one
+    count aggregation on the tiny (from, to) key, and a window sum over
+    the from-state marginal — the last two run on a frame whose size is
+    |event types|², not the event volume. Counts are exact ints; the
+    probability division is the only float op, so results are
+    partitioning-independent.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    pairs = df.select(
+        F.col(type_col).alias("from_type"),
+        F.lead(type_col).over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    marg = Window.partitionBy("from_type")
+    return counts.withColumn(
+        "prob",
+        F.col("n").cast("double") / F.sum("n").over(marg).cast("double"),
+    )

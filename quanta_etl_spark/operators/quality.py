@@ -213,3 +213,54 @@ def validate_split(
     good = tagged.where(F.col("failed_rules") == "").drop("failed_rules")
     bad = tagged.where(F.col("failed_rules") != "")
     return good, bad
+
+
+def referential_check(
+    fact: DataFrame,
+    dims: dict[str, tuple[DataFrame, str, str]],
+) -> DataFrame:
+    """Referential-integrity report: for each named FK relation, how
+    many fact rows exist, how many have a NULL key, and how many are
+    ORPHANS (non-null key with no match in the dimension).
+
+    ``dims`` maps relation name → (dim_df, fact_key_col, dim_key_col).
+    Returns one row per relation: (relation, total_rows, null_keys,
+    orphans). A healthy warehouse shows orphans = 0 — the row still
+    carries the totals, so the report is never vacuously empty.
+
+    Shape: per relation, one distinct-key projection of the dimension
+    (slim, broadcastable) + one left join on the fact — the fact is
+    scanned once per relation with only the key column read. The
+    reference's null-check reports (etl.py:166-175) are the 1-relation
+    special case of this.
+    """
+    if not dims:
+        raise ValueError("referential_check needs at least one relation")
+    reports = []
+    for name, (dim, fact_key, dim_key) in dims.items():
+        keys = dim.select(F.col(dim_key).alias("__dk")).distinct()
+        joined = fact.select(F.col(fact_key).alias("__fk")).join(
+            F.broadcast(keys), F.col("__fk") == F.col("__dk"), "left"
+        )
+        reports.append(
+            joined.agg(
+                F.count(F.lit(1)).alias("total_rows"),
+                F.sum(
+                    F.when(F.col("__fk").isNull(), 1).otherwise(0)
+                ).alias("null_keys"),
+                F.sum(
+                    F.when(
+                        F.col("__fk").isNotNull() & F.col("__dk").isNull(), 1
+                    ).otherwise(0)
+                ).alias("orphans"),
+            ).select(
+                F.lit(name).alias("relation"),
+                "total_rows",
+                "null_keys",
+                "orphans",
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+from pyspark.sql import functions as F
+
 from quanta_etl_spark.operators import aggregates as agg_ops
 from quanta_etl_spark.operators import events as event_ops
 from quanta_etl_spark.operators import windows as win_ops
@@ -273,3 +275,47 @@ class TestPagerank:
         )
         out = [r.rank for r in graph_ops.pagerank(edges, iterations=3).collect()]
         assert all(abs(r - 1.0 / 3) < 1e-12 for r in out)
+
+
+class TestEventTransitions:
+    def test_counts_and_row_normalized_probs(self, spark):
+        rows = [
+            (1, _ts(0), 1, "A", 0.0),
+            (2, _ts(1), 1, "B", 0.0),
+            (3, _ts(2), 1, "A", 0.0),
+            (4, _ts(3), 1, "C", 0.0),
+            (5, _ts(0), 2, "A", 0.0),
+            (6, _ts(1), 2, "B", 0.0),
+        ]
+        out = {(r.from_type, r.to_type): (r.n, r.prob)
+               for r in event_ops.event_transitions(_events(spark, rows)).collect()}
+        # from A: ->B twice, ->C once
+        assert out[("A", "B")] == (2, 2 / 3)
+        assert out[("A", "C")] == (1, 1 / 3)
+        assert out[("B", "A")] == (1, 1.0)
+        # no cross-user transition (u1's C -> u2's A must not exist)
+        assert ("C", "A") not in out
+
+    def test_probs_sum_to_one_per_from_state(self, spark, sf_dir):
+        from quanta_etl_spark.sources.testdata import load_table
+        ev = load_table(spark, sf_dir, "events")
+        out = event_ops.event_transitions(ev)
+        sums = out.groupBy("from_type").agg(F.sum("prob").alias("s")).collect()
+        assert all(abs(r.s - 1.0) < 1e-9 for r in sums)
+
+
+class TestReferentialCheck:
+    def test_orphans_and_nulls_counted(self, spark):
+        from quanta_etl_spark.operators import quality as quality_ops
+        fact = spark.createDataFrame(
+            [(1, 10), (2, 11), (3, 99), (4, None)], "id long, fk long"
+        )
+        dim = spark.createDataFrame([(10,), (11,), (12,)], "k long")
+        out = quality_ops.referential_check(
+            fact, {"fact_dim": (dim, "fk", "k")}
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.relation, r.total_rows, r.null_keys, r.orphans) == (
+            "fact_dim", 4, 1, 1
+        )

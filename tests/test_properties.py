@@ -149,3 +149,114 @@ def test_salted_join_equals_plain(spark, sf_dir):
     plain = o.join(c, "custkey")
     assert _collect_sorted(salted.select("o_orderkey", "custkey", "c_mktsegment")) == \
         _collect_sorted(plain.select("o_orderkey", "custkey", "c_mktsegment"))
+
+
+# ---- round 6 invariants (event analytics / interpolation / frontier) ----
+
+
+def test_interpolate_dense_series_is_identity(spark, sf_dir):
+    """Interpolating a series with NO nulls must change nothing."""
+    from quanta_etl_spark.sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events").limit(500)
+    out = win_ops.linear_interpolate(
+        ev, "user_id", "ts", "value", tiebreak_cols=["event_id"],
+        out_col="f",
+    )
+    assert out.where(F.col("f") != F.col("value")).count() == 0
+
+
+def test_interpolate_idempotent(spark, sf_dir):
+    """interpolate(interpolate(x)) == interpolate(x): after one pass no
+    nulls remain between observations, so a second pass is identity."""
+    from quanta_etl_spark.sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value", F.when(F.col("event_type") != "error", F.col("value"))
+    )
+    once = win_ops.linear_interpolate(
+        ev, "user_id", "ts", "value", tiebreak_cols=["event_id"],
+        out_col="value",
+    )
+    twice = win_ops.linear_interpolate(
+        once, "user_id", "ts", "value", tiebreak_cols=["event_id"],
+        out_col="value2",
+    )
+    # exact equality: pass 2 sees no nulls, takes the v-not-null branch
+    assert twice.where(
+        ~F.col("value2").eqNullSafe(F.col("value"))
+    ).count() == 0
+
+
+def test_funnel_counts_monotone_nonincreasing(spark, sf_dir):
+    """Each funnel step can only lose users."""
+    from quanta_etl_spark.operators import events as event_ops
+    from quanta_etl_spark.sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = event_ops.funnel_report(
+        ev, ["signup", "view", "click", "purchase"]
+    ).orderBy("step_index").collect()
+    users = [r.users for r in rows]
+    assert all(a >= b for a, b in zip(users, users[1:]))
+
+
+def test_skyline_mutually_nondominating_and_sound(spark, sf_dir):
+    """No output point strictly dominates another; and every output
+    point survives a brute-force dominance check against ALL points."""
+    from quanta_etl_spark.sources.testdata import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").limit(300)
+    pts = [(r.l_extendedprice, r.l_quantity)
+           for r in li.select("l_extendedprice", "l_quantity").collect()]
+    sky = [(r.l_extendedprice, r.l_quantity)
+           for r in win_ops.skyline_2d(li, "l_extendedprice", "l_quantity").collect()]
+
+    def dominated(p, qs):
+        return any(
+            q[0] <= p[0] and q[1] >= p[1] and (q[0] < p[0] or q[1] > p[1])
+            for q in qs
+        )
+
+    assert sky, "frontier cannot be empty on non-empty input"
+    for p in sky:
+        assert not dominated(p, sky), f"{p} dominated within frontier"
+        assert not dominated(p, pts), f"{p} dominated by a dropped point"
+    # completeness: every non-dominated input point is in the frontier
+    expect = {p for p in set(pts) if not dominated(p, pts)}
+    assert set(sky) == expect
+
+
+def test_skyline_band_count_invariant(spark, sf_dir):
+    """The banded two-phase skyline must give identical results for any
+    band count (1 band == the textbook single-pass algorithm)."""
+    from quanta_etl_spark.sources.testdata import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").limit(500)
+    a = set(map(tuple, win_ops.skyline_2d(
+        li, "l_extendedprice", "l_quantity", num_bands=1).collect()))
+    b = set(map(tuple, win_ops.skyline_2d(
+        li, "l_extendedprice", "l_quantity", num_bands=17).collect()))
+    assert a == b
+
+
+def test_twap_constant_series_equals_constant(spark, sf_dir):
+    from quanta_etl_spark.operators import events as event_ops
+    from quanta_etl_spark.sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn("value", F.lit(7.5))
+    out = event_ops.time_weighted_avg(ev, "value").collect()
+    assert all(abs(r.twap - 7.5) < 1e-9 for r in out)
+
+
+def test_pagerank_mass_conserved_without_dangling(spark):
+    """On a graph where every node has an out-edge, total rank mass is
+    exactly 1 after any number of iterations (decimal-exact sums)."""
+    from quanta_etl_spark.operators import graph as graph_ops
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c")],
+        "src string, dst string",
+    )
+    out = graph_ops.pagerank(edges, iterations=7).collect()
+    assert abs(sum(r.rank for r in out) - 1.0) < 1e-12
