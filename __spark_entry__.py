@@ -2056,6 +2056,32 @@ def q_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     return graph_ops.pagerank(edges, iterations=5).select("node", "rank")
 
 
+def q_stream_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming rolling z-score anomaly alerts end-to-end
+    (streaming/ingest.streaming_anomaly_zscore,
+    applyInPandasWithState): per-user trailing-20 window carried
+    across micro-batches in a bounded array state. Bounded
+    single-batch input ⇒ equals the batch anomaly window, so the
+    streaming path is hash-checked against the same SQL oracle (with
+    the zero-variance guard both sides implement)."""
+    from quanta_etl_spark.streaming import ingest
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = ingest.read_stream(spark, f"{sf}/events.parque[t]", raw_schema)
+    out = ingest.streaming_anomaly_zscore(stream)
+    q = ingest.write_stream_memory(
+        out, "stream_anomaly", output_mode="append"
+    )
+    q.awaitTermination()
+    return (
+        spark.table("stream_anomaly")
+        .where(F.col("is_anomaly"))
+        .select("event_id", "user_id", "zscore")
+    )
+
+
 def q_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event
     timelines: exact counts + row-normalized next-action
@@ -2131,6 +2157,7 @@ def queries() -> dict[str, QueryFn]:
         "graph_pagerank": q_graph_pagerank,
         "event_transitions": q_event_transitions,
         "referential_check": q_referential_check,
+        "stream_anomaly": q_stream_anomaly,
         # -- (1) new this round + never-driver-gated r5 queries --------
         "stream_forward_fill": q_stream_forward_fill,  # new this round
         "profile_columns": q_profile_columns,
@@ -2169,11 +2196,11 @@ def queries() -> dict[str, QueryFn]:
         "rolling_time_window": q_rolling_time_window,
         "window_cumulative": q_window_cumulative,
         "window_ewma": q_window_ewma,
-        "agg_percentiles": q_agg_percentiles,
         # ---- 50-entry gate cap lands after the entry above -----------
-        # -- (4) past the cap: the 14 r4+J rows displaced by this
+        # -- (4) past the cap: the 15 r4+J rows displaced by this
         #    round's new batch (r4 driver row + r5 judge re-verify
         #    stand; they rotate back under the cap next round) ---------
+        "agg_percentiles": q_agg_percentiles,
         "corpus_decontaminate": q_corpus_decontaminate,
         "corpus_cap_per_source": q_corpus_cap_per_source,
         "corpus_pack_sequences": q_corpus_pack_sequences,
@@ -2544,6 +2571,19 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_partkey
         """,
         "graph_pagerank": _pagerank_oracle(),
+        "stream_anomaly": """
+            WITH w AS (
+                SELECT event_id, user_id, value,
+                       avg(value) OVER win AS mu,
+                       stddev_samp(value) OVER win AS sd
+                FROM events
+                WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT event_id, user_id, (value - mu) / sd AS zscore
+            FROM w
+            WHERE sd > 0 AND abs((value - mu) / sd) > 2.5
+        """,
         "event_transitions": """
             WITH p AS (
                 SELECT event_type AS from_type,

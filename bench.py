@@ -103,7 +103,13 @@ def main() -> None:
     # Full per-query record → repo file (the driver's stdout capture
     # keeps only the last ~2000 chars; round 3's 74-query JSON line blew
     # that budget and was recorded as parsed:null despite rc 0).
-    with open(os.path.join(REPO, "BENCH_LOCAL.json"), "w") as f:
+    # BENCH_LOCAL.json is the committed sf0.1 round-over-round record;
+    # runs at any other sf (sf0.001 smoke, .benchdata/sf1 scaling) write
+    # a suffixed file so they can't clobber it.
+    record = (
+        "BENCH_LOCAL.json" if sf == 0.1 else f"BENCH_LOCAL_sf{sf}.json"
+    )
+    with open(os.path.join(REPO, record), "w") as f:
         json.dump(full, f, indent=1)
     # Stdout line: same shape, but "queries" holds the slowest subset
     # that keeps the LINE under the capture window — headline + hot
@@ -117,7 +123,7 @@ def main() -> None:
             sorted(slowest[:keep])  # name-sorted for readability
         )
         summary["queries_truncated"] = len(timings) - keep
-        summary["queries_file"] = "BENCH_LOCAL.json"
+        summary["queries_file"] = record
         line = json.dumps(summary)
         if len(line) <= 1800:
             break

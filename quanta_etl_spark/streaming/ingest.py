@@ -442,3 +442,76 @@ def merge_stream_into_parquet(
         .trigger(availableNow=True)
         .start()
     )
+
+
+_ZSCORE_STATE = "vals array<double>"
+_ZSCORE_OUTPUT = (
+    "user_id bigint, event_id bigint, zscore double, is_anomaly boolean"
+)
+_ZSCORE_WINDOW = 20
+_ZSCORE_THRESHOLD = 2.5
+
+
+def _zscore_fn(
+    key: tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Streaming rolling z-score: state = the key's last W values (a
+    bounded array — O(W) per key, no unbounded growth). Chunks are
+    concatenated and sorted once by (ts, event_id) before scoring
+    (cross-chunk order is arbitrary — same lesson as
+    _running_stats_fn). A zero-variance window is unflaggable (z
+    null), mirrored exactly in the SQL oracle.
+
+    On bounded single-batch input this equals the batch
+    anomaly_zscore window (trailing W rows, current row excluded);
+    on a live stream the window spans micro-batch boundaries via the
+    carried array."""
+    import numpy as np
+
+    (uid,) = key
+    buf: list[float] = list(state.get[0]) if state.exists else []
+    chunks = list(pdf_iter)
+    if not chunks:
+        state.update((buf,))
+        return
+    pdf = pd.concat(chunks).sort_values(["ts", "event_id"], kind="mergesort")
+    zs: list[float | None] = []
+    flags: list[bool] = []
+    for v in pdf["value"].astype(float):
+        if len(buf) >= 2:
+            arr = np.asarray(buf, dtype=float)
+            sd = float(arr.std(ddof=1))
+            z = (v - float(arr.mean())) / sd if sd > 0.0 else None
+        else:
+            z = None
+        zs.append(z)
+        flags.append(z is not None and abs(z) > _ZSCORE_THRESHOLD)
+        buf.append(float(v))
+        if len(buf) > _ZSCORE_WINDOW:
+            buf = buf[-_ZSCORE_WINDOW:]
+    state.update((buf,))
+    yield pd.DataFrame(
+        {
+            "user_id": uid,
+            "event_id": pdf["event_id"].values,
+            "zscore": pd.array(zs, dtype="float64"),
+            "is_anomaly": flags,
+        }
+    )
+
+
+def streaming_anomaly_zscore(df: DataFrame) -> DataFrame:
+    """Streaming twin of ``windows.anomaly_zscore``: per-user rolling
+    z-score over the trailing 20 observations (current row excluded),
+    carried across micro-batches in O(W)-per-key state via
+    ``applyInPandasWithState``. Emits every scored row; filter
+    ``is_anomaly`` downstream for the alert stream."""
+    return df.select("user_id", "event_id", "ts", "value").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        _zscore_fn,
+        outputStructType=_ZSCORE_OUTPUT,
+        stateStructType=_ZSCORE_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -399,3 +399,46 @@ def test_enrich_stream_is_stateless_broadcast(spark, bar_dir):
     got = _run_to_memory(spark, out, "enriched_bars")
     assert got.count() == 6
     assert {r.name for r in got.collect()} == {"SAP SE", "BMW AG"}
+
+
+def test_streaming_anomaly_state_across_batches(spark, tmp_path):
+    """The z-score window buffer must carry across micro-batches: a
+    spike arriving in batch 2 is judged against baseline values that
+    all arrived in batch 1."""
+    from pyspark.sql.types import LongType
+
+    ev_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_id", LongType()),
+            StructField("ts", LongType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    d = tmp_path / "ev"
+    d.mkdir()
+    baseline = [(1, i, 100 * i, 10.0 + (i % 3)) for i in range(1, 8)]
+    spike = [(1, 8, 800, 500.0), (1, 9, 900, 10.0)]
+    spark.createDataFrame(baseline, ev_schema).coalesce(1).write.parquet(
+        str(d / "b0")
+    )
+    spark.createDataFrame(spike, ev_schema).coalesce(1).write.parquet(
+        str(d / "b1")
+    )
+    stream = ingest.read_stream(
+        spark, f"{d}/b*/part-*.parquet", ev_schema, max_files_per_trigger=1
+    )
+    out = ingest.streaming_anomaly_zscore(stream)
+    rows = {
+        r.event_id: (r.zscore, r.is_anomaly)
+        for r in _run_to_memory(spark, out, "stream_anomaly_t").collect()
+    }
+    # first two events have <2 priors: never flagged, z null
+    assert rows[1] == (None, False) and rows[2] == (None, False)
+    # the spike (batch 2) is flagged against batch-1 state
+    assert rows[8][1] is True and rows[8][0] > 2.5
+    # the return to baseline right after the spike is NOT flagged (the
+    # spike inflates the window stddev)
+    assert rows[9][1] is False
+    # baseline rows in batch 1 are unflagged
+    assert all(not rows[i][1] for i in range(3, 8))
