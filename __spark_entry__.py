@@ -2056,6 +2056,63 @@ def q_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     return graph_ops.pagerank(edges, iterations=5).select("node", "rank")
 
 
+def q_activity_streaks(spark: SparkSession, sf: str) -> DataFrame:
+    """Gaps-and-islands engagement metric: longest run of consecutive
+    active days, total active days, and streak count per user (classic
+    day − row_number() islands pattern, distinct-days-first)."""
+    ev = load_table(spark, sf, "events")
+    return win_ops.activity_streaks(ev, "user_id", "ts").select(
+        "user_id", "longest_streak", "active_days", "n_streaks"
+    )
+
+
+def q_contribution_margin(spark: SparkSession, sf: str) -> DataFrame:
+    """Percent-of-total contribution analysis: revenue per
+    (status, priority) with share of the status super-group and of the
+    global total — window sums over the aggregate frame, decimal-exact
+    numerators/denominators, double division only at the end."""
+    o = load_table(spark, sf, "orders")
+    return agg_ops.contribution(
+        o, "o_totalprice", ["o_orderstatus", "o_orderpriority"],
+        within=["o_orderstatus"],
+    ).select(
+        "o_orderstatus", "o_orderpriority",
+        "group_value", "pct_of_total", "pct_of_parent",
+    )
+
+
+def q_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
+    """Lower weighted median of price weighted by quantity per return
+    flag — no native Spark aggregate exists; built from a decimal
+    cumsum window + first-pick, no UDF."""
+    li = load_table(spark, sf, "lineitem")
+    return agg_ops.weighted_median(
+        li, "l_extendedprice", "l_quantity", ["l_returnflag"]
+    ).select("l_returnflag", "weighted_median")
+
+
+def q_dedup_survivor(spark: SparkSession, sf: str) -> DataFrame:
+    """Survivorship policy demo: cluster by 40-char normalized-prefix
+    fingerprint (originals ∪ tail-padded copies share prefixes), keep
+    the LONGEST text per cluster (doc_id tiebreak) — the policy picks
+    the padded copy over the original, proving survivor selection is
+    the caller's ranking, not hard-coded min-id."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    padded = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" duplicated tail padding")).alias(
+            "text"
+        ),
+    )
+    both = docs.unionByName(padded).withColumn(
+        "fp", F.md5(F.substring(T.normalize_text(F.col("text")), 1, 40))
+    )
+    out = dedup_ops.survivor_per_cluster(
+        both, "fp", [F.length("text").desc(), F.col("doc_id").asc()]
+    )
+    return out.select("doc_id", "fp", "cluster_size")
+
+
 def q_stream_anomaly(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming rolling z-score anomaly alerts end-to-end
     (streaming/ingest.streaming_anomaly_zscore,
@@ -2158,6 +2215,10 @@ def queries() -> dict[str, QueryFn]:
         "event_transitions": q_event_transitions,
         "referential_check": q_referential_check,
         "stream_anomaly": q_stream_anomaly,
+        "activity_streaks": q_activity_streaks,
+        "contribution_margin": q_contribution_margin,
+        "weighted_median": q_weighted_median,
+        "dedup_survivor": q_dedup_survivor,
         # -- (1) new this round + never-driver-gated r5 queries --------
         "stream_forward_fill": q_stream_forward_fill,  # new this round
         "profile_columns": q_profile_columns,
@@ -2192,14 +2253,14 @@ def queries() -> dict[str, QueryFn]:
         "text_quality": q_text_quality,
         "text_winnow": q_text_winnow,
         "text_repetition": q_text_repetition,
+        # ---- 50-entry gate cap lands after the entry above -----------
+        # -- (4) past the cap: the 19 r4+J rows displaced by this
+        #    round's new batch (r4 driver row + r5 judge re-verify
+        #    stand; they rotate back under the cap next round) ---------
         "decimal_money_agg": q_decimal_money_agg,
         "rolling_time_window": q_rolling_time_window,
         "window_cumulative": q_window_cumulative,
         "window_ewma": q_window_ewma,
-        # ---- 50-entry gate cap lands after the entry above -----------
-        # -- (4) past the cap: the 15 r4+J rows displaced by this
-        #    round's new batch (r4 driver row + r5 judge re-verify
-        #    stand; they rotate back under the cap next round) ---------
         "agg_percentiles": q_agg_percentiles,
         "corpus_decontaminate": q_corpus_decontaminate,
         "corpus_cap_per_source": q_corpus_cap_per_source,
@@ -2571,6 +2632,84 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_partkey
         """,
         "graph_pagerank": _pagerank_oracle(),
+        "activity_streaks": """
+            WITH days AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+            ), g AS (
+                SELECT user_id, d,
+                       d - CAST(row_number() OVER (
+                           PARTITION BY user_id ORDER BY d) AS INT) AS grp
+                FROM days
+            ), s AS (
+                SELECT user_id, grp, count(*) AS len
+                FROM g GROUP BY 1, 2
+            )
+            SELECT user_id,
+                   max(len) AS longest_streak,
+                   CAST(sum(len) AS BIGINT) AS active_days,
+                   count(*) AS n_streaks
+            FROM s GROUP BY user_id
+        """,
+        "contribution_margin": """
+            WITH agg AS (
+                SELECT o_orderstatus, o_orderpriority,
+                       sum(CAST(o_totalprice AS DECIMAL(30,6))) AS v
+                FROM orders GROUP BY 1, 2
+            )
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(v AS DOUBLE) AS group_value,
+                   CAST(v AS DOUBLE) / CAST(sum(v) OVER () AS DOUBLE)
+                       AS pct_of_total,
+                   CAST(v AS DOUBLE)
+                   / CAST(sum(v) OVER (PARTITION BY o_orderstatus)
+                          AS DOUBLE) AS pct_of_parent
+            FROM agg
+        """,
+        "weighted_median": """
+            WITH vals AS (
+                SELECT l_returnflag, l_extendedprice,
+                       sum(CAST(l_quantity AS DECIMAL(30,6))) AS w
+                FROM lineitem GROUP BY 1, 2
+            ), r AS (
+                SELECT l_returnflag, l_extendedprice,
+                       sum(w) OVER (PARTITION BY l_returnflag
+                                    ORDER BY l_extendedprice
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) AS cum,
+                       sum(w) OVER (PARTITION BY l_returnflag) AS tot
+                FROM vals
+            ), h AS (
+                SELECT l_returnflag, l_extendedprice,
+                       row_number() OVER (PARTITION BY l_returnflag
+                                          ORDER BY l_extendedprice) AS rn
+                FROM r WHERE cum * 2 >= tot
+            )
+            SELECT l_returnflag, l_extendedprice AS weighted_median
+            FROM h WHERE rn = 1
+        """,
+        "dedup_survivor": """
+            WITH base AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000,
+                       text || ' duplicated tail padding'
+                FROM documents
+            ), c AS (
+                SELECT doc_id, text,
+                       md5(substr(trim(regexp_replace(lower(text),
+                                                      '\\s+', ' ', 'g')),
+                                  1, 40)) AS fp
+                FROM base
+            ), r AS (
+                SELECT doc_id, fp,
+                       row_number() OVER (
+                           PARTITION BY fp
+                           ORDER BY length(text) DESC, doc_id ASC) AS rn,
+                       count(*) OVER (PARTITION BY fp) AS cluster_size
+                FROM c
+            )
+            SELECT doc_id, fp, cluster_size FROM r WHERE rn = 1
+        """,
         "stream_anomaly": """
             WITH w AS (
                 SELECT event_id, user_id, value,

@@ -11,6 +11,7 @@ from typing import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # name → (builder, needs_column)
 _AGG_FNS = {
@@ -225,3 +226,81 @@ def histogram_fixed(
         )
     )
     return out.select(*extra_by, "bucket", "bucket_lo", "bucket_hi", "n")
+
+
+def contribution(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str],
+    within: Sequence[str] = (),
+) -> DataFrame:
+    """Percent-of-total (contribution) analysis: aggregate ``value_col``
+    per ``by`` group, then express each group's share of its ``within``
+    super-group AND of the global total. Sums accumulate in decimal
+    (order-independent); the shares are the only float ops.
+
+    Shape: one partial-aggregating shuffle to the ``by`` grain, then
+    window sums over the (tiny) aggregate frame — the raw data is
+    touched once. The 100-TB caveat is the aggregate frame's size, not
+    the input's.
+    """
+    agg = df.groupBy(*by).agg(
+        F.sum(F.col(value_col).cast("decimal(30,6)")).alias("__v")
+    )
+    # Divide as doubles AFTER the exact decimal sums: decimal÷decimal
+    # result scales differ between engines (Spark caps precision at 38
+    # by truncating scale; DuckDB picks its own), while double division
+    # of two exactly-agreed operands is IEEE-identical everywhere.
+    total_w = Window.partitionBy()
+    out = agg.withColumn(
+        "group_value", F.col("__v").cast("double")
+    ).withColumn(
+        "pct_of_total",
+        F.col("__v").cast("double")
+        / F.sum("__v").over(total_w).cast("double"),
+    )
+    if within:
+        sub_w = Window.partitionBy(*within)
+        out = out.withColumn(
+            "pct_of_parent",
+            F.col("__v").cast("double")
+            / F.sum("__v").over(sub_w).cast("double"),
+        )
+    return out.drop("__v")
+
+
+def weighted_median(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    by: Sequence[str],
+) -> DataFrame:
+    """Lower weighted median per group: the smallest value whose
+    cumulative weight reaches half the group's total weight — the
+    weight-aware robust center Spark has no native aggregate for,
+    built from a window cumsum + first-pick (no UDF).
+
+    Weights accumulate as decimals so the cumulative sums (and thus
+    the pick) are identical across partitionings. Collapses equal
+    values first (one partial-agg shuffle), so the window runs over
+    distinct values per group, not raw rows.
+    """
+    vals = df.groupBy(*by, value_col).agg(
+        F.sum(F.col(weight_col).cast("decimal(30,6)")).alias("__w")
+    )
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy(*by)
+    ranked = vals.withColumn("__cum", F.sum("__w").over(w)).withColumn(
+        "__tot", F.sum("__w").over(tot)
+    )
+    hits = ranked.where(F.col("__cum") * 2 >= F.col("__tot"))
+    pick = Window.partitionBy(*by).orderBy(value_col)
+    return (
+        hits.withColumn("__rn", F.row_number().over(pick))
+        .where(F.col("__rn") == 1)
+        .select(*by, F.col(value_col).alias("weighted_median"))
+    )

@@ -33,6 +33,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from quanta_etl_spark.functions.text import (
     fingerprint,
@@ -1196,3 +1197,36 @@ def fuzzy_match_pairs(
         .where(F.col("distance") <= max_distance)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def survivor_per_cluster(
+    df: DataFrame,
+    cluster_col: str,
+    order_by: Sequence[Column | str],
+    keep_cluster_stats: bool = True,
+) -> DataFrame:
+    """Survivorship policy for dedup clusters: keep exactly ONE row per
+    cluster, chosen by the caller's ranking (e.g. longest text, highest
+    quality score, earliest crawl — pass the ordering that encodes the
+    policy; include a unique tiebreaker for determinism).
+
+    This is the second half of every dedup pipeline — after
+    exact/near-dup clustering decides WHICH rows are duplicates,
+    survivorship decides which copy the corpus keeps. `exact_dedup*`
+    hard-codes min-id; this operator makes the policy explicit and
+    composable with any cluster assignment (fingerprint groups or
+    `assign_clusters` output).
+
+    One window over the cluster key (single shuffle); with
+    ``keep_cluster_stats`` the survivor row also carries the cluster
+    size, so downstream stages can weight or audit collapsed mass.
+    """
+    order = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    w = Window.partitionBy(cluster_col).orderBy(*order)
+    ranked = df.withColumn("__rn", F.row_number().over(w))
+    if keep_cluster_stats:
+        stats = Window.partitionBy(cluster_col)
+        ranked = ranked.withColumn(
+            "cluster_size", F.count(F.lit(1)).over(stats)
+        )
+    return ranked.where(F.col("__rn") == 1).drop("__rn")

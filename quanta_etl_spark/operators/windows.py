@@ -533,3 +533,35 @@ def anomaly_zscore(
             F.abs(F.col("zscore")) > threshold,
         ).otherwise(F.lit(False)),
     )
+
+
+def activity_streaks(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+) -> DataFrame:
+    """Gaps-and-islands: group each key's distinct active DAYS into
+    runs of consecutive days, and report per key the longest streak
+    and total active days — the classic engagement metric (and the
+    canonical SQL islands pattern: day − row_number() is constant
+    within a consecutive run).
+
+    Shape: distinct (key, day) first (collapses event volume), one
+    window (row_number) and two aggregations, all partitioned by the
+    key. Works on any timestamp/date column.
+    """
+    days = df.select(
+        F.col(key), F.to_date(ts_col).alias("__d")
+    ).distinct()
+    w = Window.partitionBy(key).orderBy("__d")
+    grp = F.date_sub(F.col("__d"), F.row_number().over(w))
+    streaks = (
+        days.withColumn("__g", grp)
+        .groupBy(key, "__g")
+        .agg(F.count(F.lit(1)).alias("__len"))
+    )
+    return streaks.groupBy(key).agg(
+        F.max("__len").alias("longest_streak"),
+        F.sum("__len").alias("active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )

@@ -319,3 +319,70 @@ class TestReferentialCheck:
         assert (r.relation, r.total_rows, r.null_keys, r.orphans) == (
             "fact_dim", 4, 1, 1
         )
+
+
+class TestActivityStreaks:
+    def test_islands_split_on_gaps(self, spark):
+        days = [1, 2, 3, 5, 6, 10]  # runs: 3, 2, 1
+        rows = [
+            (i, dt.datetime(2024, 1, d), 1, "x", 0.0)
+            for i, d in enumerate(days)
+        ] + [(99, dt.datetime(2024, 1, 2, 23), 1, "x", 0.0)]  # same day
+        out = win_ops.activity_streaks(
+            _events(spark, rows), "user_id", "ts"
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.longest_streak, r.active_days, r.n_streaks) == (3, 6, 3)
+
+
+class TestContribution:
+    def test_shares_sum_to_one(self, spark):
+        from quanta_etl_spark.operators import aggregates as agg_ops2
+        df = spark.createDataFrame(
+            [("a", "x", 10.0), ("a", "y", 30.0), ("b", "x", 60.0)],
+            "g string, s string, v double",
+        )
+        out = agg_ops2.contribution(df, "v", ["g", "s"], within=["g"])
+        rows = {(r.g, r.s): r for r in out.collect()}
+        assert abs(sum(r.pct_of_total for r in rows.values()) - 1.0) < 1e-12
+        assert abs(rows[("a", "x")].pct_of_parent - 0.25) < 1e-12
+        assert rows[("b", "x")].pct_of_parent == 1.0
+        assert rows[("b", "x")].group_value == 60.0
+
+
+class TestWeightedMedian:
+    def test_weights_shift_the_median(self, spark):
+        from quanta_etl_spark.operators import aggregates as agg_ops2
+        # unweighted median of [1,2,3] is 2; weight 3 heavily -> 3
+        df = spark.createDataFrame(
+            [("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 10.0)],
+            "g string, v double, w double",
+        )
+        out = agg_ops2.weighted_median(df, "v", "w", ["g"]).collect()
+        assert out[0].weighted_median == 3.0
+
+    def test_equal_weights_pick_lower_median(self, spark):
+        from quanta_etl_spark.operators import aggregates as agg_ops2
+        df = spark.createDataFrame(
+            [("g", float(v), 1.0) for v in (1, 2, 3, 4)],
+            "g string, v double, w double",
+        )
+        out = agg_ops2.weighted_median(df, "v", "w", ["g"]).collect()
+        assert out[0].weighted_median == 2.0  # cum 2/4 reaches half at v=2
+
+
+class TestSurvivorPolicy:
+    def test_policy_overrides_min_id(self, spark):
+        from quanta_etl_spark.operators import dedup as dedup_ops2
+        df = spark.createDataFrame(
+            [(1, "c1", "short"), (2, "c1", "much longer text"),
+             (3, "c2", "only")],
+            "doc_id long, cluster string, text string",
+        )
+        out = dedup_ops2.survivor_per_cluster(
+            df, "cluster", [F.length("text").desc(), F.col("doc_id").asc()]
+        )
+        got = {r.cluster: (r.doc_id, r.cluster_size) for r in out.collect()}
+        # longest wins, NOT min doc_id
+        assert got == {"c1": (2, 2), "c2": (3, 1)}
