@@ -2170,6 +2170,129 @@ def q_referential_check(spark: SparkSession, sf: str) -> DataFrame:
     return orders_report.unionByName(lineitem_report)
 
 
+def q_ols_regression(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group closed-form OLS (extendedprice on quantity per return
+    flag): the moment sums accumulate in exact decimal, the fit algebra
+    runs once per group — regression as a single partial-agg shuffle,
+    not an iterative solver."""
+    li = load_table(spark, sf, "lineitem")
+    return agg_ops.ols_regress(
+        li, "l_extendedprice", "l_quantity", ["l_returnflag"]
+    ).select("l_returnflag", "n", "slope", "intercept", "r2")
+
+
+def q_chi_square(spark: SparkSession, sf: str) -> DataFrame:
+    """Pearson chi-squared independence test of order status vs
+    priority — one count aggregation at the cell grain, marginals as
+    window sums over the tiny contingency frame, exact-integer
+    observed/expected algebra."""
+    o = load_table(spark, sf, "orders")
+    return agg_ops.chi_square(o, "o_orderstatus", "o_orderpriority")
+
+
+def q_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust (median/MAD) outlier report per event type — the 50%-
+    breakdown-point alternative to the Tukey-fence iqr_outliers query;
+    two exact-percentile aggregation passes + a broadcast bounds
+    join."""
+    ev = load_table(spark, sf, "events")
+    out = quality_ops.mad_outliers(
+        ev, "value", ["event_type"], k=3.0, mode="only"
+    )
+    return out.select("event_id", "event_type", "value", "mad_score")
+
+
+def q_revenue_mom_growth(spark: SparkSession, sf: str) -> DataFrame:
+    """Month-over-month revenue: aggregate to the month grain first
+    (decimal sums), then lag-window the tiny aggregate frame — the
+    'aggregate first, window the aggregate' discipline."""
+    o = load_table(spark, sf, "orders")
+    return resample_ops.period_growth(
+        o, "o_orderdate", "o_totalprice", "month"
+    ).select("period", "value", "prev_value", "abs_change", "pct_change")
+
+
+def q_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus PII scrub: inject synthetic emails/phones into every 5th
+    document (so the pass provably fires), then mask via the native
+    regex chain (functions/text.redact_pii) — per-doc email/phone hit
+    counts + an md5 of the scrubbed text. Pattern-based redaction is
+    the standard cheap pre-release pass at corpus scale; it runs at
+    parquet-scan speed (no Python in the row path)."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    injected = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" Contact u"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or call 555-123-4567."),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone_re = r"\+?[0-9][0-9()\s.-]{7,}[0-9]"
+    return injected.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(email_re), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(phone_re), F.lit(0))).alias(
+            "n_phones"
+        ),
+        F.md5(T.redact_pii(F.col("text"))).alias("clean_md5"),
+    )
+
+
+def _cosupply_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Supplier co-occurrence graph: an edge joins two suppliers that
+    both shipped a high-quantity (≥48) line in the same order. The
+    quantity cut keeps per-order fan-out tiny, so the pair self-join
+    is bounded per order — the blocking discipline every pairing
+    operator in this engine follows."""
+    li = load_table(spark, sf, "lineitem").where(F.col("l_quantity") >= 48)
+    ps = li.select("l_orderkey", "l_suppkey").distinct()
+    a = ps.alias("a")
+    b = ps.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def q_graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-supplier triangle counts over the co-supply graph — the
+    degree-ordered wedge join (each triangle closed exactly once,
+    hub fan-out bounded by O(√m)); the oracle recomputes triangles
+    declaratively from the same edge set."""
+    return graph_ops.triangle_counts(_cosupply_edges(spark, sf)).select(
+        "node", "triangles"
+    )
+
+
+def q_graph_bfs(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-source BFS (min hop count, budget 3) from the three
+    lowest-keyed suppliers across the co-supply graph — the fixed-
+    budget iterative-join fixpoint with frontier-proportional work;
+    the oracle unrolls the same three rounds as chained CTEs."""
+    edges = _cosupply_edges(spark, sf)
+    sources = (
+        load_table(spark, sf, "supplier")
+        .where(F.col("s_suppkey") <= 3)
+        .select(F.col("s_suppkey").alias("node"))
+    )
+    return graph_ops.bfs_depths(edges, sources, max_hops=3).select(
+        "node", "depth"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -2198,6 +2321,14 @@ def queries() -> dict[str, QueryFn]:
     #   4. past the cap: the 8 r4+J rows the new batch displaced, then
     #      r5-green rows (unchanged, their r5 records stand).
     return {
+        # -- (0b) newest this round: stats/graph/PII batch -------------
+        "ols_regression": q_ols_regression,
+        "chi_square": q_chi_square,
+        "mad_outliers": q_mad_outliers,
+        "revenue_mom_growth": q_revenue_mom_growth,
+        "pii_redact": q_pii_redact,
+        "graph_triangles": q_graph_triangles,
+        "graph_bfs": q_graph_bfs,
         # -- (0) new this round: event-log analytics + frontier/
         #    histogram/sampling batch (operators/events.py etc.) -------
         "funnel_conversion": q_funnel_conversion,
@@ -2452,6 +2583,199 @@ def _lsh_topk_oracle(num_planes: int = 6, k: int = 5) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ols_regression": """
+            WITH m AS (
+                SELECT l_returnflag,
+                       count(*) AS n,
+                       sum(CAST(l_quantity AS DECIMAL(18,6))) AS sx,
+                       sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS sy,
+                       -- one operand at DECIMAL(19,6): forces DuckDB's
+                       -- int128 multiply path (pure 18,6 x 18,6 runs in
+                       -- int64 and overflows); values identical to
+                       -- Spark's (18,6)x(18,6) -> (37,12) exact product
+                       sum(CAST(CAST(l_quantity AS DECIMAL(19,6))
+                                * CAST(l_extendedprice AS DECIMAL(18,6))
+                                AS DECIMAL(38,12))) AS sxy,
+                       sum(CAST(CAST(l_quantity AS DECIMAL(19,6))
+                                * CAST(l_quantity AS DECIMAL(18,6))
+                                AS DECIMAL(38,12))) AS sxx,
+                       sum(CAST(CAST(l_extendedprice AS DECIMAL(19,6))
+                                * CAST(l_extendedprice AS DECIMAL(18,6))
+                                AS DECIMAL(38,12))) AS syy
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL
+                  AND l_extendedprice IS NOT NULL
+                GROUP BY l_returnflag
+            ), d AS (
+                SELECT l_returnflag, n,
+                       CAST(n AS DOUBLE) AS nd,
+                       CAST(sx AS DOUBLE) AS sxd,
+                       CAST(sy AS DOUBLE) AS syd,
+                       CAST(sxy AS DOUBLE) AS sxyd,
+                       CAST(sxx AS DOUBLE) AS sxxd,
+                       CAST(syy AS DOUBLE) AS syyd
+                FROM m
+            ), f AS (
+                SELECT l_returnflag, n, nd, sxd, syd,
+                       sxyd / nd - (sxd / nd) * (syd / nd) AS cov,
+                       sxxd / nd - (sxd / nd) * (sxd / nd) AS varx,
+                       syyd / nd - (syd / nd) * (syd / nd) AS vary
+                FROM d
+            )
+            SELECT l_returnflag, n,
+                   CASE WHEN varx > 0 THEN cov / varx END AS slope,
+                   syd / nd - (CASE WHEN varx > 0 THEN cov / varx END)
+                       * (sxd / nd) AS intercept,
+                   CASE WHEN varx > 0 AND vary > 0
+                        THEN (cov * cov) / (varx * vary) END AS r2
+            FROM f
+        """,
+        "chi_square": """
+            WITH cells AS (
+                SELECT o_orderstatus AS a, o_orderpriority AS b,
+                       count(*) AS o
+                FROM orders
+                WHERE o_orderstatus IS NOT NULL
+                  AND o_orderpriority IS NOT NULL
+                GROUP BY 1, 2
+            ), m AS (
+                SELECT a, b, o,
+                       sum(o) OVER (PARTITION BY a) AS ra,
+                       sum(o) OVER (PARTITION BY b) AS rb,
+                       sum(o) OVER () AS tot
+                FROM cells
+            )
+            SELECT sum(
+                       pow(CAST(o AS DOUBLE)
+                           - CAST(ra AS DOUBLE) * CAST(rb AS DOUBLE)
+                             / CAST(tot AS DOUBLE), 2)
+                       / (CAST(ra AS DOUBLE) * CAST(rb AS DOUBLE)
+                          / CAST(tot AS DOUBLE))
+                   ) AS chi2,
+                   (count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS dof,
+                   CAST(sum(o) AS BIGINT) AS n
+            FROM m
+        """,
+        "mad_outliers": """
+            WITH med AS (
+                SELECT event_type, median(value) AS med
+                FROM events GROUP BY 1
+            ), mads AS (
+                SELECT e.event_type,
+                       median(abs(e.value - m.med)) AS mad,
+                       any_value(m.med) AS med
+                FROM events e JOIN med m USING (event_type)
+                GROUP BY e.event_type
+            )
+            SELECT e.event_id, e.event_type, e.value,
+                   CASE WHEN m.mad > 0
+                        THEN abs(e.value - m.med) / (1.4826 * m.mad)
+                   END AS mad_score
+            FROM events e JOIN mads m USING (event_type)
+            WHERE CASE WHEN m.mad > 0
+                       THEN abs(e.value - m.med) / (1.4826 * m.mad) > 3.0
+                       ELSE e.value <> m.med END
+        """,
+        "revenue_mom_growth": """
+            WITH agg AS (
+                SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+                           AS period,
+                       sum(CAST(o_totalprice AS DECIMAL(30,6))) AS v
+                FROM orders GROUP BY 1
+            ), w AS (
+                SELECT period,
+                       CAST(v AS DOUBLE) AS value,
+                       CAST(lag(v) OVER (ORDER BY period) AS DOUBLE)
+                           AS prev_value
+                FROM agg
+            )
+            SELECT period, value, prev_value,
+                   value - prev_value AS abs_change,
+                   (value - prev_value) / prev_value AS pct_change
+            FROM w
+        """,
+        "pii_redact": """
+            WITH inj AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0
+                            THEN text || ' Contact u' || CAST(doc_id AS VARCHAR)
+                                 || '@example.com or call 555-123-4567.'
+                            ELSE text END AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                       AS n_emails,
+                   len(regexp_extract_all(text,
+                       '\\+?[0-9][0-9()\\s.-]{7,}[0-9]')) AS n_phones,
+                   md5(regexp_replace(
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '[REDACTED]', 'g'),
+                       '\\+?[0-9][0-9()\\s.-]{7,}[0-9]',
+                       '[REDACTED]', 'g')) AS clean_md5
+            FROM inj
+        """,
+        "graph_triangles": """
+            WITH ps AS (
+                SELECT DISTINCT l_orderkey, l_suppkey
+                FROM lineitem WHERE l_quantity >= 48
+            ), e AS (
+                SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+                FROM ps a JOIN ps b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_suppkey < b.l_suppkey
+            ), tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM e e1
+                JOIN e e2 ON e2.a = e1.b
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+            ), nodes AS (
+                SELECT a AS node FROM e
+                UNION SELECT b FROM e
+            ), per AS (
+                SELECT node, count(*) AS t FROM (
+                    SELECT x AS node FROM tri
+                    UNION ALL SELECT y FROM tri
+                    UNION ALL SELECT z FROM tri
+                ) GROUP BY node
+            )
+            SELECT n.node, COALESCE(p.t, 0) AS triangles
+            FROM nodes n LEFT JOIN per p USING (node)
+        """,
+        "graph_bfs": """
+            WITH ps AS (
+                SELECT DISTINCT l_orderkey, l_suppkey
+                FROM lineitem WHERE l_quantity >= 48
+            ), eu AS (
+                SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+                FROM ps a JOIN ps b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_suppkey <> b.l_suppkey
+            ), d0 AS (
+                SELECT s_suppkey AS node FROM supplier WHERE s_suppkey <= 3
+            ), d1 AS (
+                SELECT DISTINCT eu.v AS node
+                FROM eu JOIN d0 ON eu.u = d0.node
+                WHERE eu.v NOT IN (SELECT node FROM d0)
+            ), d2 AS (
+                SELECT DISTINCT eu.v AS node
+                FROM eu JOIN d1 ON eu.u = d1.node
+                WHERE eu.v NOT IN (SELECT node FROM d0)
+                  AND eu.v NOT IN (SELECT node FROM d1)
+            ), d3 AS (
+                SELECT DISTINCT eu.v AS node
+                FROM eu JOIN d2 ON eu.u = d2.node
+                WHERE eu.v NOT IN (SELECT node FROM d0)
+                  AND eu.v NOT IN (SELECT node FROM d1)
+                  AND eu.v NOT IN (SELECT node FROM d2)
+            )
+            SELECT node, 0 AS depth FROM d0
+            UNION ALL SELECT node, 1 FROM d1
+            UNION ALL SELECT node, 2 FROM d2
+            UNION ALL SELECT node, 3 FROM d3
+        """,
         "funnel_conversion": """
             WITH s0 AS (
                 SELECT user_id, min(ts) AS t0 FROM events

@@ -304,3 +304,103 @@ def weighted_median(
         .where(F.col("__rn") == 1)
         .select(*by, F.col(value_col).alias("weighted_median"))
     )
+
+
+def ols_regress(
+    df: DataFrame,
+    y_col: str,
+    x_col: str,
+    by: Sequence[str],
+) -> DataFrame:
+    """Per-group simple linear regression (y on x) via the moment
+    aggregates: slope = cov_pop(x,y)/var_pop(x), intercept =
+    ȳ − slope·x̄, r² = corr(x,y)². One partial-aggregating shuffle —
+    the closed-form fit is an aggregate, not an iterative solver, so
+    it scales exactly like a groupBy sum.
+
+    Moments accumulate in decimal (Σx, Σy, Σxy, Σx², Σy² are exact),
+    and the float algebra happens once per GROUP on the exact sums —
+    so the result is independent of partitioning/merge order and
+    engine (the single-pass co-moment update formulas of
+    ``covar_pop``/``corr`` differ between engines in the last ulps;
+    building from exact decimal power sums removes that).
+
+    Groups with zero x-variance return NULL slope/intercept/r2.
+    """
+    # (18,6): the pairwise products type as decimal(37,12) — inside the
+    # 38-digit cap, so Spark's precision-overflow truncation never
+    # engages and every power sum is exact.
+    x = F.col(x_col).cast("decimal(18,6)")
+    y = F.col(y_col).cast("decimal(18,6)")
+    agg = df.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum((x * y).cast("decimal(38,12)")).alias("__sxy"),
+        F.sum((x * x).cast("decimal(38,12)")).alias("__sxx"),
+        F.sum((y * y).cast("decimal(38,12)")).alias("__syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    cov = sxy / n - (sx / n) * (sy / n)
+    varx = sxx / n - (sx / n) * (sx / n)
+    vary = syy / n - (sy / n) * (sy / n)
+    slope = F.when(varx > 0, cov / varx)
+    intercept = sy / n - slope * (sx / n)
+    r2 = F.when(
+        (varx > 0) & (vary > 0), (cov * cov) / (varx * vary)
+    )
+    return agg.select(
+        *by,
+        F.col("n"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )
+
+
+def chi_square(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Pearson chi-squared statistic of independence for two
+    categorical columns: one row ``(chi2, dof, n)``.
+
+    Shape: ONE count aggregation at the (a,b) grain (the contingency
+    table — tiny: |A|·|B| cells), then window sums over that aggregate
+    frame for the marginals; observed/expected algebra runs on exact
+    integer counts, so the double statistic is engine-identical. The
+    raw data is scanned once; nothing but the cell table shuffles.
+    """
+    cells = df.where(
+        F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
+    ).groupBy(a_col, b_col).agg(F.count(F.lit(1)).alias("__o"))
+    wa = Window.partitionBy(a_col)
+    wb = Window.partitionBy(b_col)
+    wt = Window.partitionBy()
+    with_marg = (
+        cells.withColumn("__ra", F.sum("__o").over(wa))
+        .withColumn("__rb", F.sum("__o").over(wb))
+        .withColumn("__tot", F.sum("__o").over(wt))
+    )
+    exp = (
+        F.col("__ra").cast("double")
+        * F.col("__rb").cast("double")
+        / F.col("__tot").cast("double")
+    )
+    term = (F.col("__o").cast("double") - exp) ** 2 / exp
+    return with_marg.agg(
+        F.sum(term).alias("chi2"),
+        (
+            (F.count_distinct(F.col(a_col)) - 1)
+            * (F.count_distinct(F.col(b_col)) - 1)
+        ).alias("dof"),
+        F.sum("__o").alias("n"),
+    )

@@ -305,3 +305,139 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts over an undirected simple graph —
+    the clustering/community primitive, via the standard degree-
+    ordered wedge join (each triangle found exactly once).
+
+    Algorithm: canonicalize edges to (lo, hi) by (degree, id) order —
+    every edge points from the lower-degree endpoint to the higher —
+    then join wedges (a→b, a→c with b<c) against the edge set to close
+    them. Degree ordering bounds wedge fan-out by O(sqrt(m)) per node
+    (arboricity argument), which is what makes this survive power-law
+    graphs at 100 TB where naive wedge-joining on raw direction
+    explodes on hub nodes. Three hash shuffles total (degree agg,
+    wedge build, closing join) — no iteration.
+
+    Returns (node, triangles) for every node of the graph, 0 included.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    both = e.select("a", "b").union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = both.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    # Orient every edge lower-rank → higher-rank by (deg, id).
+    ranked = (
+        both.join(deg.withColumnRenamed("node", "a"), "a")
+        .withColumnRenamed("deg", "da")
+        .join(
+            deg.select(
+                F.col("node").alias("b"), F.col("deg").alias("db")
+            ),
+            "b",
+        )
+    )
+    oriented = ranked.where(
+        (F.col("da") < F.col("db"))
+        | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    ).select(F.col("a").alias("lo"), F.col("b").alias("hi"))
+    # Wedges centered at the lowest-ranked vertex; close with an edge.
+    w1 = oriented.select(
+        F.col("lo").alias("c"), F.col("hi").alias("x")
+    )
+    w2 = oriented.select(
+        F.col("lo").alias("c"), F.col("hi").alias("y")
+    )
+    wedges = w1.join(w2, "c").where(F.col("x") < F.col("y"))
+    # NOTE: union() is positional — the reversed frame must emit
+    # (hi, lo) in column ORDER, not rely on aliases.
+    closing = oriented.select(
+        F.col("lo").alias("x"), F.col("hi").alias("y")
+    ).union(
+        oriented.select(
+            F.col("hi").alias("x"), F.col("lo").alias("y")
+        )
+    ).distinct()
+    tri = wedges.join(closing, ["x", "y"])
+    per_node = (
+        tri.select(F.col("c").alias("node"))
+        .union(tri.select(F.col("x").alias("node")))
+        .union(tri.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.select("node")
+        .join(per_node, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
+        )
+    )
+
+
+def bfs_depths(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 3,
+    directed: bool = False,
+) -> DataFrame:
+    """Multi-source breadth-first search: minimum hop count from any
+    source node, up to ``max_hops`` — reachability/radius analysis as
+    a fixed-budget iterative join (the same fixpoint pattern as
+    :func:`pagerank`, min-aggregated instead of summed).
+
+    ``sources`` is a 1-column DataFrame of node ids (depth 0). Each
+    round expands the CURRENT frontier only (rows at depth k), unions
+    into the visited set, and min-aggregates — so work per round is
+    proportional to the frontier, not the visited set. Frontiers are
+    localCheckpointed to truncate lineage. Unreachable nodes (within
+    the budget) are absent from the result.
+
+    At 100 TB: the edge list is the loop invariant — pre-partition it
+    on the join key once (bucketing) and every round's expansion is
+    exchange-free on the big side.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if not directed:
+        e = e.union(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+    e = e.distinct().localCheckpoint(eager=False)
+    visited = (
+        sources.toDF("node")
+        .distinct()
+        .select("node", F.lit(0).alias("depth"))
+        .localCheckpoint(eager=False)
+    )
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(
+                e, frontier["node"] == e["u"], "inner"
+            )
+            .select(F.col("v").alias("node"), F.lit(hop).alias("depth"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.union(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return visited.groupBy("node").agg(F.min("depth").alias("depth"))

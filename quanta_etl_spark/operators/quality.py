@@ -264,3 +264,56 @@ def referential_check(
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+def mad_outliers(
+    df: DataFrame,
+    value: str,
+    by: Sequence[str],
+    k: float = 3.0,
+    mode: str = "flag",
+    consistency: float = 1.4826,
+) -> DataFrame:
+    """Robust outlier detection via Median Absolute Deviation: a row is
+    an outlier if |x − median| > k · 1.4826 · MAD of its group. Unlike
+    the Tukey fences above, the breakdown point is 50% — the detector
+    itself cannot be dragged by the outliers it is hunting.
+
+    Two aggregation passes by construction (MAD needs the median
+    first): (1) per-group exact median, (2) per-group median of the
+    absolute deviations — each one partial-agg shuffle, both producing
+    a bounds frame that broadcast-joins back onto the data. The raw
+    data is scanned twice; at 100 TB persist the scan or accept the
+    re-read — there is no single-pass exact MAD.
+
+    Groups with MAD = 0 (over half the values identical) flag any
+    deviation from the median. ``mode`` as in :func:`iqr_outliers`.
+    """
+    if mode not in ("flag", "drop", "only"):
+        raise ValueError(f"unknown mode: {mode!r}")
+    med = df.groupBy(*by).agg(
+        F.percentile(value, F.lit(0.5)).alias("__med")
+    )
+    dev = df.join(med, list(by), "left").withColumn(
+        "__adev", F.abs(F.col(value) - F.col("__med"))
+    )
+    mad = dev.groupBy(*by).agg(
+        F.percentile("__adev", F.lit(0.5)).alias("__mad"),
+        F.first("__med").alias("__med2"),
+    )
+    joined = df.join(mad, list(by), "left")
+    score = F.abs(F.col(value) - F.col("__med2")) / (
+        F.lit(consistency) * F.col("__mad")
+    )
+    is_out = F.when(
+        F.col("__mad") > 0, score > k
+    ).otherwise(F.col(value) != F.col("__med2"))
+    joined = joined.withColumn(
+        "mad_score", F.when(F.col("__mad") > 0, score)
+    )
+    if mode == "flag":
+        return joined.withColumn("is_outlier", is_out).drop(
+            "__med2", "__mad"
+        )
+    kept = joined.where(is_out if mode == "only" else ~is_out)
+    return kept.drop("__med2", "__mad")

@@ -13,6 +13,7 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def time_bucket(ts: Column | str, interval: str) -> Column:
@@ -121,4 +122,41 @@ def vwap(
             "total_volume"
         ),
         F.count(F.lit(1)).alias("n_obs"),
+    )
+
+
+def period_growth(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    interval: str = "month",
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Period-over-period growth: aggregate ``value_col`` per
+    ``interval`` bucket (and optional ``by`` keys), then lag-join the
+    previous PRESENT bucket for absolute and relative change. The
+    first bucket of each series has NULL prev/growth; gaps compare
+    against the last present period (densify first with
+    :func:`quanta_etl_spark.operators.windows.densify` for
+    calendar-true comparisons).
+
+    Shape: one partial-agg shuffle to the bucket grain, then a lag
+    window over the (tiny) aggregate frame — the classic "aggregate
+    first, window the aggregate" discipline; the raw data never sees a
+    window. Sums accumulate in decimal; growth is the only float op.
+    """
+    bucket = F.date_trunc(interval, F.col(ts_col)).alias("period")
+    agg = df.groupBy(*by, bucket).agg(
+        F.sum(F.col(value_col).cast("decimal(30,6)")).alias("__v")
+    )
+    w = Window.partitionBy(*by).orderBy("period")
+    cur = F.col("__v").cast("double")
+    prev = F.lag("__v").over(w).cast("double")
+    return agg.select(
+        *by,
+        F.col("period"),
+        cur.alias("value"),
+        prev.alias("prev_value"),
+        (cur - prev).alias("abs_change"),
+        ((cur - prev) / prev).alias("pct_change"),
     )

@@ -1,0 +1,209 @@
+"""Round-6 batch 2: OLS regression, chi-square, MAD outliers,
+period-over-period growth, triangle counting, multi-source BFS."""
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from quanta_etl_spark.operators import aggregates as A
+from quanta_etl_spark.operators import graph as G
+from quanta_etl_spark.operators import quality as Q
+from quanta_etl_spark.operators import resample as R
+
+
+# ---------- ols_regress ----------
+
+def test_ols_exact_line(spark):
+    # y = 3x + 2 exactly -> slope 3, intercept 2, r2 = 1
+    rows = [("g", float(x), 3.0 * x + 2.0) for x in range(10)]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    out = A.ols_regress(df, "y", "x", ["k"]).collect()[0]
+    assert out["n"] == 10
+    assert out["slope"] == pytest.approx(3.0, abs=1e-9)
+    assert out["intercept"] == pytest.approx(2.0, abs=1e-9)
+    assert out["r2"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_ols_matches_numpy(spark):
+    import numpy as np
+
+    # noise in eighths: exact in binary AND in decimal(30,6)
+    rng = [(i * 37 % 101) / 8.0 for i in range(50)]
+    xs = [float(i) for i in range(50)]
+    ys = [2.5 * x - 4.0 + r for x, r in zip(xs, rng)]
+    df = spark.createDataFrame(
+        [("g", x, y) for x, y in zip(xs, ys)], "k string, x double, y double"
+    )
+    out = A.ols_regress(df, "y", "x", ["k"]).collect()[0]
+    slope, intercept = np.polyfit(xs, ys, 1)
+    assert out["slope"] == pytest.approx(slope, rel=1e-8)
+    assert out["intercept"] == pytest.approx(intercept, rel=1e-8)
+    r = np.corrcoef(xs, ys)[0, 1]
+    assert out["r2"] == pytest.approx(r * r, rel=1e-8)
+
+
+def test_ols_degenerate_x(spark):
+    df = spark.createDataFrame(
+        [("g", 5.0, float(y)) for y in range(4)], "k string, x double, y double"
+    )
+    out = A.ols_regress(df, "y", "x", ["k"]).collect()[0]
+    assert out["slope"] is None and out["intercept"] is None
+    assert out["r2"] is None and out["n"] == 4
+
+
+def test_ols_null_pairs_dropped(spark):
+    df = spark.createDataFrame(
+        [("g", 1.0, 1.0), ("g", 2.0, 2.0), ("g", None, 9.0), ("g", 3.0, None)],
+        "k string, x double, y double",
+    )
+    assert A.ols_regress(df, "y", "x", ["k"]).collect()[0]["n"] == 2
+
+
+# ---------- chi_square ----------
+
+def test_chi_square_independent_uniform(spark):
+    # Perfectly independent contingency table -> chi2 == 0
+    rows = [(a, b) for a in "xy" for b in "pq" for _ in range(25)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = A.chi_square(df, "a", "b").collect()[0]
+    assert out["chi2"] == pytest.approx(0.0, abs=1e-12)
+    assert out["dof"] == 1
+    assert out["n"] == 100
+
+
+def test_chi_square_matches_scipy_formula(spark):
+    # Hand-computed 2x2: cells x/p=10 x/q=20 y/p=30 y/q=40
+    rows = (
+        [("x", "p")] * 10 + [("x", "q")] * 20
+        + [("y", "p")] * 30 + [("y", "q")] * 40
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = A.chi_square(df, "a", "b").collect()[0]
+    # expected: x row=30, y row=70; p col=40, q col=60; n=100
+    exp = {("x", "p"): 12.0, ("x", "q"): 18.0,
+           ("y", "p"): 28.0, ("y", "q"): 42.0}
+    obs = {("x", "p"): 10, ("x", "q"): 20, ("y", "p"): 30, ("y", "q"): 40}
+    chi2 = sum((obs[k] - e) ** 2 / e for k, e in exp.items())
+    assert out["chi2"] == pytest.approx(chi2, rel=1e-12)
+    assert out["dof"] == 1
+
+
+# ---------- mad_outliers ----------
+
+def test_mad_flags_gross_outlier(spark):
+    vals = [10.0, 11.0, 12.0, 13.0, 14.0, 1000.0]
+    df = spark.createDataFrame([("g", v) for v in vals], "k string, v double")
+    out = {r["v"]: r for r in Q.mad_outliers(df, "v", ["k"], k=3.0).collect()}
+    assert out[1000.0]["is_outlier"] is True
+    assert all(not out[v]["is_outlier"] for v in vals[:-1])
+    # median 12.5, adev of 1000 = 987.5;
+    # mad = median(0.5, 0.5, 1.5, 1.5, 2.5, 987.5) = 1.5
+    assert out[1000.0]["mad_score"] == pytest.approx(
+        987.5 / (1.4826 * 1.5), rel=1e-9
+    )
+
+
+def test_mad_zero_mad_group(spark):
+    # >50% identical: mad==0 -> any deviation flags
+    df = spark.createDataFrame(
+        [("g", 5.0)] * 5 + [("g", 6.0)], "k string, v double"
+    )
+    out = {r["v"]: r["is_outlier"] for r in
+           Q.mad_outliers(df, "v", ["k"]).collect()}
+    assert out[6.0] is True and out[5.0] is False
+
+
+def test_mad_modes(spark):
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in [1, 2, 3, 4, 100]], "k string, v double"
+    )
+    assert Q.mad_outliers(df, "v", ["k"], mode="only").count() == 1
+    assert Q.mad_outliers(df, "v", ["k"], mode="drop").count() == 4
+    with pytest.raises(ValueError):
+        Q.mad_outliers(df, "v", ["k"], mode="bogus")
+
+
+# ---------- period_growth ----------
+
+def test_period_growth_basic(spark):
+    df = spark.createDataFrame(
+        [("2024-01-05", 10.0), ("2024-01-20", 20.0),
+         ("2024-02-10", 60.0), ("2024-04-01", 30.0)],
+        "d string, v double",
+    ).withColumn("ts", F.to_timestamp("d"))
+    out = {r["period"].month: r for r in
+           R.period_growth(df, "ts", "v", "month").collect()}
+    assert out[1]["value"] == 30.0 and out[1]["prev_value"] is None
+    assert out[2]["value"] == 60.0 and out[2]["pct_change"] == pytest.approx(1.0)
+    # gap: April compares against February (last PRESENT period)
+    assert out[4]["prev_value"] == 60.0
+    assert out[4]["pct_change"] == pytest.approx(-0.5)
+
+
+def test_period_growth_by_key(spark):
+    df = spark.createDataFrame(
+        [("a", "2024-01-01", 1.0), ("a", "2024-02-01", 2.0),
+         ("b", "2024-01-01", 5.0), ("b", "2024-02-01", 5.0)],
+        "k string, d string, v double",
+    ).withColumn("ts", F.to_timestamp("d"))
+    out = {(r["k"], r["period"].month): r for r in
+           R.period_growth(df, "ts", "v", "month", by=["k"]).collect()}
+    assert out[("a", 2)]["pct_change"] == pytest.approx(1.0)
+    assert out[("b", 2)]["pct_change"] == pytest.approx(0.0)
+
+
+# ---------- triangle_counts ----------
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_triangles_single(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")])
+    out = {r["node"]: r["triangles"] for r in G.triangle_counts(e).collect()}
+    assert out == {"a": 1, "b": 1, "c": 1, "d": 0}
+
+
+def test_triangles_k4(spark):
+    # K4: each node is in C(3,2)=3 triangles, 4 triangles total
+    nodes = "abcd"
+    pairs = [(x, y) for i, x in enumerate(nodes) for y in nodes[i + 1:]]
+    out = {r["node"]: r["triangles"]
+           for r in G.triangle_counts(_edges(spark, pairs)).collect()}
+    assert out == {c: 3 for c in nodes}
+
+
+def test_triangles_dup_and_reverse_edges(spark):
+    # duplicates / reversed duplicates / self-loops must not double count
+    e = _edges(spark, [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"),
+                       ("a", "a"), ("a", "b")])
+    out = {r["node"]: r["triangles"] for r in G.triangle_counts(e).collect()}
+    assert out == {"a": 1, "b": 1, "c": 1}
+
+
+# ---------- bfs_depths ----------
+
+def test_bfs_depths_path(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")])
+    src = spark.createDataFrame([("a",)], "node string")
+    out = {r["node"]: r["depth"]
+           for r in G.bfs_depths(e, src, max_hops=3).collect()}
+    assert out == {"a": 0, "b": 1, "c": 2, "d": 3}  # e beyond budget
+
+
+def test_bfs_multi_source_min(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("z", "c")])
+    src = spark.createDataFrame([("a",), ("z",)], "node string")
+    out = {r["node"]: r["depth"]
+           for r in G.bfs_depths(e, src, max_hops=3).collect()}
+    assert out == {"a": 0, "z": 0, "b": 1, "c": 1}
+
+
+def test_bfs_directed(spark):
+    e = _edges(spark, [("a", "b"), ("c", "b")])
+    src = spark.createDataFrame([("a",)], "node string")
+    out = {r["node"]: r["depth"]
+           for r in G.bfs_depths(e, src, max_hops=2, directed=True).collect()}
+    assert out == {"a": 0, "b": 1}  # c unreachable along direction
