@@ -2293,6 +2293,62 @@ def q_graph_bfs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM customer segmentation over orders — quantile tiles with
+    id tiebreaks so the rank-based codes are deterministic across
+    engines and partitionings (operators/events.rfm_segments)."""
+    o = load_table(spark, sf, "orders")
+    return event_ops.rfm_segments(
+        o, "o_custkey", "o_orderdate", "o_totalprice", n_tiles=4
+    )
+
+
+def q_gini_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Gini coefficient of customer revenue within each nation —
+    inequality from the sorted-rank identity on exact decimal totals
+    (tie-safe: equal totals permuting leave the rank sum unchanged)."""
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    joined = o.join(
+        F.broadcast(c.select("c_custkey", "c_nationkey")),
+        o["o_custkey"] == c["c_custkey"],
+    )
+    return agg_ops.gini_coefficient(
+        joined, "o_totalprice", ["c_custkey"], ["c_nationkey"]
+    ).select("c_nationkey", "gini", "n_units", "total")
+
+
+def q_hhi_brands(spark: SparkSession, sf: str) -> DataFrame:
+    """Herfindahl–Hirschman supplier-concentration index per part
+    brand (squared revenue shares over exact decimal totals) — the
+    market-structure rollup."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part")
+    joined = li.join(
+        F.broadcast(p.select("p_partkey", "p_brand")),
+        li["l_partkey"] == p["p_partkey"],
+    )
+    return agg_ops.hhi_concentration(
+        joined, "l_extendedprice", ["l_suppkey"], ["p_brand"]
+    ).select("p_brand", "hhi", "n_units")
+
+
+def q_heavy_keys(spark: SparkSession, sf: str) -> DataFrame:
+    """Join/agg skew diagnostic: the 20 heaviest part keys in lineitem
+    with share and cumulative share — the report that decides whether
+    a key needs salting before a cluster-scale join."""
+    li = load_table(spark, sf, "lineitem")
+    return quality_ops.heavy_keys(li, ["l_partkey"], top_n=20)
+
+
+def q_dow_seasonality(spark: SparkSession, sf: str) -> DataFrame:
+    """Day-of-week seasonal profile of event values (1 = Sunday …
+    7 = Saturday): count, mean, and seasonal index per weekday from
+    one 7-row aggregation."""
+    ev = load_table(spark, sf, "events")
+    return resample_ops.dow_seasonality(ev, "ts", "value")
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -2321,6 +2377,12 @@ def queries() -> dict[str, QueryFn]:
     #   4. past the cap: the 8 r4+J rows the new batch displaced, then
     #      r5-green rows (unchanged, their r5 records stand).
     return {
+        # -- (0c) newest this round: segmentation/concentration batch --
+        "rfm_segments": q_rfm_segments,
+        "gini_revenue": q_gini_revenue,
+        "hhi_brands": q_hhi_brands,
+        "heavy_keys": q_heavy_keys,
+        "dow_seasonality": q_dow_seasonality,
         # -- (0b) newest this round: stats/graph/PII batch -------------
         "ols_regression": q_ols_regression,
         "chi_square": q_chi_square,
@@ -2583,6 +2645,112 @@ def _lsh_topk_oracle(num_planes: int = 6, k: int = 5) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "rfm_segments": """
+            WITH per AS (
+                SELECT o_custkey AS customer,
+                       max(o_orderdate) AS last_ts,
+                       count(*) AS frequency,
+                       sum(CAST(o_totalprice AS DECIMAL(30,6))) AS m
+                FROM orders GROUP BY 1
+            ), ref AS (
+                SELECT max(o_orderdate) AS ref_ts FROM orders
+            ), scored AS (
+                SELECT customer,
+                       date_diff('day', CAST(last_ts AS DATE),
+                                 CAST(ref_ts AS DATE)) AS recency_days,
+                       frequency,
+                       CAST(m AS DOUBLE) AS monetary
+                FROM per CROSS JOIN ref
+            ), tiles AS (
+                SELECT customer, recency_days, frequency, monetary,
+                       ntile(4) OVER (ORDER BY recency_days DESC,
+                                      customer) AS r_score,
+                       ntile(4) OVER (ORDER BY frequency ASC,
+                                      customer) AS f_score,
+                       ntile(4) OVER (ORDER BY monetary ASC,
+                                      customer) AS m_score
+                FROM scored
+            )
+            SELECT customer, recency_days, frequency, monetary,
+                   r_score, f_score, m_score,
+                   CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+                       || CAST(m_score AS VARCHAR) AS segment
+            FROM tiles
+        """,
+        "gini_revenue": """
+            WITH totals AS (
+                SELECT c.c_nationkey, o.o_custkey,
+                       sum(CAST(o.o_totalprice AS DECIMAL(30,6))) AS x
+                FROM orders o JOIN customer c
+                  ON o.o_custkey = c.c_custkey
+                GROUP BY 1, 2
+            ), ranked AS (
+                SELECT c_nationkey, x,
+                       row_number() OVER (PARTITION BY c_nationkey
+                                          ORDER BY x) AS i
+                FROM totals
+            )
+            SELECT c_nationkey,
+                   2.0 * CAST(sum(CAST(i * x AS DECIMAL(38,6))) AS DOUBLE)
+                       / (CAST(count(*) AS DOUBLE)
+                          * CAST(sum(x) AS DOUBLE))
+                   - CAST(count(*) + 1 AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS gini,
+                   count(*) AS n_units,
+                   CAST(sum(x) AS DOUBLE) AS total
+            FROM ranked GROUP BY c_nationkey
+        """,
+        "hhi_brands": """
+            WITH totals AS (
+                SELECT p.p_brand, l.l_suppkey,
+                       sum(CAST(l.l_extendedprice AS DECIMAL(30,6))) AS x
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                GROUP BY 1, 2
+            ), shares AS (
+                SELECT p_brand,
+                       CAST(x AS DOUBLE)
+                       / CAST(sum(x) OVER (PARTITION BY p_brand)
+                              AS DOUBLE) AS s
+                FROM totals
+            )
+            SELECT p_brand, sum(s * s) AS hhi, count(*) AS n_units
+            FROM shares GROUP BY p_brand
+        """,
+        "heavy_keys": """
+            WITH counts AS (
+                SELECT l_partkey, count(*) AS n
+                FROM lineitem GROUP BY 1
+            ), tot AS (
+                SELECT sum(n) AS t FROM counts
+            ), top AS (
+                SELECT l_partkey, n FROM counts
+                ORDER BY n DESC, l_partkey ASC LIMIT 20
+            )
+            SELECT l_partkey,
+                   row_number() OVER (ORDER BY n DESC, l_partkey ASC)
+                       AS rank,
+                   n,
+                   CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS share,
+                   CAST(sum(n) OVER (ORDER BY n DESC, l_partkey ASC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND CURRENT ROW) AS DOUBLE)
+                       / CAST(t AS DOUBLE) AS cum_share
+            FROM top CROSS JOIN tot
+        """,
+        "dow_seasonality": """
+            WITH agg AS (
+                SELECT dayofweek(ts) + 1 AS dow,
+                       count(*) AS n,
+                       sum(CAST(value AS DECIMAL(30,6))) AS v
+                FROM events GROUP BY 1
+            )
+            SELECT dow, n,
+                   CAST(v AS DOUBLE) / CAST(n AS DOUBLE) AS mean_value,
+                   (CAST(v AS DOUBLE) / CAST(n AS DOUBLE))
+                   / (CAST(sum(v) OVER () AS DOUBLE)
+                      / CAST(sum(n) OVER () AS DOUBLE)) AS seasonal_index
+            FROM agg
+        """,
         "ols_regression": """
             WITH m AS (
                 SELECT l_returnflag,

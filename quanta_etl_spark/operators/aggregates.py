@@ -404,3 +404,73 @@ def chi_square(
         ).alias("dof"),
         F.sum("__o").alias("n"),
     )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    value_col: str,
+    unit: Sequence[str],
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Gini concentration coefficient of ``value_col`` totals across
+    ``unit`` entities, per ``by`` group — the inequality measure
+    (0 = uniform, →1 = concentrated), from the sorted-rank identity
+    G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n with x ascending.
+
+    Ties are safe: equal x values permuting among themselves leave
+    Σ i·xᵢ unchanged, so no tiebreak column is needed. Entity totals
+    accumulate in decimal; the identity is evaluated per group on
+    exact sums (one float division per group).
+
+    Shape: one aggregation to the (by, unit) grain, a rank window per
+    group over that aggregate frame, one final aggregation. Negative
+    values are rejected upstream concerns — Gini over signed data has
+    no standard definition.
+    """
+    totals = df.groupBy(*by, *unit).agg(
+        F.sum(F.col(value_col).cast("decimal(30,6)")).alias("__x")
+    )
+    w = Window.partitionBy(*by).orderBy("__x")
+    ranked = totals.withColumn("__i", F.row_number().over(w))
+    return ranked.groupBy(*by).agg(
+        (
+            F.lit(2.0)
+            * F.sum(
+                (F.col("__i") * F.col("__x")).cast("decimal(38,6)")
+            ).cast("double")
+            / (
+                F.count(F.lit(1)).cast("double")
+                * F.sum("__x").cast("double")
+            )
+            - (F.count(F.lit(1)) + 1).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("gini"),
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum("__x").cast("double").alias("total"),
+    )
+
+
+def hhi_concentration(
+    df: DataFrame,
+    value_col: str,
+    unit: Sequence[str],
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Herfindahl–Hirschman concentration index per ``by`` group: the
+    sum of squared shares of each ``unit`` entity's total (1/n =
+    perfectly even, 1 = single-entity). Entity totals are exact
+    decimal; shares are squared as doubles on the tiny aggregate
+    frame. Two cheap aggregations — the raw data shuffles once.
+    """
+    totals = df.groupBy(*by, *unit).agg(
+        F.sum(F.col(value_col).cast("decimal(30,6)")).alias("__x")
+    )
+    w = Window.partitionBy(*by)
+    shares = totals.withColumn(
+        "__share",
+        F.col("__x").cast("double") / F.sum("__x").over(w).cast("double"),
+    )
+    return shares.groupBy(*by).agg(
+        F.sum(F.col("__share") * F.col("__share")).alias("hhi"),
+        F.count(F.lit(1)).alias("n_units"),
+    )

@@ -228,3 +228,58 @@ def event_transitions(
         "prob",
         F.col("n").cast("double") / F.sum("n").over(marg).cast("double"),
     )
+
+
+def rfm_segments(
+    orders: DataFrame,
+    customer_col: str,
+    ts_col: str,
+    amount_col: str,
+    n_tiles: int = 4,
+) -> DataFrame:
+    """RFM customer segmentation: per customer, Recency (days since
+    last order, measured against the dataset's max date so the result
+    is reproducible), Frequency (order count), Monetary (decimal-exact
+    spend) — each scored into ``n_tiles`` quantile tiles (1 = worst,
+    n = best) and concatenated into the classic segment code.
+
+    Determinism: ntile() over a non-unique ordering is partition-order
+    dependent, so every tile ordering carries the customer id as the
+    tiebreak — the canonical trick that makes rank-based scores safe
+    to gate. Recency ties break by id too, keeping codes stable across
+    runs and engines.
+
+    Shape: one aggregation to the customer grain, then three window
+    ntiles over that (customer-count-sized, far smaller than orders)
+    frame; the reference-point max(ts) is a 1-row broadcast, never a
+    driver round-trip.
+    """
+    per_cust = orders.groupBy(F.col(customer_col).alias("customer")).agg(
+        F.max(ts_col).alias("__last"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col(amount_col).cast("decimal(30,6)")).alias("__m"),
+    )
+    ref = orders.agg(F.max(ts_col).alias("__ref"))
+    scored = per_cust.crossJoin(F.broadcast(ref)).withColumn(
+        "recency_days",
+        F.datediff(F.to_date("__ref"), F.to_date("__last")),
+    ).withColumn("monetary", F.col("__m").cast("double"))
+    # Best = most recent, most frequent, highest spend.
+    r_w = Window.orderBy(F.col("recency_days").desc(), F.col("customer"))
+    f_w = Window.orderBy(F.col("frequency").asc(), F.col("customer"))
+    m_w = Window.orderBy(F.col("monetary").asc(), F.col("customer"))
+    out = (
+        scored.withColumn("r_score", F.ntile(n_tiles).over(r_w))
+        .withColumn("f_score", F.ntile(n_tiles).over(f_w))
+        .withColumn("m_score", F.ntile(n_tiles).over(m_w))
+        .withColumn(
+            "segment",
+            F.concat_ws(
+                "", F.col("r_score"), F.col("f_score"), F.col("m_score")
+            ),
+        )
+    )
+    return out.select(
+        "customer", "recency_days", "frequency", "monetary",
+        "r_score", "f_score", "m_score", "segment",
+    )

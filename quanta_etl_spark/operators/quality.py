@@ -14,6 +14,7 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def offenders(
@@ -317,3 +318,41 @@ def mad_outliers(
         )
     kept = joined.where(is_out if mode == "only" else ~is_out)
     return kept.drop("__med2", "__mad")
+
+
+def heavy_keys(
+    df: DataFrame,
+    keys: Sequence[str],
+    top_n: int = 20,
+) -> DataFrame:
+    """Skew diagnostic: the ``top_n`` heaviest key values with row
+    count, share of total, and cumulative share — the report that
+    tells you whether a join/agg on these keys needs salting before
+    you burn a cluster discovering it. Deterministic under count
+    ties (key value is the tiebreak everywhere a rank or running
+    sum is taken).
+
+    Shape: one count aggregation, then windows over the top-n-sized
+    frame only (global ordering of the FULL key frame is avoided: the
+    top-n cut is a TakeOrderedAndProject, not a total sort).
+    """
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("__tot"))
+    order = [F.col("n").desc(), *[F.col(k).asc() for k in keys]]
+    top = counts.orderBy(*order).limit(top_n)
+    w = (
+        Window.orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+        .withColumn(
+            "share", F.col("n").cast("double") / F.col("__tot").cast("double")
+        )
+        .withColumn(
+            "cum_share",
+            F.sum("n").over(w).cast("double") / F.col("__tot").cast("double"),
+        )
+        .select(*keys, "rank", "n", "share", "cum_share")
+    )

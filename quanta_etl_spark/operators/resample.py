@@ -160,3 +160,35 @@ def period_growth(
         (cur - prev).alias("abs_change"),
         ((cur - prev) / prev).alias("pct_change"),
     )
+
+
+def dow_seasonality(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Day-of-week seasonal profile: per weekday (1 = Sunday … 7 =
+    Saturday, Spark's dayofweek convention), observation count, mean
+    value, and a seasonal index (weekday mean ÷ overall mean; 1.0 =
+    no effect) — the additive-decomposition building block.
+
+    Sums accumulate in decimal; both means derive from the same exact
+    sums, so the index is deterministic. One aggregation to 7 rows +
+    a window over those 7 — scan-bound at any scale.
+    """
+    agg = df.groupBy(F.dayofweek(F.col(ts_col)).alias("dow")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(value_col).cast("decimal(30,6)")).alias("__v"),
+    )
+    w = Window.partitionBy()
+    mean = F.col("__v").cast("double") / F.col("n").cast("double")
+    overall = (
+        F.sum("__v").over(w).cast("double")
+        / F.sum("n").over(w).cast("double")
+    )
+    return agg.select(
+        "dow",
+        "n",
+        mean.alias("mean_value"),
+        (mean / overall).alias("seasonal_index"),
+    )
