@@ -327,6 +327,10 @@ def triangle_counts(
 
     Returns (node, triangles) for every node of the graph, 0 included.
     """
+    # The canonical edge set and the degree frame are each read by
+    # several downstream joins; checkpoint once so the upstream scan +
+    # distinct doesn't re-execute per consumer (same discipline as
+    # pagerank's loop invariants).
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -334,13 +338,14 @@ def triangle_counts(
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     both = e.select("a", "b").union(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
     deg = both.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
-    )
+    ).localCheckpoint(eager=False)
     # Orient every edge lower-rank → higher-rank by (deg, id).
     ranked = (
         both.join(deg.withColumnRenamed("node", "a"), "a")
@@ -355,7 +360,9 @@ def triangle_counts(
     oriented = ranked.where(
         (F.col("da") < F.col("db"))
         | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
-    ).select(F.col("a").alias("lo"), F.col("b").alias("hi"))
+    ).select(F.col("a").alias("lo"), F.col("b").alias("hi")).localCheckpoint(
+        eager=False
+    )
     # Wedges centered at the lowest-ranked vertex; close with an edge.
     w1 = oriented.select(
         F.col("lo").alias("c"), F.col("hi").alias("x")
