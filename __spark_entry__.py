@@ -2349,6 +2349,62 @@ def q_dow_seasonality(spark: SparkSession, sf: str) -> DataFrame:
     return resample_ops.dow_seasonality(ev, "ts", "value")
 
 
+def q_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Paragraph-scope boilerplate removal (corpus.paragraph_dedup):
+    repeated nav/footer paragraphs are injected into a third/quarter
+    of the documents, the pass drops every paragraph appearing in ≥2
+    documents corpus-wide, and survivors are reassembled in order —
+    the intra-document dedup that document-level fingerprints miss."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit(". Subscribe to our newsletter today"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit(". All rights reserved"),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    out = corpus_ops.paragraph_dedup(
+        injected, "doc_id", "text", sep=". ", min_repeats=2
+    )
+    return out.select(
+        "doc_id", "n_paras", "n_kept",
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
+def q_attribution_last_touch(spark: SparkSession, sf: str) -> DataFrame:
+    """Last-touch marketing attribution: purchase revenue credited to
+    the user's most recent preceding click's campaign (props.k mod 10)
+    — one IGNORE NULLS window pass, no self-join
+    (events.attribute_last_touch); NULL campaign = organic purchases."""
+    ev = load_table(spark, sf, "events")
+    campaign = (
+        F.get_json_object(F.col("props"), "$.k").cast("int") % 10
+    )
+    attributed = event_ops.attribute_last_touch(
+        ev, "user_id", "ts",
+        conversion_pred=F.col("event_type") == "purchase",
+        touch_pred=F.col("event_type") == "click",
+        touch_key=campaign,
+        tiebreak_cols=["event_id"],
+    )
+    return attributed.groupBy(
+        F.col("attributed_key").alias("campaign")
+    ).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.col("value").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("attributed_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -2377,6 +2433,9 @@ def queries() -> dict[str, QueryFn]:
     #   4. past the cap: the 8 r4+J rows the new batch displaced, then
     #      r5-green rows (unchanged, their r5 records stand).
     return {
+        # -- (0d) newest this round: corpus-paragraph/attribution ------
+        "paragraph_dedup": q_paragraph_dedup,
+        "attribution_last_touch": q_attribution_last_touch,
         # -- (0c) newest this round: segmentation/concentration batch --
         "rfm_segments": q_rfm_segments,
         "gini_revenue": q_gini_revenue,
@@ -2645,6 +2704,62 @@ def _lsh_topk_oracle(num_planes: int = 6, k: int = 5) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "paragraph_dedup": """
+            WITH inj AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 3 = 0
+                          THEN '. Subscribe to our newsletter today'
+                          ELSE '' END
+                       || CASE WHEN doc_id % 4 = 0
+                          THEN '. All rights reserved'
+                          ELSE '' END AS text
+                FROM documents
+            ), p AS (
+                SELECT doc_id,
+                       unnest(string_split(text, '. ')) AS para,
+                       generate_subscripts(string_split(text, '. '), 1)
+                           AS pos
+                FROM inj
+            ), f AS (
+                SELECT para, count(DISTINCT doc_id) AS docs
+                FROM p GROUP BY 1
+            ), k AS (
+                SELECT p.doc_id, p.pos, p.para
+                FROM p JOIN f USING (para) WHERE f.docs < 2
+            ), r AS (
+                SELECT doc_id, count(*) AS n_kept,
+                       string_agg(para, '. ' ORDER BY pos) AS clean
+                FROM k GROUP BY 1
+            ), t AS (
+                SELECT doc_id, count(*) AS n_paras FROM p GROUP BY 1
+            )
+            SELECT t.doc_id, t.n_paras,
+                   COALESCE(r.n_kept, 0) AS n_kept,
+                   md5(COALESCE(r.clean, '')) AS clean_md5
+            FROM t LEFT JOIN r USING (doc_id)
+        """,
+        "attribution_last_touch": """
+            WITH c AS (
+                SELECT event_id, event_type, value,
+                       last_value(
+                           CASE WHEN event_type = 'click'
+                                THEN CAST(json_extract_string(props, '$.k')
+                                          AS INT) % 10 END
+                           IGNORE NULLS
+                       ) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS campaign
+                FROM events
+            )
+            SELECT campaign,
+                   count(*) AS n_purchases,
+                   CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+                       AS attributed_value
+            FROM c WHERE event_type = 'purchase'
+            GROUP BY campaign
+        """,
         "rfm_segments": """
             WITH per AS (
                 SELECT o_custkey AS customer,

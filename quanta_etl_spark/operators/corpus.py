@@ -432,3 +432,69 @@ def mix_sources(
         F.round(F.col("__rate") * num_buckets).cast("long"), F.lit(1)
     )
     return out.where(keep).drop("__rate")
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = ". ",
+    min_repeats: int = 2,
+) -> DataFrame:
+    """Paragraph-scope dedup (the Dolma/RefinedWeb boilerplate pass):
+    split each document on ``sep``, drop every paragraph whose exact
+    text occurs in ``min_repeats``+ documents corpus-wide (cookie
+    banners, nav text, license footers), and reassemble the survivors
+    in original order. Document-level dedup misses these — the
+    boilerplate hides inside otherwise-unique documents.
+
+    Returns (id, n_paras, n_kept, clean_text); documents whose every
+    paragraph was boilerplate survive with an empty clean_text (left
+    join back to the id spine — no rows vanish).
+
+    Shape: posexplode rides the scan; the frequency table aggregates
+    md5 fingerprints (fixed 32-byte shuffle payload, never the
+    paragraph text); reassembly is one collect_list whose order is
+    restored by array_sort on the (pos, para) struct — deterministic
+    under any partitioning. At 100 TB the frequency table is the only
+    global state and it shrinks with dedup's own selectivity; frequent
+    paragraphs are by definition few distinct values.
+    """
+    import re as _re
+
+    # split() takes a REGEX — escape so the separator is literal
+    # (". " would otherwise match any char + space).
+    paras = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.split(F.col(text_col), F.lit(_re.escape(sep)), -1)
+        ).alias("__pos", "__para"),
+    )
+    freq = paras.groupBy(F.md5("__para").alias("__fp")).agg(
+        F.count_distinct("__id").alias("__docs")
+    )
+    kept = (
+        paras.join(freq, F.md5(paras["__para"]) == freq["__fp"], "left")
+        .where(F.col("__docs") < min_repeats)
+        .select("__id", "__pos", "__para")
+    )
+    rebuilt = kept.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__para"))),
+                lambda x: x["__para"],
+            ),
+            sep,
+        ).alias("clean_text"),
+    )
+    totals = paras.groupBy("__id").agg(F.count(F.lit(1)).alias("n_paras"))
+    return (
+        totals.join(rebuilt, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_paras",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

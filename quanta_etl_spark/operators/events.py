@@ -283,3 +283,37 @@ def rfm_segments(
         "customer", "recency_days", "frequency", "monetary",
         "r_score", "f_score", "m_score", "segment",
     )
+
+
+def attribute_last_touch(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    conversion_pred: Column,
+    touch_pred: Column,
+    touch_key: Column,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Last-touch marketing attribution: each conversion event is
+    credited to the user's most recent touch event at-or-before it
+    (``touch_key`` of that event; NULL when no touch precedes).
+
+    One IGNORE NULLS window pass — no self-join: touch rows project
+    their key, everything else projects NULL, and ``last(...,
+    ignorenulls)`` over the user timeline carries the latest touch
+    forward onto each conversion row. Shuffles once on the user key;
+    scales like any forward-fill. Ordering carries ``tiebreak_cols``
+    so same-timestamp rows attribute deterministically.
+
+    Returns the conversion rows plus ``attributed_key``.
+    """
+    key = F.when(touch_pred, touch_key)
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col), *[F.col(c) for c in tiebreak_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = df.withColumn(
+        "attributed_key", F.last(key, ignorenulls=True).over(w)
+    )
+    return carried.where(conversion_pred)
