@@ -2405,6 +2405,122 @@ def q_attribution_last_touch(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_order_reconciliation(spark: SparkSession, sf: str) -> DataFrame:
+    """Header-vs-detail reconciliation (quality.reconcile_totals):
+    each order's recorded total against the exact-decimal recomputed
+    sum of its discounted line amounts — detail aggregates to the key
+    grain BEFORE the join, so line rows never join row-to-row."""
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    amount = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    out = quality_ops.reconcile_totals(
+        o, li, "o_orderkey", "l_orderkey", "o_totalprice", amount,
+        tolerance=0.5,
+    )
+    return out.select(
+        "o_orderkey", "recorded", "recomputed", "rel_diff",
+        "within_tolerance",
+    )
+
+
+def q_top_unshipped(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping-priority): BUILDING-segment orders
+    placed before the cutoff with lines still unshipped after it —
+    top 10 by open revenue. Dimension side aggregated after two
+    broadcast joins; the top-k is a TakeOrderedAndProject (no global
+    sort), revenue tie broken by order key."""
+    cutoff = "1998-06-01"
+    li = load_table(spark, sf, "lineitem").where(
+        F.col("l_shipdate") > cutoff
+    )
+    o = load_table(spark, sf, "orders").where(F.col("o_orderdate") < cutoff)
+    c = load_table(spark, sf, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    rev = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(30,6)")
+    joined = li.join(
+        F.broadcast(o.join(
+            F.broadcast(c.select("c_custkey")),
+            o["o_custkey"] == c["c_custkey"],
+        ).select("o_orderkey", "o_orderdate", "o_orderpriority")),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum(rev).cast("double").alias("revenue")
+    )
+    return agg.orderBy(
+        F.col("revenue").desc(), F.col("l_orderkey").asc()
+    ).limit(10)
+
+
+def q_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): NATION_7 suppliers'
+    share of delivered revenue per (region, order year) — a five-table
+    join where every dimension is broadcast and only the lineitem⋈
+    orders equi-join shuffles; exact decimal numerator/denominator,
+    one final division."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    s = load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    dim = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey", "n_name", "r_name")
+    )
+    rev = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(30,6)")
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(dim), li["l_suppkey"] == dim["s_suppkey"])
+    )
+    agg = joined.groupBy(
+        "r_name", F.year("o_orderdate").alias("o_year")
+    ).agg(
+        F.sum(F.when(F.col("n_name") == "NATION_7", rev)).alias("__n7"),
+        F.sum(rev).alias("__all"),
+    )
+    return agg.select(
+        "r_name",
+        "o_year",
+        (
+            F.coalesce(F.col("__n7"), F.lit(0).cast("decimal(30,6)"))
+            .cast("double")
+            / F.col("__all").cast("double")
+        ).alias("mkt_share"),
+    )
+
+
+def q_stream_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming distinct-user counts per hour — count_distinct is
+    unsupported on streams, so this gates the documented two-stage
+    shape (watermarked dropDuplicates on (bucket, user), then a
+    windowed count; streaming/ingest.windowed_distinct_users), checked
+    against the batch count(DISTINCT) oracle."""
+    from quanta_etl_spark.streaming import ingest
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = ingest.read_stream(spark, f"{sf}/events.parque[t]", raw_schema)
+    ev = ingest.normalize_event_time(stream)
+    agg = ingest.windowed_distinct_users(ev)
+    q = ingest.write_stream_memory(
+        agg, "stream_distinct_users", output_mode="complete"
+    )
+    q.awaitTermination()
+    return spark.table("stream_distinct_users").select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "bucket_ts"
+        ),
+        "distinct_users",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -2433,6 +2549,11 @@ def queries() -> dict[str, QueryFn]:
     #   4. past the cap: the 8 r4+J rows the new batch displaced, then
     #      r5-green rows (unchanged, their r5 records stand).
     return {
+        # -- (0e) newest this round: classic joins/reconcile/streaming -
+        "order_reconciliation": q_order_reconciliation,
+        "top_unshipped": q_top_unshipped,
+        "market_share": q_market_share,
+        "stream_distinct_users": q_stream_distinct_users,
         # -- (0d) newest this round: corpus-paragraph/attribution ------
         "paragraph_dedup": q_paragraph_dedup,
         "attribution_last_touch": q_attribution_last_touch,
@@ -2704,6 +2825,67 @@ def _lsh_topk_oracle(num_planes: int = 6, k: int = 5) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "order_reconciliation": """
+            WITH sums AS (
+                SELECT l_orderkey,
+                       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                                     AS DECIMAL(30,6))) AS DOUBLE)
+                           AS recomputed
+                FROM lineitem GROUP BY 1
+            )
+            SELECT o.o_orderkey,
+                   CAST(o.o_totalprice AS DOUBLE) AS recorded,
+                   s.recomputed,
+                   abs(s.recomputed - CAST(o.o_totalprice AS DOUBLE))
+                       / abs(CAST(o.o_totalprice AS DOUBLE)) AS rel_diff,
+                   CASE WHEN s.recomputed IS NULL THEN FALSE
+                        ELSE abs(s.recomputed
+                                 - CAST(o.o_totalprice AS DOUBLE))
+                             / abs(CAST(o.o_totalprice AS DOUBLE)) <= 0.5
+                   END AS within_tolerance
+            FROM orders o LEFT JOIN sums s
+              ON o.o_orderkey = s.l_orderkey
+        """,
+        "top_unshipped": """
+            SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+                   CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                                 AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+              AND l.l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, l.l_orderkey ASC
+            LIMIT 10
+        """,
+        "market_share": """
+            WITH j AS (
+                SELECT r.r_name,
+                       year(o.o_orderdate) AS o_year,
+                       n.n_name,
+                       CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                            AS DECIMAL(30,6)) AS rev
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN nation n ON s.s_nationkey = n.n_nationkey
+                JOIN region r ON n.n_regionkey = r.r_regionkey
+            )
+            SELECT r_name, o_year,
+                   CAST(COALESCE(sum(CASE WHEN n_name = 'NATION_7'
+                                          THEN rev END),
+                                 0) AS DOUBLE)
+                   / CAST(sum(rev) AS DOUBLE) AS mkt_share
+            FROM j GROUP BY 1, 2
+        """,
+        "stream_distinct_users": """
+            SELECT strftime(date_trunc('hour', ts),
+                            '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+                   count(DISTINCT user_id) AS distinct_users
+            FROM events GROUP BY 1
+        """,
         "paragraph_dedup": """
             WITH inj AS (
                 SELECT doc_id,

@@ -356,3 +356,50 @@ def heavy_keys(
         )
         .select(*keys, "rank", "n", "share", "cum_share")
     )
+
+
+def reconcile_totals(
+    fact: DataFrame,
+    detail: DataFrame,
+    fact_key: str,
+    detail_key: str,
+    recorded: Column | str,
+    detail_amount: Column,
+    tolerance: float = 0.01,
+) -> DataFrame:
+    """Cross-table reconciliation: recompute each fact row's total from
+    its detail rows (exact decimal sum) and compare against the
+    recorded header value — the warehouse consistency check (orders
+    header total vs Σ line amounts, ledger vs journal, …).
+
+    Returns one row per fact key: recorded, recomputed, abs/relative
+    difference, and ``within_tolerance``. Facts with NO detail rows
+    report NULL recomputed (a different failure class than a mismatch
+    — surfaced, not conflated).
+
+    Shape: one partial-agg shuffle of the detail table to the key
+    grain, then a key join against the fact header — detail rows never
+    join row-to-row. At 100 TB both sides hash on the same key; bucket
+    both tables on it and the join is exchange-free.
+    """
+    rec = F.col(recorded) if isinstance(recorded, str) else recorded
+    sums = detail.groupBy(F.col(detail_key).alias("__k")).agg(
+        F.sum(detail_amount.cast("decimal(30,6)"))
+        .cast("double")
+        .alias("recomputed")
+    )
+    joined = fact.select(
+        F.col(fact_key).alias("__k"), rec.cast("double").alias("recorded")
+    ).join(sums, "__k", "left")
+    diff = F.col("recomputed") - F.col("recorded")
+    rel = F.abs(diff) / F.abs(F.col("recorded"))
+    return joined.select(
+        F.col("__k").alias(fact_key),
+        "recorded",
+        "recomputed",
+        diff.alias("abs_diff"),
+        rel.alias("rel_diff"),
+        F.when(F.col("recomputed").isNull(), F.lit(False))
+        .otherwise(rel <= tolerance)
+        .alias("within_tolerance"),
+    )

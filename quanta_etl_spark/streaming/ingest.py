@@ -515,3 +515,35 @@ def streaming_anomaly_zscore(df: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def windowed_distinct_users(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Distinct-user counts per event-time window on a STREAM.
+
+    ``count_distinct`` is unsupported in Structured Streaming (state
+    for an exact distinct inside an arbitrary aggregate is unbounded),
+    so this uses the documented two-stage shape: watermarked
+    ``dropDuplicates`` on (window-bucket, user) — bounded state, rows
+    beyond the watermark age out — then an ordinary streaming count
+    per window. On bounded input it equals the batch
+    count(DISTINCT user) per bucket, which is what the SQL oracle
+    checks.
+
+    At 100 TB: dedup state is one entry per (window, user) inside the
+    watermark horizon; for billions of users switch the dedup stage to
+    an approximate HLL sketch merge in ``foreachBatch``.
+    """
+    bucketed = with_late_data_policy(df, ts_col, delay=delay).withColumn(
+        "__bucket", F.date_trunc("hour", F.col(ts_col))
+    )
+    deduped = bucketed.dropDuplicates(["__bucket", user_col])
+    return (
+        deduped.groupBy(F.window(ts_col, window).alias("win"))
+        .agg(F.count(F.lit(1)).alias("distinct_users"))
+    )

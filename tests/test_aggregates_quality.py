@@ -315,3 +315,23 @@ def test_profile_columns_approx_mode(spark):
     assert out["a"].n_distinct == 7
     assert out["b"].n_distinct == 3
     assert out["a"].n_rows == 1000
+
+
+def test_reconcile_totals(spark):
+    import pytest
+
+    fact = spark.createDataFrame(
+        [(1, 100.0), (2, 50.0), (3, 10.0)], "k long, total double"
+    )
+    detail = spark.createDataFrame(
+        [(1, 60.0), (1, 40.0), (2, 49.0)], "fk long, amt double"
+    )
+    out = {r["k"]: r for r in Q.reconcile_totals(
+        fact, detail, "k", "fk", "total", F.col("amt"), tolerance=0.05
+    ).collect()}
+    assert out[1]["recomputed"] == 100.0 and out[1]["within_tolerance"]
+    assert out[2]["rel_diff"] == pytest.approx(0.02)
+    assert out[2]["within_tolerance"] is True
+    # no detail rows: NULL recomputed, surfaced as out-of-tolerance
+    assert out[3]["recomputed"] is None
+    assert out[3]["within_tolerance"] is False

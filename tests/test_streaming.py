@@ -442,3 +442,33 @@ def test_streaming_anomaly_state_across_batches(spark, tmp_path):
     assert rows[9][1] is False
     # baseline rows in batch 1 are unflagged
     assert all(not rows[i][1] for i in range(3, 8))
+
+
+def test_windowed_distinct_users_matches_batch(spark, tmp_path):
+    """Streaming distinct users per hour (dropDuplicates + count) must
+    equal batch count(DISTINCT) on bounded input — including a user
+    active in two different hours (counted once per hour) and repeated
+    events within one hour (counted once)."""
+    from pyspark.sql.types import LongType, TimestampType
+
+    ev_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10, 5)),
+        (1, dt.datetime(2024, 1, 1, 10, 40)),  # same user, same hour
+        (2, dt.datetime(2024, 1, 1, 10, 50)),
+        (1, dt.datetime(2024, 1, 1, 11, 1)),   # same user, next hour
+    ]
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(rows, ev_schema).write.parquet(src)
+    stream = ingest.read_stream(spark, src, ev_schema)
+    agg = ingest.windowed_distinct_users(stream)
+    out = _run_to_memory(
+        spark, agg, "distinct_users_t", output_mode="complete"
+    ).collect()
+    got = {r["win"]["start"].hour: r["distinct_users"] for r in out}
+    assert got == {10: 2, 11: 1}
