@@ -2521,6 +2521,57 @@ def q_stream_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_inter_event_gap(spark: SparkSession, sf: str) -> DataFrame:
+    """Inter-arrival cadence per event type (events.inter_event_gaps):
+    microsecond-exact gaps between consecutive same-type events on a
+    user timeline — count / decimal-mean / exact p50+p90 seconds."""
+    ev = load_table(spark, sf, "events")
+    return event_ops.inter_event_gaps(
+        ev, "user_id", "ts", "event_type", ["event_id"]
+    )
+
+
+def q_fulfillment_lag(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-to-first-shipment lead time per priority class: detail
+    aggregates to first ship date per order BEFORE joining the header
+    (never row-to-row), then day-lag stats with exact percentiles."""
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("first_ship")
+    )
+    lag = o.join(
+        first_ship, o["o_orderkey"] == first_ship["l_orderkey"]
+    ).withColumn(
+        "lag_days",
+        F.datediff(F.to_date("first_ship"), F.to_date("o_orderdate")),
+    )
+    return lag.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (
+            F.sum(F.col("lag_days").cast("decimal(30,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_lag_days"),
+        F.percentile("lag_days", F.lit(0.5)).alias("p50_lag_days"),
+        F.percentile("lag_days", F.lit(0.9)).alias("p90_lag_days"),
+    )
+
+
+def q_rolling_corr(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing-20-observation price/quantity correlation per part
+    (windows.rolling_corr): exact decimal power sums over the frame,
+    correlation algebra once per row — engine-stable where native
+    sliding corr() state is not. Only full-frame rows emit."""
+    li = load_table(spark, sf, "lineitem")
+    out = win_ops.rolling_corr(
+        li, ["l_partkey"], "l_shipdate", "l_quantity", "l_extendedprice",
+        window_rows=20, tiebreak_cols=["l_orderkey", "l_linenumber"],
+    )
+    return out.where(F.col("rolling_corr").isNotNull()).select(
+        "l_partkey", "l_orderkey", "l_linenumber", "rolling_corr"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -2549,6 +2600,10 @@ def queries() -> dict[str, QueryFn]:
     #   4. past the cap: the 8 r4+J rows the new batch displaced, then
     #      r5-green rows (unchanged, their r5 records stand).
     return {
+        # -- (0f) newest this round: cadence/lead-time/rolling-corr ----
+        "inter_event_gap": q_inter_event_gap,
+        "fulfillment_lag": q_fulfillment_lag,
+        "rolling_corr": q_rolling_corr,
         # -- (0e) newest this round: classic joins/reconcile/streaming -
         "order_reconciliation": q_order_reconciliation,
         "top_unshipped": q_top_unshipped,
@@ -2825,6 +2880,84 @@ def _lsh_topk_oracle(num_planes: int = 6, k: int = 5) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "inter_event_gap": """
+            WITH g AS (
+                SELECT event_type,
+                       epoch_us(ts) - epoch_us(
+                           lag(ts) OVER (PARTITION BY user_id, event_type
+                                         ORDER BY ts, event_id)
+                       ) AS gap
+                FROM events
+            )
+            SELECT event_type,
+                   count(*) AS n_gaps,
+                   CAST(sum(CAST(gap AS DECIMAL(30,6))) AS DOUBLE)
+                       / count(*) / 1e6 AS mean_gap_s,
+                   median(gap) / 1e6 AS p50_gap_s,
+                   quantile_cont(gap, 0.9) / 1e6 AS p90_gap_s
+            FROM g WHERE gap IS NOT NULL
+            GROUP BY event_type
+        """,
+        "fulfillment_lag": """
+            WITH fs AS (
+                SELECT l_orderkey, min(l_shipdate) AS first_ship
+                FROM lineitem GROUP BY 1
+            ), lagd AS (
+                SELECT o.o_orderpriority,
+                       date_diff('day', CAST(o.o_orderdate AS DATE),
+                                 CAST(fs.first_ship AS DATE)) AS lag_days
+                FROM orders o JOIN fs ON o.o_orderkey = fs.l_orderkey
+            )
+            SELECT o_orderpriority,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(lag_days AS DECIMAL(30,6))) AS DOUBLE)
+                       / count(*) AS mean_lag_days,
+                   median(lag_days) AS p50_lag_days,
+                   quantile_cont(lag_days, 0.9) AS p90_lag_days
+            FROM lagd GROUP BY 1
+        """,
+        "rolling_corr": """
+            WITH s AS (
+                SELECT l_partkey, l_orderkey, l_linenumber,
+                       count(*) OVER w AS n,
+                       sum(CAST(l_quantity AS DECIMAL(18,6))) OVER w AS sx,
+                       sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+                           OVER w AS sy,
+                       sum(CAST(CAST(l_quantity AS DECIMAL(19,6))
+                                * CAST(l_extendedprice AS DECIMAL(18,6))
+                                AS DECIMAL(38,12))) OVER w AS sxy,
+                       sum(CAST(CAST(l_quantity AS DECIMAL(19,6))
+                                * CAST(l_quantity AS DECIMAL(18,6))
+                                AS DECIMAL(38,12))) OVER w AS sxx,
+                       sum(CAST(CAST(l_extendedprice AS DECIMAL(19,6))
+                                * CAST(l_extendedprice AS DECIMAL(18,6))
+                                AS DECIMAL(38,12))) OVER w AS syy
+                FROM lineitem
+                WINDOW w AS (PARTITION BY l_partkey
+                             ORDER BY l_shipdate, l_orderkey, l_linenumber
+                             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+            ), f AS (
+                SELECT l_partkey, l_orderkey, l_linenumber,
+                       CAST(n AS DOUBLE) AS nd,
+                       CAST(sx AS DOUBLE) AS sxd,
+                       CAST(sy AS DOUBLE) AS syd,
+                       CAST(sxy AS DOUBLE) AS sxyd,
+                       CAST(sxx AS DOUBLE) AS sxxd,
+                       CAST(syy AS DOUBLE) AS syyd,
+                       n
+                FROM s
+            ), c AS (
+                SELECT l_partkey, l_orderkey, l_linenumber, n,
+                       sxyd / nd - (sxd / nd) * (syd / nd) AS cov,
+                       sxxd / nd - (sxd / nd) * (sxd / nd) AS varx,
+                       syyd / nd - (syd / nd) * (syd / nd) AS vary
+                FROM f
+            )
+            SELECT l_partkey, l_orderkey, l_linenumber,
+                   cov / sqrt(varx * vary) AS rolling_corr
+            FROM c
+            WHERE n >= 20 AND varx > 0 AND vary > 0
+        """,
         "order_reconciliation": """
             WITH sums AS (
                 SELECT l_orderkey,

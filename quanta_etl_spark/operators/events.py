@@ -317,3 +317,44 @@ def attribute_last_touch(
         "attributed_key", F.last(key, ignorenulls=True).over(w)
     )
     return carried.where(conversion_pred)
+
+
+def inter_event_gaps(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Inter-arrival-time profile per event type: for consecutive
+    events of the SAME type on a user's timeline, the gap in seconds —
+    aggregated to count / mean / exact p50 / p90 per type. The cadence
+    fingerprint behind rate-limit tuning, bot detection, and session
+    gap selection.
+
+    One lag window per (user, type) — shuffles once on that key; the
+    percentile aggregation state is O(gaps per type) (switch to
+    approx_percentile beyond memory). Gaps are computed in exact
+    integer MICROSECONDS (second-level truncation differs between
+    engines on fractional timestamps) and only converted to seconds
+    at the end; the mean derives from an exact decimal sum.
+    """
+    w = Window.partitionBy(user_col, type_col).orderBy(
+        F.col(ts_col), *[F.col(c) for c in tiebreak_cols]
+    )
+    # timestamp_diff is NTZ-safe AND timezone-independent (unix_micros
+    # rejects TIMESTAMP_NTZ, which parquet timestamp[us] reads as).
+    gap_us = F.timestamp_diff(
+        "MICROSECOND", F.lag(ts_col).over(w), F.col(ts_col)
+    )
+    gaps = df.withColumn("__gap", gap_us).where(F.col("__gap").isNotNull())
+    return gaps.groupBy(F.col(type_col)).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        (
+            F.sum(F.col("__gap").cast("decimal(30,6)")).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1e6)
+        ).alias("mean_gap_s"),
+        (F.percentile("__gap", F.lit(0.5)) / 1e6).alias("p50_gap_s"),
+        (F.percentile("__gap", F.lit(0.9)) / 1e6).alias("p90_gap_s"),
+    )

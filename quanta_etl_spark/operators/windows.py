@@ -565,3 +565,49 @@ def activity_streaks(
         F.sum("__len").alias("active_days"),
         F.count(F.lit(1)).alias("n_streaks"),
     )
+
+
+def rolling_corr(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    x_col: str,
+    y_col: str,
+    window_rows: int = 20,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Rolling Pearson correlation of two series over a trailing
+    ``window_rows``-observation frame — co-movement / rolling-beta
+    estimation.
+
+    Built from exact decimal power sums over the frame (Σx, Σy, Σxy,
+    Σx², Σy², n) with the correlation algebra evaluated once per row —
+    NOT from a native windowed ``corr()``, whose sliding-state float
+    updates differ per engine and partitioning. The decimal window
+    sums are exact, so the result is bit-stable everywhere (the same
+    discipline as ``aggregates.ols_regress``).
+
+    Rows with fewer than ``window_rows`` observations in frame or a
+    zero-variance side get NULL. One window shuffle on the key.
+    """
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(order_col), *[F.col(c) for c in tiebreak_cols])
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    x = F.col(x_col).cast("decimal(18,6)")
+    y = F.col(y_col).cast("decimal(18,6)")
+    n = F.count(F.lit(1)).over(w).cast("double")
+    sx = F.sum(x).over(w).cast("double")
+    sy = F.sum(y).over(w).cast("double")
+    sxy = F.sum((x * y).cast("decimal(38,12)")).over(w).cast("double")
+    sxx = F.sum((x * x).cast("decimal(38,12)")).over(w).cast("double")
+    syy = F.sum((y * y).cast("decimal(38,12)")).over(w).cast("double")
+    cov = sxy / n - (sx / n) * (sy / n)
+    varx = sxx / n - (sx / n) * (sx / n)
+    vary = syy / n - (sy / n) * (sy / n)
+    corr = F.when(
+        (n >= window_rows) & (varx > 0) & (vary > 0),
+        cov / F.sqrt(varx * vary),
+    )
+    return df.withColumn("rolling_corr", corr)

@@ -1,0 +1,69 @@
+"""Round-6 batch 6: inter-event gaps, rolling correlation,
+fulfillment lag (query-level)."""
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from quanta_etl_spark.operators import events as E
+from quanta_etl_spark.operators import windows as W
+
+
+def test_inter_event_gaps(spark):
+    rows = [
+        (1, "2024-01-01 10:00:00", "click", 1),
+        (1, "2024-01-01 10:00:10", "click", 2),   # gap 10
+        (1, "2024-01-01 10:00:40", "click", 3),   # gap 30
+        (1, "2024-01-01 10:00:05", "view", 4),    # other type interleaved
+        (2, "2024-01-01 11:00:00", "click", 5),   # other user: no gap yet
+        (2, "2024-01-01 11:00:20", "click", 6),   # gap 20
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, d string, event_type string, event_id long"
+    ).withColumn("ts", F.to_timestamp("d"))
+    out = {r["event_type"]: r for r in E.inter_event_gaps(
+        df, "user_id", "ts", "event_type", ["event_id"]
+    ).collect()}
+    assert "view" not in out  # single event -> no gaps
+    c = out["click"]
+    assert c["n_gaps"] == 3
+    assert c["mean_gap_s"] == pytest.approx(20.0)
+    assert c["p50_gap_s"] == pytest.approx(20.0)
+
+
+def test_rolling_corr_perfect_line(spark):
+    # y = 2x -> corr exactly 1 wherever the frame is full
+    rows = [("g", i, float(i), 2.0 * i) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string, o long, x double, y double")
+    out = W.rolling_corr(df, ["k"], "o", "x", "y", window_rows=5).collect()
+    vals = {r["o"]: r["rolling_corr"] for r in out}
+    assert vals[3] is None                     # frame not full yet
+    assert vals[4] == pytest.approx(1.0, abs=1e-9)
+    assert vals[9] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_rolling_corr_matches_numpy(spark):
+    import numpy as np
+
+    xs = [float((i * 17) % 13) for i in range(30)]
+    ys = [float((i * 11) % 7) + 0.5 * x for i, x in enumerate(xs)]
+    df = spark.createDataFrame(
+        [("g", i, x, y) for i, (x, y) in enumerate(zip(xs, ys))],
+        "k string, o long, x double, y double",
+    )
+    out = {r["o"]: r["rolling_corr"] for r in W.rolling_corr(
+        df, ["g_k" if False else "k"], "o", "x", "y", window_rows=10
+    ).collect()}
+    for end in (9, 19, 29):
+        wx, wy = xs[end - 9:end + 1], ys[end - 9:end + 1]
+        expect = np.corrcoef(wx, wy)[0, 1]
+        assert out[end] == pytest.approx(expect, rel=1e-9), end
+
+
+def test_rolling_corr_zero_variance_null(spark):
+    rows = [("g", i, 5.0, float(i)) for i in range(6)]
+    df = spark.createDataFrame(rows, "k string, o long, x double, y double")
+    out = W.rolling_corr(df, ["k"], "o", "x", "y", window_rows=3).collect()
+    assert all(r["rolling_corr"] is None for r in out)
