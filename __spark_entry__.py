@@ -2563,9 +2563,12 @@ def q_rolling_corr(spark: SparkSession, sf: str) -> DataFrame:
     correlation algebra once per row — engine-stable where native
     sliding corr() state is not. Only full-frame rows emit."""
     li = load_table(spark, sf, "lineitem")
+    # scale=100: qty/price are 2-decimal, so the power sums run as
+    # exact primitive longs (~5x the BigDecimal window path).
     out = win_ops.rolling_corr(
         li, ["l_partkey"], "l_shipdate", "l_quantity", "l_extendedprice",
         window_rows=20, tiebreak_cols=["l_orderkey", "l_linenumber"],
+        scale=100,
     )
     return out.where(F.col("rolling_corr").isNotNull()).select(
         "l_partkey", "l_orderkey", "l_linenumber", "rolling_corr"
@@ -2917,22 +2920,20 @@ def oracle_sql() -> dict[str, str]:
             FROM lagd GROUP BY 1
         """,
         "rolling_corr": """
-            WITH s AS (
+            WITH scaled AS (
+                SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate,
+                       CAST(round(l_quantity * 100) AS BIGINT) AS xs,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS ys
+                FROM lineitem
+            ), s AS (
                 SELECT l_partkey, l_orderkey, l_linenumber,
                        count(*) OVER w AS n,
-                       sum(CAST(l_quantity AS DECIMAL(18,6))) OVER w AS sx,
-                       sum(CAST(l_extendedprice AS DECIMAL(18,6)))
-                           OVER w AS sy,
-                       sum(CAST(CAST(l_quantity AS DECIMAL(19,6))
-                                * CAST(l_extendedprice AS DECIMAL(18,6))
-                                AS DECIMAL(38,12))) OVER w AS sxy,
-                       sum(CAST(CAST(l_quantity AS DECIMAL(19,6))
-                                * CAST(l_quantity AS DECIMAL(18,6))
-                                AS DECIMAL(38,12))) OVER w AS sxx,
-                       sum(CAST(CAST(l_extendedprice AS DECIMAL(19,6))
-                                * CAST(l_extendedprice AS DECIMAL(18,6))
-                                AS DECIMAL(38,12))) OVER w AS syy
-                FROM lineitem
+                       sum(xs) OVER w AS sx,
+                       sum(ys) OVER w AS sy,
+                       sum(xs * ys) OVER w AS sxy,
+                       sum(xs * xs) OVER w AS sxx,
+                       sum(ys * ys) OVER w AS syy
+                FROM scaled
                 WINDOW w AS (PARTITION BY l_partkey
                              ORDER BY l_shipdate, l_orderkey, l_linenumber
                              ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)

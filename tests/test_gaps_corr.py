@@ -67,3 +67,20 @@ def test_rolling_corr_zero_variance_null(spark):
     df = spark.createDataFrame(rows, "k string, o long, x double, y double")
     out = W.rolling_corr(df, ["k"], "o", "x", "y", window_rows=3).collect()
     assert all(r["rolling_corr"] is None for r in out)
+
+
+def test_rolling_corr_scaled_path_equals_decimal_path(spark):
+    # 2-decimal inputs: the int64 fast path must agree with the
+    # decimal path to float precision
+    rows = [("g", i, round((i * 17 % 13) + 0.25, 2),
+             round((i * 11 % 7) * 1.5 + 3.75, 2)) for i in range(30)]
+    df = spark.createDataFrame(rows, "k string, o long, x double, y double")
+    slow = {r["o"]: r["rolling_corr"] for r in W.rolling_corr(
+        df, ["k"], "o", "x", "y", window_rows=10).collect()}
+    fast = {r["o"]: r["rolling_corr"] for r in W.rolling_corr(
+        df, ["k"], "o", "x", "y", window_rows=10, scale=100).collect()}
+    for o in slow:
+        if slow[o] is None:
+            assert fast[o] is None
+        else:
+            assert fast[o] == pytest.approx(slow[o], abs=1e-9)
