@@ -2575,6 +2575,39 @@ def q_rolling_corr(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_emb_cohesion(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding cluster cohesion per label (similarity.label_cohesion):
+    mean member→centroid cosine, every float reduction decimal-
+    accumulated so the metric is order- and engine-stable."""
+    emb = load_table(spark, sf, "embeddings")
+    return sim_ops.label_cohesion(emb, "embedding", "label", "vec_id")
+
+
+def q_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-resistant two-stage aggregation gated for value parity:
+    pre-aggregate on (key, salt) so a hot key splits across reducers,
+    then combine partials — decimal sums make the two-stage result
+    EXACTLY the plain aggregate the oracle computes (float sums would
+    drift with the salt regrouping)."""
+    li = load_table(spark, sf, "lineitem")
+    out = agg_ops.two_stage_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "sum_qty": ("sum", F.col("l_quantity").cast("decimal(20,6)")),
+            "n_rows": ("count", "l_quantity"),
+            "max_price": ("max", "l_extendedprice"),
+        },
+        salt=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        "n_rows",
+        "max_price",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -2603,6 +2636,9 @@ def queries() -> dict[str, QueryFn]:
     #   4. past the cap: the 8 r4+J rows the new batch displaced, then
     #      r5-green rows (unchanged, their r5 records stand).
     return {
+        # -- (0g) newest this round: cohesion/salted-agg ---------------
+        "emb_cohesion": q_emb_cohesion,
+        "salted_agg": q_salted_agg,
         # -- (0f) newest this round: cadence/lead-time/rolling-corr ----
         "inter_event_gap": q_inter_event_gap,
         "fulfillment_lag": q_fulfillment_lag,
@@ -2883,6 +2919,43 @@ def _lsh_topk_oracle(num_planes: int = 6, k: int = 5) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "emb_cohesion": """
+            WITH ex AS (
+                SELECT label, vec_id AS vid,
+                       generate_subscripts(embedding, 1) AS pos,
+                       CAST(unnest(embedding) AS DOUBLE) AS v
+                FROM embeddings
+            ), cent AS (
+                SELECT label, pos,
+                       CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE)
+                           / count(*) AS c
+                FROM ex GROUP BY 1, 2
+            ), member AS (
+                SELECT e.label, e.vid,
+                       CAST(sum(CAST(e.v * ct.c AS DECIMAL(38,18)))
+                            AS DOUBLE) AS dot,
+                       CAST(sum(CAST(e.v * e.v AS DECIMAL(38,18)))
+                            AS DOUBLE) AS nv,
+                       CAST(sum(CAST(ct.c * ct.c AS DECIMAL(38,18)))
+                            AS DOUBLE) AS nc
+                FROM ex e JOIN cent ct USING (label, pos)
+                GROUP BY 1, 2
+            )
+            SELECT label,
+                   count(*) AS n_vectors,
+                   CAST(sum(CAST(dot / (sqrt(nv) * sqrt(nc))
+                                 AS DECIMAL(38,18))) AS DOUBLE)
+                       / count(*) AS cohesion
+            FROM member GROUP BY label
+        """,
+        "salted_agg": """
+            SELECT l_returnflag,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE)
+                       AS sum_qty,
+                   count(l_quantity) AS n_rows,
+                   max(l_extendedprice) AS max_price
+            FROM lineitem GROUP BY l_returnflag
+        """,
         "inter_event_gap": """
             WITH g AS (
                 SELECT event_type,

@@ -314,3 +314,58 @@ def cosine_topk_ivf(
         cosine_similarity(F.col("__qv"), F.col("__cv")).alias("cosine"),
     )
     return _topk(scored, k, exclude_self)
+
+
+def label_cohesion(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cluster-cohesion report per label: the mean cosine similarity
+    of each member to its label centroid — the embedding-space quality
+    metric behind "is this cluster/topic coherent?" audits.
+
+    Every float reduction (component sums for the centroid, the
+    per-member dot products over dimensions, the final per-label mean
+    of cosines) accumulates in DECIMAL, so the result is independent
+    of row order, partitioning, and engine — naive double sums here
+    differ run-to-run and cannot be oracle-gated.
+
+    Shape: one posexplode (rides the scan) + three hash aggregations
+    (label×dim centroid, member dot/norms, label mean). The centroid
+    frame is |labels|·dims rows — tiny — and broadcast-joins back onto
+    the exploded components. No crossJoin, no driver round-trip; at
+    100 TB the only big shuffle is the (label, dim) partial-agg.
+    """
+    ex = df.select(
+        F.col(label_col).alias("label"),
+        F.col(id_col).alias("vid"),
+        F.posexplode(F.col(vec_col)).alias("pos", "v"),
+    ).withColumn("v", F.col("v").cast("double"))
+    cent = ex.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("v").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    joined = ex.join(F.broadcast(cent), ["label", "pos"])
+    member = joined.groupBy("label", "vid").agg(
+        F.sum((F.col("v") * F.col("c")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("dot"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("nv"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("nc"),
+    )
+    cos = F.col("dot") / (F.sqrt(F.col("nv")) * F.sqrt(F.col("nc")))
+    return member.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        (
+            F.sum(cos.cast("decimal(38,18)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("cohesion"),
+    )

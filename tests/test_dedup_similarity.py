@@ -274,3 +274,27 @@ def test_fuzzy_match_pairs_blocking_and_verify(spark):
         ).collect()
     }
     assert multi == wide
+
+
+def test_label_cohesion_geometry(spark):
+    """Two tight clusters along orthogonal axes: cohesion near 1 for
+    the tight label, lower for a spread label; decimal accumulation
+    keeps values identical across partitionings."""
+    import pytest
+    from quanta_etl_spark.operators import similarity as S2
+
+    rows = [
+        # label 0: all identical -> cohesion exactly 1
+        (1, [1.0, 0.0], 0), (2, [1.0, 0.0], 0), (3, [1.0, 0.0], 0),
+        # label 1: orthogonal pair -> centroid (0.5,0.5); cos = 1/sqrt(2)
+        (4, [1.0, 0.0], 1), (5, [0.0, 1.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["label"]: r for r in S2.label_cohesion(df).collect()}
+    assert out[0]["n_vectors"] == 3
+    assert out[0]["cohesion"] == pytest.approx(1.0, abs=1e-9)
+    assert out[1]["cohesion"] == pytest.approx(2 ** -0.5, abs=1e-9)
+    # repartitioned input must give bit-identical cohesion
+    again = {r["label"]: r["cohesion"]
+             for r in S2.label_cohesion(df.repartition(7)).collect()}
+    assert again == {k: v["cohesion"] for k, v in out.items()}
