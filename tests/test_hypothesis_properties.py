@@ -183,3 +183,83 @@ def test_incremental_maintain_equals_recompute_random(spark, v1, v2):
     got = {r.grp: (r.total, r.n) for r in maintained.collect()}
     want = {r.grp: (r.total, r.n) for r in expected.collect()}
     assert got == want, (got, want)
+
+
+_pos_vals = st.lists(
+    st.floats(min_value=0.015625, max_value=1e4, allow_nan=False,
+              allow_infinity=False, width=32),
+    min_size=2, max_size=12,
+)
+
+
+@given(vals=_pos_vals)
+@settings(**_SETTINGS)
+def test_gini_bounds_and_scale_invariance(spark, vals):
+    """0 <= G <= (n-1)/n, and G is invariant under scaling all values."""
+    from quanta_etl_spark.operators import aggregates as agg_ops
+
+    rows = [("g", i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, u long, v double")
+    g1 = agg_ops.gini_coefficient(df, "v", ["u"], ["k"]).collect()[0]
+    n = len(vals)
+    assert -1e-9 <= g1["gini"] <= (n - 1) / n + 1e-9
+    scaled = spark.createDataFrame(
+        [("g", i, float(v) * 7.0) for i, v in enumerate(vals)],
+        "k string, u long, v double",
+    )
+    g2 = agg_ops.gini_coefficient(scaled, "v", ["u"], ["k"]).collect()[0]
+    assert abs(g1["gini"] - g2["gini"]) < 1e-6
+
+
+@given(vals=_pos_vals)
+@settings(**_SETTINGS)
+def test_hhi_bounds(spark, vals):
+    """1/n <= HHI <= 1 for positive shares."""
+    from quanta_etl_spark.operators import aggregates as agg_ops
+
+    rows = [("g", i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, u long, v double")
+    out = agg_ops.hhi_concentration(df, "v", ["u"], ["k"]).collect()[0]
+    n = len(vals)
+    assert 1.0 / n - 1e-9 <= out["hhi"] <= 1.0 + 1e-9
+
+
+@given(texts=st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+             min_size=1, max_size=5),
+    min_size=1, max_size=6,
+))
+@settings(**_SETTINGS)
+def test_paragraph_dedup_identity_and_counts(spark, texts):
+    """n_kept <= n_paras always; with min_repeats above the doc count
+    nothing is ever removed (reconstruction identity)."""
+    docs = [(i, ". ".join(paras)) for i, (paras) in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in corpus_ops.paragraph_dedup(
+        df, min_repeats=len(texts) + 1
+    ).collect()}
+    assert set(out) == {i for i, _ in docs}
+    for i, text in docs:
+        assert out[i]["clean_text"] == text
+        assert out[i]["n_kept"] == out[i]["n_paras"]
+    strict = {r["doc_id"]: r for r in corpus_ops.paragraph_dedup(
+        df, min_repeats=2
+    ).collect()}
+    for i, _ in docs:
+        assert strict[i]["n_kept"] <= strict[i]["n_paras"]
+
+
+@given(xs=st.lists(st.integers(-50, 50), min_size=2, max_size=20))
+@settings(**_SETTINGS)
+def test_chi_square_self_dependence(spark, xs):
+    """A column crossed with itself: chi2 is finite and >= 0; dof =
+    (k-1)^2 for k distinct values."""
+    from quanta_etl_spark.operators import aggregates as agg_ops
+
+    rows = [(str(x), str(x)) for x in xs]
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = agg_ops.chi_square(df, "a", "b").collect()[0]
+    k = len(set(xs))
+    assert out["dof"] == (k - 1) ** 2
+    assert out["chi2"] >= -1e-9
+    assert out["n"] == len(xs)
