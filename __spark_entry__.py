@@ -2608,6 +2608,55 @@ def q_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_temporal_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Validity-interval dimension lookup (joins.temporal_join):
+    per-user status versions derived from signup/error events (ts →
+    next status ts = [from, to)), clicks joined to the version active
+    at their timestamp; clicks before any status keep NULL — the SCD2
+    lookup semantics as-of joins don't give you."""
+    ev = load_table(spark, sf, "events")
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    versions = (
+        ev.where(F.col("event_type").isin("signup", "error"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("status"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = join_ops.temporal_join(
+        clicks, versions, "user_id", "ts", how="left"
+    )
+    return joined.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.sum(F.col("value").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+def q_quantile_bins(spark: SparkSession, sf: str) -> DataFrame:
+    """Equal-frequency decile binning of part retail prices
+    (sampling.quantile_bins — id tiebreaks make the ntile total-
+    ordered, so bins are engine-stable): per-bin count and price
+    range."""
+    p = load_table(spark, sf, "part")
+    binned = samp_ops.quantile_bins(
+        p, "p_retailprice", num_bins=10, tiebreak_cols=["p_partkey"]
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("p_retailprice").alias("min_price"),
+        F.max("p_retailprice").alias("max_price"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -2631,6 +2680,9 @@ def queries() -> dict[str, QueryFn]:
     # local gate replica (tools/check_oracle.py) this round — see
     # NOTES.md r6 for the 142-query full-sweep record.
     return {
+        # -- (0h) newest this round: temporal join / binning -----------
+        "temporal_join": q_temporal_join,
+        "quantile_bins": q_quantile_bins,
         # -- (0g) newest this round: cohesion/salted-agg ---------------
         "emb_cohesion": q_emb_cohesion,
         "salted_agg": q_salted_agg,
@@ -2914,6 +2966,39 @@ def _lsh_topk_oracle(num_planes: int = 6, k: int = 5) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "temporal_join": """
+            WITH st AS (
+                SELECT user_id, event_type AS status,
+                       ts AS valid_from,
+                       lead(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS valid_to
+                FROM events WHERE event_type IN ('signup', 'error')
+            ), c AS (
+                SELECT event_id, user_id, ts, value FROM events
+                WHERE event_type = 'click'
+            )
+            SELECT st.status,
+                   count(*) AS n_clicks,
+                   CAST(sum(CAST(c.value AS DECIMAL(30,6))) AS DOUBLE)
+                       AS sum_value
+            FROM c LEFT JOIN st
+              ON c.user_id = st.user_id
+             AND c.ts >= st.valid_from
+             AND (st.valid_to IS NULL OR c.ts < st.valid_to)
+            GROUP BY st.status
+        """,
+        "quantile_bins": """
+            WITH b AS (
+                SELECT p_retailprice,
+                       ntile(10) OVER (ORDER BY p_retailprice,
+                                       p_partkey) AS bin
+                FROM part
+            )
+            SELECT bin, count(*) AS n,
+                   min(p_retailprice) AS min_price,
+                   max(p_retailprice) AS max_price
+            FROM b GROUP BY bin
+        """,
         "emb_cohesion": """
             WITH ex AS (
                 SELECT label, vec_id AS vid,

@@ -288,3 +288,47 @@ def salted_join(
     r_s = right.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
     out = l_s.join(r_s, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def temporal_join(
+    facts: DataFrame,
+    versions: DataFrame,
+    key: str | Sequence[str],
+    fact_ts: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """Validity-interval (temporal / SCD2 lookup) join: each fact row
+    matches the dimension version whose ``[valid_from, valid_to)``
+    interval contains the fact's timestamp; an open current version
+    has NULL ``valid_to``. Facts before the first version match
+    nothing (kept as NULLs under ``how="left"``) — the semantics a
+    versioned-dimension lookup needs, distinct from as-of (which
+    matches the nearest row regardless of validity).
+
+    Shape: equi-join on the key with the interval predicate as a
+    post-join filter — Spark executes a hash/sort-merge join on the
+    key, never a cartesian; per-key work is |facts_k| · |versions_k|,
+    bounded by version counts (slowly-changing by definition). With
+    non-overlapping intervals per key (what scd2_from_changelog
+    emits), at most one version matches each fact.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    cond = None
+    for k in keys:
+        c = facts[k] == versions[k]
+        cond = c if cond is None else (cond & c)
+    cond = (
+        cond
+        & (facts[fact_ts] >= versions[valid_from])
+        & (
+            versions[valid_to].isNull()
+            | (facts[fact_ts] < versions[valid_to])
+        )
+    )
+    out = facts.join(versions, cond, how)
+    # drop the duplicated key columns from the version side
+    for k in keys:
+        out = out.drop(versions[k])
+    return out

@@ -14,8 +14,11 @@ column.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def hash_bucket(key: Column | str, num_buckets: int = 100) -> Column:
@@ -90,3 +93,29 @@ def stratified_hash_sample(
         else F.lit(int(round(default_fraction * num_buckets)))
     )
     return df.where(bucket < cut)
+
+
+def quantile_bins(
+    df: DataFrame,
+    value_col: str,
+    num_bins: int = 10,
+    tiebreak_cols: Sequence[str] = (),
+    out: str = "bin",
+) -> DataFrame:
+    """Equal-frequency (quantile) binning: assign each row its
+    ``num_bins``-tile by ``value_col`` — the feature-engineering
+    discretizer (deciles, quartile flags). ``tiebreak_cols`` complete
+    the ordering so equal values bin deterministically across runs,
+    partitionings, and engines — ntile over a non-total order is a
+    correctness bug every rank-based feature pipeline hits eventually.
+
+    Shape: one global-order window. At 100 TB a single total order is
+    the bottleneck by design — switch to approx_percentile cut points
+    + a map-side bucket lookup when the column no longer fits a sort
+    (the histogram/iqr operators show that pattern); exact ntile is
+    the right tool at dimension-table scale.
+    """
+    w = Window.orderBy(
+        F.col(value_col), *[F.col(c) for c in tiebreak_cols]
+    )
+    return df.withColumn(out, F.ntile(num_bins).over(w))

@@ -127,3 +127,53 @@ def test_null_safe_join_matches_null_keys(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_temporal_join_validity_semantics(spark):
+    """Facts match the version whose [from, to) interval holds their
+    ts; pre-first-version facts keep NULLs; open version catches the
+    tail."""
+    from quanta_etl_spark.operators import joins as J2
+
+    versions = spark.createDataFrame(
+        [
+            (1, "bronze", "2024-01-01 00:00:00", "2024-02-01 00:00:00"),
+            (1, "gold", "2024-02-01 00:00:00", None),
+            (2, "silver", "2024-03-01 00:00:00", None),
+        ],
+        "user long, status string, f string, t string",
+    ).select(
+        "user", "status",
+        F.to_timestamp("f").alias("valid_from"),
+        F.to_timestamp("t").alias("valid_to"),
+    )
+    facts = spark.createDataFrame(
+        [
+            (10, 1, "2023-12-31 23:59:59"),  # before first version
+            (11, 1, "2024-01-15 00:00:00"),  # bronze
+            (12, 1, "2024-02-01 00:00:00"),  # boundary -> gold ([from,to))
+            (13, 2, "2024-04-01 00:00:00"),  # silver (open)
+        ],
+        "fid long, user long, d string",
+    ).withColumn("ts", F.to_timestamp("d"))
+    out = {r["fid"]: r["status"] for r in J2.temporal_join(
+        facts, versions, "user", "ts"
+    ).collect()}
+    assert out == {10: None, 11: "bronze", 12: "gold", 13: "silver"}
+
+
+def test_temporal_join_inner_drops_unmatched(spark):
+    from quanta_etl_spark.operators import joins as J2
+
+    versions = spark.createDataFrame(
+        [(1, "v1", "2024-01-01 00:00:00", None)],
+        "user long, status string, f string, t string",
+    ).select("user", "status",
+             F.to_timestamp("f").alias("valid_from"),
+             F.to_timestamp("t").alias("valid_to"))
+    facts = spark.createDataFrame(
+        [(1, 1, "2023-01-01 00:00:00"), (2, 1, "2024-06-01 00:00:00")],
+        "fid long, user long, d string",
+    ).withColumn("ts", F.to_timestamp("d"))
+    got = J2.temporal_join(facts, versions, "user", "ts", how="inner")
+    assert [r["fid"] for r in got.collect()] == [2]

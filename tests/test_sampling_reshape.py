@@ -84,3 +84,25 @@ def test_tfidf_smoothed_scores(spark):
     assert {(r.doc_id, r.term) for r in top1.collect()} == {
         (1, "apple"), (2, "banana"), (3, "date")
     }
+
+
+def test_quantile_bins_deterministic_and_balanced(spark):
+    from quanta_etl_spark.operators import sampling as samp2
+
+    rows = [(i, float(i % 7)) for i in range(40)]  # heavy ties
+    df = spark.createDataFrame(rows, "id long, v double")
+    out = samp2.quantile_bins(df, "v", num_bins=4, tiebreak_cols=["id"])
+    got = {r["id"]: r["bin"] for r in out.collect()}
+    # 40 rows / 4 bins -> exactly 10 per bin
+    from collections import Counter
+    assert Counter(got.values()) == {1: 10, 2: 10, 3: 10, 4: 10}
+    # deterministic across runs and partitionings
+    again = {r["id"]: r["bin"] for r in samp2.quantile_bins(
+        df.repartition(5), "v", num_bins=4, tiebreak_cols=["id"]
+    ).collect()}
+    assert again == got
+    # bins are ordered by value: every bin-1 value <= every bin-4 value
+    by_bin = {}
+    for r in out.collect():
+        by_bin.setdefault(r["bin"], []).append(r["v"])
+    assert max(by_bin[1]) <= min(by_bin[4])
