@@ -2608,6 +2608,17 @@ def q_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_conversion_latency(spark: SparkSession, sf: str) -> DataFrame:
+    """Signup→purchase time-to-convert distribution
+    (events.conversion_latency): first purchase at-or-after the first
+    signup per user, µs-exact latencies, decimal mean + exact
+    percentiles."""
+    ev = load_table(spark, sf, "events")
+    return event_ops.conversion_latency(
+        ev, "user_id", "ts", "event_type", "signup", "purchase"
+    )
+
+
 def q_temporal_join(spark: SparkSession, sf: str) -> DataFrame:
     """Validity-interval dimension lookup (joins.temporal_join):
     per-user status versions derived from signup/error events (ts →
@@ -2681,6 +2692,7 @@ def queries() -> dict[str, QueryFn]:
     # NOTES.md r6 for the 142-query full-sweep record.
     return {
         # -- (0h) newest this round: temporal join / binning -----------
+        "conversion_latency": q_conversion_latency,
         "temporal_join": q_temporal_join,
         "quantile_bins": q_quantile_bins,
         # -- (0g) newest this round: cohesion/salted-agg ---------------
@@ -2966,6 +2978,25 @@ def _lsh_topk_oracle(num_planes: int = 6, k: int = 5) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "conversion_latency": """
+            WITH f AS (
+                SELECT user_id, min(ts) AS t0 FROM events
+                WHERE event_type = 'signup' GROUP BY 1
+            ), conv AS (
+                SELECT e.user_id, min(e.ts) AS t1, any_value(f.t0) AS t0
+                FROM events e JOIN f ON e.user_id = f.user_id
+                WHERE e.event_type = 'purchase' AND e.ts >= f.t0
+                GROUP BY e.user_id
+            ), lat AS (
+                SELECT epoch_us(t1) - epoch_us(t0) AS lat_us FROM conv
+            )
+            SELECT count(*) AS n_converted,
+                   CAST(sum(CAST(lat_us AS DECIMAL(30,6))) AS DOUBLE)
+                       / count(*) / 1e6 AS mean_latency_s,
+                   median(lat_us) / 1e6 AS p50_latency_s,
+                   quantile_cont(lat_us, 0.9) / 1e6 AS p90_latency_s
+            FROM lat
+        """,
         "temporal_join": """
             WITH st AS (
                 SELECT user_id, event_type AS status,

@@ -358,3 +358,47 @@ def inter_event_gaps(
         (F.percentile("__gap", F.lit(0.5)) / 1e6).alias("p50_gap_s"),
         (F.percentile("__gap", F.lit(0.9)) / 1e6).alias("p90_gap_s"),
     )
+
+
+def conversion_latency(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    from_type: str,
+    to_type: str,
+) -> DataFrame:
+    """Time-to-convert distribution: for each user, the latency from
+    their FIRST ``from_type`` event to their first ``to_type`` event
+    at-or-after it — summarized as count, decimal-exact mean, and
+    exact p50/p90 (seconds). The product-analytics companion to the
+    funnel report: not just who converted, but how fast.
+
+    Microsecond-exact arithmetic (timestamp_diff — NTZ-safe and
+    timezone-independent); two tiny min-aggregations per user, one
+    join, one stats aggregation. Never a window over raw events.
+    """
+    first_from = df.where(F.col(type_col) == from_type).groupBy(
+        F.col(user_col).alias("__u")
+    ).agg(F.min(ts_col).alias("__t0"))
+    to_events = df.where(F.col(type_col) == to_type).select(
+        F.col(user_col).alias("__u"), F.col(ts_col).alias("__t1")
+    )
+    converted = (
+        to_events.join(first_from, "__u")
+        .where(F.col("__t1") >= F.col("__t0"))
+        .groupBy("__u")
+        .agg(F.min("__t1").alias("__t1"), F.first("__t0").alias("__t0"))
+    )
+    lat_us = F.timestamp_diff("MICROSECOND", F.col("__t0"), F.col("__t1"))
+    lats = converted.select(lat_us.alias("__lat"))
+    return lats.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        (
+            F.sum(F.col("__lat").cast("decimal(30,6)")).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1e6)
+        ).alias("mean_latency_s"),
+        (F.percentile("__lat", F.lit(0.5)) / 1e6).alias("p50_latency_s"),
+        (F.percentile("__lat", F.lit(0.9)) / 1e6).alias("p90_latency_s"),
+    )

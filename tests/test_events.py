@@ -386,3 +386,33 @@ class TestSurvivorPolicy:
         got = {r.cluster: (r.doc_id, r.cluster_size) for r in out.collect()}
         # longest wins, NOT min doc_id
         assert got == {"c1": (2, 2), "c2": (3, 1)}
+
+
+class TestConversionLatency:
+    def test_latency_first_to_first_after(self, spark):
+        import pytest
+        from quanta_etl_spark.operators import events as E2
+
+        rows = [
+            # user 1: signup at t0, purchases at +10s and +100s -> 10s
+            (1, "2024-01-01 10:00:00", "signup"),
+            (1, "2024-01-01 10:00:10", "purchase"),
+            (1, "2024-01-01 10:01:40", "purchase"),
+            # user 2: purchase BEFORE signup doesn't count; +30s after
+            (2, "2024-01-01 09:59:00", "purchase"),
+            (2, "2024-01-01 10:00:00", "signup"),
+            (2, "2024-01-01 10:00:30", "purchase"),
+            # user 3: signup, never purchases -> excluded
+            (3, "2024-01-01 10:00:00", "signup"),
+            # user 4: purchase only -> excluded
+            (4, "2024-01-01 10:00:00", "purchase"),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, d string, event_type string"
+        ).withColumn("ts", F.to_timestamp("d"))
+        out = E2.conversion_latency(
+            df, "user_id", "ts", "event_type", "signup", "purchase"
+        ).collect()[0]
+        assert out["n_converted"] == 2
+        assert out["mean_latency_s"] == pytest.approx(20.0)
+        assert out["p50_latency_s"] == pytest.approx(20.0)
