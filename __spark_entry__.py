@@ -2683,21 +2683,30 @@ def queries() -> dict[str, QueryFn]:
     # (observed: r1 gated 50 of 51, r2 gated dict positions 1-50 of 67,
     # r4/r5 gated positions 1-50). Rotation policy (VERDICT r4 #2 /
     # r5 #1) so every query holds a recent green driver row. Round-6
-    # window (positions 1-50, exactly): the 43 queries ADDED this round
-    # (batches 0g..0 below, newest first) + the 7 r5 queries that had
-    # never held a driver CORRECTNESS row (r5's cap comment was off by
-    # one — profile_columns sat at position 51). Every entry past the
-    # cap holds an r4/r5 driver-green row and was re-verified by the
-    # local gate replica (tools/check_oracle.py) this round — see
-    # NOTES.md r6 for the 142-query full-sweep record.
+    # window (positions 1-50, COUNTED, not assumed — r5's cap comment
+    # was off by one and this round's first draft was off by three):
+    # the 7 r5 queries that have never held a driver CORRECTNESS row
+    # lead the dict outright, then 43 of the 46 queries ADDED this
+    # round. The 3 remaining r6 queries (quantile_bins, salted_agg,
+    # dow_seasonality — the simplest of the batch, each with a local
+    # gate-replica green at BOTH sf0.001 and sf0.01) sit at positions
+    # 51-53 and rotate under the cap in r7. Every entry past the cap
+    # was re-verified by tools/check_oracle.py this round — see
+    # NOTES.md r6 for the full-sweep record.
     return {
-        # -- (0h) newest this round: temporal join / binning -----------
+        # -- (A) never-driver-gated r5 queries: gate these FIRST -------
+        "profile_columns": q_profile_columns,
+        "window_distribution": q_window_distribution,
+        "fuzzy_pairs": q_fuzzy_pairs,
+        "json_map_explode": q_json_map_explode,
+        "window_value_picks": q_window_value_picks,
+        "sql_forecast_revenue": q_sql_forecast_revenue,
+        "array_functions": q_array_functions,
+        # -- (0h) newest this round: temporal join / conversion --------
         "conversion_latency": q_conversion_latency,
         "temporal_join": q_temporal_join,
-        "quantile_bins": q_quantile_bins,
-        # -- (0g) newest this round: cohesion/salted-agg ---------------
+        # -- (0g) newest this round: cohesion ---------------------------
         "emb_cohesion": q_emb_cohesion,
-        "salted_agg": q_salted_agg,
         # -- (0f) newest this round: cadence/lead-time/rolling-corr ----
         "inter_event_gap": q_inter_event_gap,
         "fulfillment_lag": q_fulfillment_lag,
@@ -2715,7 +2724,6 @@ def queries() -> dict[str, QueryFn]:
         "gini_revenue": q_gini_revenue,
         "hhi_brands": q_hhi_brands,
         "heavy_keys": q_heavy_keys,
-        "dow_seasonality": q_dow_seasonality,
         # -- (0b) newest this round: stats/graph/PII batch -------------
         "ols_regression": q_ols_regression,
         "chi_square": q_chi_square,
@@ -2745,15 +2753,14 @@ def queries() -> dict[str, QueryFn]:
         "contribution_margin": q_contribution_margin,
         "weighted_median": q_weighted_median,
         "dedup_survivor": q_dedup_survivor,
-        # -- (1) new this round + never-driver-gated r5 queries --------
-        "stream_forward_fill": q_stream_forward_fill,  # new this round
-        "profile_columns": q_profile_columns,
-        "window_distribution": q_window_distribution,
-        "fuzzy_pairs": q_fuzzy_pairs,
-        "json_map_explode": q_json_map_explode,
-        "window_value_picks": q_window_value_picks,
-        "sql_forecast_revenue": q_sql_forecast_revenue,
-        "array_functions": q_array_functions,
+        # -- (1) new this round: streaming forward-fill gate -----------
+        "stream_forward_fill": q_stream_forward_fill,
+        # ---- 50-entry gate cap lands after the entry above -----------
+        # -- (1b) r6-new overflow: positions 51-53, rotate under the
+        #    cap in r7 (local gate-replica green at sf0.001 + sf0.01) --
+        "quantile_bins": q_quantile_bins,
+        "salted_agg": q_salted_agg,
+        "dow_seasonality": q_dow_seasonality,
         # -- (2) r5-green, code path changed this round ----------------
         "corpus_mix": q_corpus_mix,
         "emb_topk_ivf": q_emb_topk_ivf,
@@ -2779,7 +2786,6 @@ def queries() -> dict[str, QueryFn]:
         "text_quality": q_text_quality,
         "text_winnow": q_text_winnow,
         "text_repetition": q_text_repetition,
-        # ---- 50-entry gate cap lands after the entry above -----------
         # -- (4) past the cap: the 19 r4+J rows displaced by this
         #    round's new batch (r4 driver row + r5 judge re-verify
         #    stand; they rotate back under the cap next round) ---------
@@ -3721,7 +3727,7 @@ def oracle_sql() -> dict[str, str]:
                                ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
             )
             SELECT event_id, user_id, (value - mu) / sd AS zscore
-            FROM w WHERE abs((value - mu) / sd) > 2.5
+            FROM w WHERE sd > 0 AND abs((value - mu) / sd) > 2.5
         """,
         "vwap_bucketed": """
             SELECT l_partkey,

@@ -106,8 +106,12 @@ def main() -> None:
     # BENCH_LOCAL.json is the committed sf0.1 round-over-round record;
     # runs at any other sf (sf0.001 smoke, .benchdata/sf1 scaling) write
     # a suffixed file so they can't clobber it.
+    # Integral sf values print without the float's trailing ".0" so an
+    # sf1 run targets the committed BENCH_LOCAL_sf1.json record (a
+    # float-formatted "sf1.0" name would silently fork the record).
+    sf_tag = str(int(sf)) if sf == int(sf) else str(sf)
     record = (
-        "BENCH_LOCAL.json" if sf == 0.1 else f"BENCH_LOCAL_sf{sf}.json"
+        "BENCH_LOCAL.json" if sf == 0.1 else f"BENCH_LOCAL_sf{sf_tag}.json"
     )
     with open(os.path.join(REPO, record), "w") as f:
         json.dump(full, f, indent=1)

@@ -488,12 +488,17 @@ def paragraph_dedup(
             sep,
         ).alias("clean_text"),
     )
+    # The id spine comes from the INPUT frame, not the exploded one:
+    # split(NULL) explodes to zero rows, so a NULL-text document would
+    # otherwise vanish — violating the no-rows-vanish contract.
     totals = paras.groupBy("__id").agg(F.count(F.lit(1)).alias("n_paras"))
+    spine = df.select(F.col(id_col).alias("__id")).distinct()
     return (
-        totals.join(rebuilt, "__id", "left")
+        spine.join(totals, "__id", "left")
+        .join(rebuilt, "__id", "left")
         .select(
             F.col("__id").alias(id_col),
-            "n_paras",
+            F.coalesce(F.col("n_paras"), F.lit(0)).alias("n_paras"),
             F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )

@@ -306,9 +306,15 @@ def mad_outliers(
     score = F.abs(F.col(value) - F.col("__med2")) / (
         F.lit(consistency) * F.col("__mad")
     )
-    is_out = F.when(
-        F.col("__mad") > 0, score > k
-    ).otherwise(F.col(value) != F.col("__med2"))
+    # NULL values are never outliers (and never silently dropped by
+    # mode="drop"): a NULL score would make is_out NULL, and
+    # where(~NULL) filters the row — coalesce to a real boolean.
+    is_out = F.coalesce(
+        F.when(F.col("__mad") > 0, score > k).otherwise(
+            F.col(value) != F.col("__med2")
+        ),
+        F.lit(False),
+    )
     joined = joined.withColumn(
         "mad_score", F.when(F.col("__mad") > 0, score)
     )
@@ -392,14 +398,23 @@ def reconcile_totals(
         F.col(fact_key).alias("__k"), rec.cast("double").alias("recorded")
     ).join(sums, "__k", "left")
     diff = F.col("recomputed") - F.col("recorded")
-    rel = F.abs(diff) / F.abs(F.col("recorded"))
+    # Zero-recorded guard: 0/0 is NaN (not NULL) in IEEE doubles, and
+    # NaN <= tolerance is false — an exactly-reconciled zero-total
+    # header would report out-of-tolerance. Fall back to the absolute
+    # difference when the recorded total is 0.
+    rel = F.when(
+        F.col("recorded") != 0, F.abs(diff) / F.abs(F.col("recorded"))
+    )
+    within = F.when(F.col("recomputed").isNull(), F.lit(False)).otherwise(
+        F.when(F.col("recorded") != 0, rel <= tolerance).otherwise(
+            F.abs(diff) <= tolerance
+        )
+    )
     return joined.select(
         F.col("__k").alias(fact_key),
         "recorded",
         "recomputed",
         diff.alias("abs_diff"),
         rel.alias("rel_diff"),
-        F.when(F.col("recomputed").isNull(), F.lit(False))
-        .otherwise(rel <= tolerance)
-        .alias("within_tolerance"),
+        within.alias("within_tolerance"),
     )

@@ -118,7 +118,7 @@ def vwap(
             ),
             mean_price,
         ).alias("vwap"),
-        F.sum(F.col(volume_col).cast("decimal(20,6)")).cast("double").alias(
+        F.sum(F.col(volume_col).cast("decimal(30,6)")).cast("double").alias(
             "total_volume"
         ),
         F.count(F.lit(1)).alias("n_obs"),

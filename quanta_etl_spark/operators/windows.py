@@ -525,7 +525,11 @@ def anomaly_zscore(
     )
     mu = F.avg(value_col).over(w)
     sd = F.stddev_samp(value_col).over(w)
-    z = (F.col(value_col) - mu) / sd
+    # sd > 0 guard: a zero-variance baseline yields 0/0 = NaN (which
+    # Spark ORDERS above every number, so abs(z) > t would flag it) or
+    # ±Inf — not NULL. Mirror the streaming twin (_zscore_fn) exactly:
+    # no flag without a positive-variance baseline.
+    z = F.when(sd > 0, (F.col(value_col) - mu) / sd)
     return df.withColumn("zscore", z).withColumn(
         "is_anomaly",
         F.when(

@@ -368,12 +368,20 @@ def write_versioned_parquet(
     3. the claim holder renames staging → ``v<N>`` (a metadata move;
        N is exclusively ours, so the target cannot exist) and creates
        the ``_COMMITTED`` marker inside it;
-    4. the claim file is removed and old committed versions beyond
-       ``keep_versions`` are garbage-collected — strictly after the
-       new version is visible, so a reader that resolved N-1 before
-       the commit keeps a valid directory for the retention window
-       (snapshot-isolation-lite; size retention to the longest
+    4. old committed versions beyond ``keep_versions`` are garbage-
+       collected (together with their claim files) — strictly after
+       the new version is visible, so a reader that resolved N-1
+       before the commit keeps a valid directory for the retention
+       window (snapshot-isolation-lite; size retention to the longest
        expected reader).
+
+    Claim files are NOT deleted at commit: a deleted claim would let a
+    writer holding a stale scan re-create ``v<N>._claim`` for an
+    already-committed N and rename its staging INSIDE the committed
+    directory (rename-into-existing-dir semantics) — the claim is the
+    tombstone that keeps every used number unclaimable for the
+    version's lifetime. Belt-and-braces, the claim holder also aborts
+    (rescans) if ``v<N>`` already exists.
 
     A writer that crashes mid-protocol leaves either an unreferenced
     staging directory or an orphan claim file — both invisible to
@@ -406,6 +414,10 @@ def write_versioned_parquet(
                 fs.create(claim, False).close()
             except Exception:
                 continue  # lost the race for this number; rescan
+            if fs.exists(_p(base + "/" + _VERSION_FMT.format(cand))):
+                # The number was committed under a legacy/foreign claim
+                # lifecycle; our claim file stays as its tombstone.
+                continue
             n = cand
             break
         if n is None:
@@ -420,13 +432,17 @@ def write_versioned_parquet(
             )
         staging = None  # renamed away; nothing to clean up
         fs.create(_p(vdir + "/" + _COMMIT_MARKER), False).close()
-        fs.delete(_p(vdir + _CLAIM_SUFFIX), False)
+        # claim file deliberately retained (see docstring)
     finally:
         if staging is not None and fs.exists(_p(staging)):
             fs.delete(_p(staging), True)
     retained = (versions + [n])[-keep_versions:] if keep_versions else [n]
     for old in (v for v in versions if v not in retained):
         fs.delete(_p(base + "/" + _VERSION_FMT.format(old)), True)
+        fs.delete(
+            _p(base + "/" + _VERSION_FMT.format(old) + _CLAIM_SUFFIX),
+            False,
+        )
     return n
 
 

@@ -395,6 +395,14 @@ def merge_stream_into_parquet(
     they can hit a brief mid-swap window, so only use it when nothing
     reads the table concurrently.
 
+    MIGRATION NOTE (default changed in r6): ``versioned=True`` writes
+    ``v<N>/`` subdirectories, NOT a flat parquet dir — a plain
+    ``spark.read.parquet(path)`` on the bare path no longer works
+    (and with recursive lookup would double-read retained versions).
+    Existing callers that read the bare path must either pass
+    ``versioned=False`` explicitly or switch their readers to
+    ``read_versioned_parquet``.
+
     Scale note: this rewrites the table per batch — correct and simple,
     O(table) per trigger. For high-frequency triggers on a big table,
     partition ``path`` and rewrite only the partitions the batch
@@ -539,8 +547,12 @@ def windowed_distinct_users(
     watermark horizon; for billions of users switch the dedup stage to
     an approximate HLL sketch merge in ``foreachBatch``.
     """
+    # The dedup bucket must be EXACTLY the aggregation window — a
+    # fixed date_trunc would under-count finer windows (one surviving
+    # row per hour) and over-count coarser ones (one per hour inside a
+    # day window). window() gives the tumbling-window start directly.
     bucketed = with_late_data_policy(df, ts_col, delay=delay).withColumn(
-        "__bucket", F.date_trunc("hour", F.col(ts_col))
+        "__bucket", F.window(F.col(ts_col), window).getField("start")
     )
     deduped = bucketed.dropDuplicates(["__bucket", user_col])
     return (

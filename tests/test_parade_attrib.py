@@ -100,3 +100,16 @@ def test_last_touch_same_ts_tiebreak(spark):
     ).collect()
     # click sorts before the purchase (smaller event_id) -> attributed
     assert out[0]["attributed_key"] == "cA"
+
+
+def test_paragraph_dedup_null_text_doc_survives(spark):
+    """split(NULL) explodes to nothing — the id spine must still carry
+    the document through with 0 paragraphs (review r6 finding)."""
+    docs = spark.createDataFrame(
+        [(1, "real content"), (2, None)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           C.paragraph_dedup(docs, min_repeats=2).collect()}
+    assert set(out) == {1, 2}
+    assert out[2]["n_paras"] == 0 and out[2]["n_kept"] == 0
+    assert out[2]["clean_text"] == ""

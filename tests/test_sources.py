@@ -542,3 +542,24 @@ def test_diff_versions_cdc(spark, tmp_path):
         3: ("delete", "c", None, 3.0, None),
         4: ("insert", None, "d", None, 4.0),
     }
+
+
+def test_versioned_claim_persists_as_tombstone(spark, tmp_path):
+    """Claims are retained after commit (review r6: deleting them lets
+    a stale writer re-claim a committed number and rename INTO the
+    committed directory); GC removes a version's claim with it."""
+    path = str(tmp_path / "vt_claims")
+    df = spark.range(3).toDF("id")
+    for _ in range(3):
+        readers.write_versioned_parquet(df, path, keep_versions=2)
+    import os
+
+    names = set(os.listdir(path))
+    # live versions keep their claim tombstones
+    assert "v0000000002._claim" in names
+    assert "v0000000003._claim" in names
+    # GC'd version 1 lost both its directory and its claim
+    assert "v0000000001" not in names
+    assert "v0000000001._claim" not in names
+    # and the table still reads the latest version fine
+    assert readers.read_versioned_parquet(spark, path).count() == 3

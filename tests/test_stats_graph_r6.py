@@ -207,3 +207,46 @@ def test_bfs_directed(spark):
     out = {r["node"]: r["depth"]
            for r in G.bfs_depths(e, src, max_hops=2, directed=True).collect()}
     assert out == {"a": 0, "b": 1}  # c unreachable along direction
+
+
+def test_mad_null_values_not_dropped_or_flagged(spark):
+    """NULL values are neither outliers nor silently removed by
+    mode='drop' (review r6 finding: ~NULL filtered the row)."""
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", None)],
+        "k string, v double",
+    )
+    flagged = {r["v"]: r["is_outlier"]
+               for r in Q.mad_outliers(df, "v", ["k"]).collect()}
+    assert flagged[None] is False
+    kept = Q.mad_outliers(df, "v", ["k"], mode="drop").count()
+    assert kept == 4  # the NULL row survives the drop
+
+
+def test_anomaly_zscore_constant_baseline_not_flagged(spark):
+    """A zero-variance trailing window must yield NULL zscore, never
+    NaN/Inf flags (review r6 finding; mirrors the streaming guard)."""
+    from quanta_etl_spark.operators import windows as W2
+
+    rows = [("u", i, 10.0) for i in range(25)] + [("u", 25, 99.0)]
+    df = spark.createDataFrame(rows, "k string, o long, v double")
+    out = {r["o"]: r for r in W2.anomaly_zscore(
+        df, "k", "o", "v", window_rows=20, threshold=2.5
+    ).collect()}
+    # rows inside the constant run: zscore NULL, not flagged
+    assert out[20]["zscore"] is None and out[20]["is_anomaly"] is False
+    # the spike against a constant baseline: also unflaggable (sd==0)
+    assert out[25]["zscore"] is None and out[25]["is_anomaly"] is False
+
+
+def test_reconcile_zero_totals_within_tolerance(spark):
+    df_fact = spark.createDataFrame([(1, 0.0)], "k long, total double")
+    df_det = spark.createDataFrame(
+        [(1, 5.0), (1, -5.0)], "fk long, amt double"
+    )
+    out = Q.reconcile_totals(
+        df_fact, df_det, "k", "fk", "total", F.col("amt"), tolerance=0.01
+    ).collect()[0]
+    assert out["recomputed"] == 0.0
+    assert out["within_tolerance"] is True
+    assert out["rel_diff"] is None  # undefined against a zero base

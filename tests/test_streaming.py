@@ -472,3 +472,31 @@ def test_windowed_distinct_users_matches_batch(spark, tmp_path):
     ).collect()
     got = {r["win"]["start"].hour: r["distinct_users"] for r in out}
     assert got == {10: 2, 11: 1}
+
+
+def test_windowed_distinct_users_non_hour_window(spark, tmp_path):
+    """The dedup bucket must track the window parameter: 30-min windows
+    count a user once per half hour, not once per hour."""
+    from pyspark.sql.types import LongType, TimestampType
+
+    ev_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10, 5)),
+        (1, dt.datetime(2024, 1, 1, 10, 40)),  # same hour, next 30-min
+        (2, dt.datetime(2024, 1, 1, 10, 10)),
+    ]
+    src = str(tmp_path / "ev30")
+    spark.createDataFrame(rows, ev_schema).write.parquet(src)
+    stream = ingest.read_stream(spark, src, ev_schema)
+    agg = ingest.windowed_distinct_users(stream, window="30 minutes")
+    out = _run_to_memory(
+        spark, agg, "distinct_users_30m", output_mode="complete"
+    ).collect()
+    got = {(r["win"]["start"].hour, r["win"]["start"].minute):
+           r["distinct_users"] for r in out}
+    assert got == {(10, 0): 2, (10, 30): 1}
