@@ -2608,6 +2608,30 @@ def q_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_event_trigrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 three-step event paths (events.event_ngram_paths):
+    lead()-built consecutive trigrams per user timeline, counted on
+    the tiny path key; ties break on the path string."""
+    ev = load_table(spark, sf, "events")
+    return event_ops.event_ngram_paths(
+        ev, "user_id", "ts", "event_type", n=3, top_k=20,
+        tiebreak_cols=["event_id"],
+    )
+
+
+def q_sequence_conformance(spark: SparkSession, sf: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: per-user event timelines serialized
+    deterministically (array_sort over (ts, id, type) structs) and
+    regex-tested for the signup→(click|view)*→purchase shape
+    (events.sequence_conformance)."""
+    ev = load_table(spark, sf, "events")
+    return event_ops.sequence_conformance(
+        ev, "user_id", "ts", "event_type",
+        pattern=r"^signup(>(click|view))*>purchase",
+        tiebreak_cols=["event_id"],
+    )
+
+
 def q_conversion_latency(spark: SparkSession, sf: str) -> DataFrame:
     """Signup→purchase time-to-convert distribution
     (events.conversion_latency): first purchase at-or-after the first
@@ -2756,11 +2780,13 @@ def queries() -> dict[str, QueryFn]:
         # -- (1) new this round: streaming forward-fill gate -----------
         "stream_forward_fill": q_stream_forward_fill,
         # ---- 50-entry gate cap lands after the entry above -----------
-        # -- (1b) r6-new overflow: positions 51-53, rotate under the
+        # -- (1b) r6-new overflow: positions 51+, rotate under the
         #    cap in r7 (local gate-replica green at sf0.001 + sf0.01) --
         "quantile_bins": q_quantile_bins,
         "salted_agg": q_salted_agg,
         "dow_seasonality": q_dow_seasonality,
+        "event_trigrams": q_event_trigrams,
+        "sequence_conformance": q_sequence_conformance,
         # -- (2) r5-green, code path changed this round ----------------
         "corpus_mix": q_corpus_mix,
         "emb_topk_ivf": q_emb_topk_ivf,
@@ -2984,6 +3010,34 @@ def _lsh_topk_oracle(num_planes: int = 6, k: int = 5) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "event_trigrams": """
+            WITH s AS (
+                SELECT event_type AS a,
+                       lead(event_type, 1) OVER w AS b,
+                       lead(event_type, 2) OVER w AS c
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), p AS (
+                SELECT a || ' > ' || b || ' > ' || c AS path
+                FROM s WHERE c IS NOT NULL
+            )
+            SELECT path, count(*) AS n_paths
+            FROM p GROUP BY path
+            ORDER BY n_paths DESC, path ASC
+            LIMIT 20
+        """,
+        "sequence_conformance": """
+            WITH per AS (
+                SELECT user_id AS "user",
+                       string_agg(event_type, '>'
+                                  ORDER BY ts, event_id) AS sequence
+                FROM events GROUP BY 1
+            )
+            SELECT "user", sequence,
+                   regexp_matches(sequence,
+                       '^signup(>(click|view))*>purchase') AS conforms
+            FROM per
+        """,
         "conversion_latency": """
             WITH f AS (
                 SELECT user_id, min(ts) AS t0 FROM events

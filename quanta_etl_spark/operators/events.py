@@ -402,3 +402,81 @@ def conversion_latency(
         (F.percentile("__lat", F.lit(0.5)) / 1e6).alias("p50_latency_s"),
         (F.percentile("__lat", F.lit(0.9)) / 1e6).alias("p90_latency_s"),
     )
+
+
+def event_ngram_paths(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    n: int = 3,
+    top_k: int = 20,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Top-k most frequent length-``n`` event paths (consecutive-event
+    n-grams on the per-user timeline) — the sequence-mining rollup
+    behind "what do users do next" sankeys. A path never crosses
+    users; rows whose lookahead runs off the user's timeline emit
+    nothing.
+
+    Shape: n−1 lead() picks over ONE window pass (same frame, Catalyst
+    fuses them into a single Window node), then a count aggregation on
+    the tiny path key and a TakeOrderedAndProject — raw events shuffle
+    once, on the user key. Count ties break on the path string so the
+    top-k is deterministic.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col), *[F.col(c) for c in tiebreak_cols]
+    )
+    steps = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, n)
+    ]
+    path = F.concat_ws(" > ", *steps)
+    complete = df.withColumn("__last", steps[-1]).withColumn(
+        "path", path
+    ).where(F.col("__last").isNotNull())
+    counts = complete.groupBy("path").agg(F.count(F.lit(1)).alias("n_paths"))
+    return (
+        counts.orderBy(F.col("n_paths").desc(), F.col("path").asc())
+        .limit(top_k)
+    )
+
+
+def sequence_conformance(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    pattern: str,
+    sep: str = ">",
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-user sequence-pattern conformance (MATCH_RECOGNIZE-lite):
+    serialize each user's full event-type timeline into a delimited
+    string (order restored by an array_sort over (ts, tiebreaks, type)
+    structs — deterministic under any partitioning) and test it
+    against a regex ``pattern``. Returns (user, sequence, conforms).
+
+    The regex runs ONCE per user on the serialized timeline — pattern
+    logic stays declarative instead of a hand-built state machine of
+    window flags. State per user is its event-type string; for users
+    with millions of events, pre-aggregate to run-length-encoded types
+    first.
+    """
+    order_struct = F.struct(
+        F.col(ts_col).alias("__t"),
+        *[F.col(c).alias(f"__tb{i}") for i, c in enumerate(tiebreak_cols)],
+        F.col(type_col).alias("__e"),
+    )
+    per_user = df.groupBy(F.col(user_col).alias("user")).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(order_struct)),
+                lambda s: s["__e"],
+            ),
+            sep,
+        ).alias("sequence")
+    )
+    return per_user.withColumn(
+        "conforms", F.regexp_like(F.col("sequence"), F.lit(pattern))
+    )

@@ -416,3 +416,52 @@ class TestConversionLatency:
         assert out["n_converted"] == 2
         assert out["mean_latency_s"] == pytest.approx(20.0)
         assert out["p50_latency_s"] == pytest.approx(20.0)
+
+
+class TestSequenceMining:
+    def test_trigram_paths(self, spark):
+        rows = [
+            (1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 4, "b"),
+            (2, 1, "a"), (2, 2, "b"), (2, 3, "c"),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, o long, event_type string"
+        ).withColumn("ts", F.to_timestamp(F.lit("2024-01-01")) +
+                     F.make_interval(secs=F.col("o")))
+        from quanta_etl_spark.operators import events as E2
+
+        out = E2.event_ngram_paths(
+            df, "user_id", "ts", "event_type", n=3, top_k=5
+        ).collect()
+        got = {r["path"]: r["n_paths"] for r in out}
+        # user1: a>b>c, b>c>b; user2: a>b>c — no cross-user paths
+        assert got == {"a > b > c": 2, "b > c > b": 1}
+        # deterministic order: count desc then path asc
+        assert [r["path"] for r in out] == ["a > b > c", "b > c > b"]
+
+    def test_sequence_conformance(self, spark):
+        rows = [
+            (1, 1, "signup"), (1, 2, "click"), (1, 3, "purchase"),
+            (2, 1, "click"), (2, 2, "purchase"),
+            (3, 1, "signup"), (3, 2, "error"),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, o long, event_type string"
+        ).withColumn("ts", F.to_timestamp(F.lit("2024-01-01")) +
+                     F.make_interval(secs=F.col("o")))
+        from quanta_etl_spark.operators import events as E2
+
+        out = {r["user"]: r for r in E2.sequence_conformance(
+            df, "user_id", "ts", "event_type",
+            pattern=r"^signup(>(click|view))*>purchase",
+        ).collect()}
+        assert out[1]["sequence"] == "signup>click>purchase"
+        assert out[1]["conforms"] is True
+        assert out[2]["conforms"] is False  # no signup first
+        assert out[3]["conforms"] is False  # never purchases
+        # repartition determinism of the serialized sequence
+        again = {r["user"]: r["sequence"] for r in E2.sequence_conformance(
+            df.repartition(4), "user_id", "ts", "event_type",
+            pattern=r"^signup",
+        ).collect()}
+        assert again == {u: r["sequence"] for u, r in out.items()}
