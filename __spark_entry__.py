@@ -2608,6 +2608,26 @@ def q_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_sample_per_class(spark: SparkSession, sf: str) -> DataFrame:
+    """Exactly-5-per-source deterministic document sample
+    (sampling.fixed_n_per_group): md5-rank pick, stable across runs,
+    partitionings, and engines — the balanced eval-set primitive."""
+    docs = load_table(spark, sf, "documents")
+    out = samp_ops.fixed_n_per_group(docs, ["source"], 5, "doc_id")
+    return out.select("source", "doc_id", "n_chars")
+
+
+def q_table_checksum(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-invariant dataset checksum over lineitem's key columns
+    (quality.table_checksum): decimal sum of a 60-bit portable row
+    hash — the sort-free data-equality certificate for migrations and
+    compactions."""
+    li = load_table(spark, sf, "lineitem")
+    return quality_ops.table_checksum(
+        li, ["l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate"]
+    )
+
+
 def q_event_trigrams(spark: SparkSession, sf: str) -> DataFrame:
     """Top-20 three-step event paths (events.event_ngram_paths):
     lead()-built consecutive trigrams per user timeline, counted on
@@ -2787,6 +2807,8 @@ def queries() -> dict[str, QueryFn]:
         "dow_seasonality": q_dow_seasonality,
         "event_trigrams": q_event_trigrams,
         "sequence_conformance": q_sequence_conformance,
+        "sample_per_class": q_sample_per_class,
+        "table_checksum": q_table_checksum,
         # -- (2) r5-green, code path changed this round ----------------
         "corpus_mix": q_corpus_mix,
         "emb_topk_ivf": q_emb_topk_ivf,
@@ -3010,6 +3032,35 @@ def _lsh_topk_oracle(num_planes: int = 6, k: int = 5) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "sample_per_class": """
+            WITH ranked AS (
+                SELECT source, doc_id, n_chars,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY CAST(('0x' || substr(
+                                   md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                               AS UBIGINT) ASC,
+                               doc_id ASC
+                       ) AS rn
+                FROM documents
+            )
+            SELECT source, doc_id, n_chars FROM ranked WHERE rn <= 5
+        """,
+        "table_checksum": """
+            WITH rows_c AS (
+                SELECT concat_ws(chr(31),
+                           CAST(l_orderkey AS VARCHAR),
+                           CAST(l_linenumber AS VARCHAR),
+                           l_returnflag,
+                           CAST(l_shipdate AS VARCHAR)) AS row_str
+                FROM lineitem
+            )
+            SELECT count(*) AS n_rows,
+                   CAST(sum(CAST(CAST(('0x' || substr(md5(row_str), 1, 15))
+                                      AS UBIGINT) AS DECIMAL(38,0)))
+                        AS VARCHAR) AS checksum
+            FROM rows_c
+        """,
         "event_trigrams": """
             WITH s AS (
                 SELECT event_type AS a,

@@ -418,3 +418,51 @@ def reconcile_totals(
         rel.alias("rel_diff"),
         within.alias("within_tolerance"),
     )
+
+
+def table_checksum(
+    df: DataFrame,
+    cols: Sequence[str],
+    precision: int = 6,
+) -> DataFrame:
+    """Order-invariant dataset checksum: one row ``(n_rows, checksum)``
+    where the checksum is the exact decimal SUM of a 60-bit portable
+    hash of each row's canonical string — equal datasets produce equal
+    checksums on ANY engine, without sorting anything. The tool for
+    "did the migration/compaction/repartition preserve the data?" at
+    sizes where a sort-and-diff is unaffordable.
+
+    Canonical form: each value rendered with ``precision`` decimals
+    for floats (matching the correctness-gate protocol), NULL as a
+    sentinel, columns joined with a field separator. Collisions:
+    summing 60-bit hashes detects any single-row difference and makes
+    coincidental cancellation of multiple differences ~2^-60 unlikely.
+
+    Shape: pure map-side expression + one global aggregation —
+    scan-bound, no shuffle beyond the final partial-sum combine.
+    """
+    from quanta_etl_spark.functions.text import portable_hash60
+
+    sep = chr(31)  # ASCII unit separator: never appears in the data
+    parts = []
+    for c in cols:
+        col = F.col(c)
+        dt = dict(df.dtypes)[c]
+        if dt in ("double", "float"):
+            # %.Nf (no grouping separators — format_number inserts
+            # commas); Java rounds half-up vs C half-even, a divergence
+            # only reachable when a double is exactly representable at
+            # the (N+1)th decimal — prefer integer/string/date keys for
+            # cross-engine checksums and treat float columns as best-
+            # effort.
+            rendered = F.format_string(f"%.{precision}f", col.cast("double"))
+        else:
+            rendered = col.cast("string")
+        parts.append(F.coalesce(rendered, F.lit("<null>")))
+    row_str = F.concat_ws(sep, *parts)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(portable_hash60(row_str).cast("decimal(38,0)"))
+        .cast("string")
+        .alias("checksum"),
+    )

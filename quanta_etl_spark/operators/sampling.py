@@ -119,3 +119,32 @@ def quantile_bins(
         F.col(value_col), *[F.col(c) for c in tiebreak_cols]
     )
     return df.withColumn(out, F.ntile(num_bins).over(w))
+
+
+def fixed_n_per_group(
+    df: DataFrame,
+    by: Sequence[str],
+    n: int,
+    id_col: str,
+) -> DataFrame:
+    """Exactly-N-per-group deterministic sampling: keep the ``n`` rows
+    of each group with the smallest md5-hash of their id — the
+    "N examples per class" primitive (eval set construction, balanced
+    debugging samples). Unlike fraction-based sampling the group
+    quota is exact; unlike ORDER BY rand() the pick is stable across
+    runs, partitionings, and engines (the hash is a pure function of
+    the id).
+
+    Shape: one window (row_number over the hash order) per group —
+    shuffles once on the group key. Groups smaller than ``n`` keep
+    everything.
+    """
+    from quanta_etl_spark.functions.text import portable_hash60
+
+    h = portable_hash60(F.col(id_col).cast("string"))
+    w = Window.partitionBy(*by).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n)
+        .drop("__rn")
+    )

@@ -335,3 +335,25 @@ def test_reconcile_totals(spark):
     # no detail rows: NULL recomputed, surfaced as out-of-tolerance
     assert out[3]["recomputed"] is None
     assert out[3]["within_tolerance"] is False
+
+
+def test_table_checksum_order_invariant_and_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None), (3, None, 0.25)],
+        "k long, s string, v double",
+    )
+    base = Q.table_checksum(df, ["k", "s", "v"]).collect()[0]
+    assert base["n_rows"] == 3
+    # row order / partitioning invariance
+    shuffled = Q.table_checksum(
+        df.orderBy(F.desc("k")).repartition(5), ["k", "s", "v"]
+    ).collect()[0]
+    assert shuffled["checksum"] == base["checksum"]
+    # any single-value change moves the checksum
+    changed = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None), (3, None, 0.250001)],
+        "k long, s string, v double",
+    )
+    assert Q.table_checksum(changed, ["k", "s", "v"]).collect()[0][
+        "checksum"
+    ] != base["checksum"]

@@ -106,3 +106,22 @@ def test_quantile_bins_deterministic_and_balanced(spark):
     for r in out.collect():
         by_bin.setdefault(r["bin"], []).append(r["v"])
     assert max(by_bin[1]) <= min(by_bin[4])
+
+
+def test_fixed_n_per_group(spark):
+    from quanta_etl_spark.operators import sampling as samp2
+
+    rows = [(g, i) for g in "abc" for i in range(g == "c" and 2 or 10)]
+    df = spark.createDataFrame(
+        [(g, f"{g}{i}") for g, i in rows], "grp string, id string"
+    )
+    out = samp2.fixed_n_per_group(df, ["grp"], 3, "id")
+    from collections import Counter
+
+    counts = Counter(r["grp"] for r in out.collect())
+    assert counts == {"a": 3, "b": 3, "c": 2}  # small group keeps all
+    # deterministic pick across partitionings
+    again = samp2.fixed_n_per_group(df.repartition(7), ["grp"], 3, "id")
+    assert sorted(r["id"] for r in out.collect()) == sorted(
+        r["id"] for r in again.collect()
+    )
