@@ -2608,6 +2608,56 @@ def q_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dedup_multikey(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-key transitive entity resolution
+    (dedup.multikey_clusters): synthetic email/phone identifiers over
+    customers (congruence classes mod 700 / mod 900, so the two keys
+    chain records the other can't) — linear star edges per key value +
+    one connected-components pass; the oracle recomputes the clusters
+    with a recursive min-label CTE."""
+    c = load_table(spark, sf, "customer")
+    ents = c.select(
+        F.col("c_custkey").alias("id"),
+        F.concat(F.lit("e"), (F.col("c_custkey") % 700)).alias("email_key"),
+        F.concat(F.lit("p"), (F.col("c_custkey") % 900)).alias("phone_key"),
+    )
+    return dedup_ops.multikey_clusters(
+        ents, "id", ["email_key", "phone_key"]
+    ).select("id", "cluster_id", "cluster_size")
+
+
+def q_interval_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval×interval overlap join (joins.interval_overlap_join,
+    banded onto a 10-minute grid): per user, 10-minute click windows
+    intersected with 10-minute purchase windows, overlap in exact
+    integer microseconds — the session-intersection primitive, as an
+    equi-join on (user, grid cell) + residual filter."""
+    ev = load_table(spark, sf, "events")
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    us = lambda c: F.timestamp_diff("MICROSECOND", epoch, F.col(c))  # noqa: E731
+    win_us = 600 * 1_000_000
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        us("ts").alias("c_start"),
+        (us("ts") + win_us).alias("c_end"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        us("ts").alias("p_start"),
+        (us("ts") + win_us).alias("p_end"),
+    )
+    out = join_ops.interval_overlap_join(
+        clicks, purchases, "click_id", "purchase_id",
+        "c_start", "c_end", "p_start", "p_end",
+        keys=["user_id"], bin_width=float(win_us),
+    )
+    return out.select(
+        "user_id", "click_id", "purchase_id", "overlap"
+    )
+
+
 def q_sample_per_class(spark: SparkSession, sf: str) -> DataFrame:
     """Exactly-5-per-source deterministic document sample
     (sampling.fixed_n_per_group): md5-rank pick, stable across runs,
@@ -2809,6 +2859,8 @@ def queries() -> dict[str, QueryFn]:
         "sequence_conformance": q_sequence_conformance,
         "sample_per_class": q_sample_per_class,
         "table_checksum": q_table_checksum,
+        "dedup_multikey": q_dedup_multikey,
+        "interval_overlap": q_interval_overlap,
         # -- (2) r5-green, code path changed this round ----------------
         "corpus_mix": q_corpus_mix,
         "emb_topk_ivf": q_emb_topk_ivf,
@@ -3032,6 +3084,56 @@ def _lsh_topk_oracle(num_planes: int = 6, k: int = 5) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "dedup_multikey": """
+            WITH RECURSIVE ents AS (
+                SELECT c_custkey AS id,
+                       'e' || CAST(c_custkey % 700 AS VARCHAR) AS ek,
+                       'p' || CAST(c_custkey % 900 AS VARCHAR) AS pk
+                FROM customer
+            ), ce AS (
+                SELECT ek, min(id) AS ctr FROM ents GROUP BY ek
+            ), cp AS (
+                SELECT pk, min(id) AS ctr FROM ents GROUP BY pk
+            ), star AS (
+                SELECT ce.ctr AS a, e.id AS b
+                FROM ents e JOIN ce USING (ek) WHERE e.id <> ce.ctr
+                UNION
+                SELECT cp.ctr AS a, e.id AS b
+                FROM ents e JOIN cp USING (pk) WHERE e.id <> cp.ctr
+            ), edges AS (
+                SELECT a, b FROM star
+                UNION
+                SELECT b AS a, a AS b FROM star
+            ), cc(node, lbl) AS (
+                SELECT id, id FROM ents
+                UNION
+                SELECT e.b, c.lbl FROM cc c JOIN edges e ON e.a = c.node
+                WHERE c.lbl < e.b
+            ), lab AS (
+                SELECT node AS id, min(lbl) AS cluster_id
+                FROM cc GROUP BY node
+            )
+            SELECT id, cluster_id,
+                   count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+            FROM lab
+        """,
+        "interval_overlap": """
+            WITH c AS (
+                SELECT user_id, event_id AS click_id,
+                       epoch_us(ts) AS cs,
+                       epoch_us(ts) + 600000000 AS ce
+                FROM events WHERE event_type = 'click'
+            ), p AS (
+                SELECT user_id, event_id AS purchase_id,
+                       epoch_us(ts) AS ps,
+                       epoch_us(ts) + 600000000 AS pe
+                FROM events WHERE event_type = 'purchase'
+            )
+            SELECT c.user_id, c.click_id, p.purchase_id,
+                   least(c.ce, p.pe) - greatest(c.cs, p.ps) AS overlap
+            FROM c JOIN p ON c.user_id = p.user_id
+             AND c.cs < p.pe AND p.ps < c.ce
+        """,
         "sample_per_class": """
             WITH ranked AS (
                 SELECT source, doc_id, n_chars,

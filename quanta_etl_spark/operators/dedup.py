@@ -1230,3 +1230,51 @@ def survivor_per_cluster(
             "cluster_size", F.count(F.lit(1)).over(stats)
         )
     return ranked.where(F.col("__rn") == 1).drop("__rn")
+
+
+def multikey_clusters(
+    df: DataFrame,
+    id_col: str,
+    key_cols: Sequence[str],
+) -> DataFrame:
+    """Multi-key transitive entity resolution: records sharing ANY of
+    the ``key_cols`` values (email OR phone OR device id …) collapse
+    into one cluster, transitively — A~B on email and B~C on phone
+    puts A,B,C together. The identity-stitching step single-key
+    fingerprint dedup can't express.
+
+    Returns (id, cluster_id, cluster_size); cluster_id is the minimum
+    member id, singletons cluster with themselves. NULL key values
+    never link records.
+
+    Shape: per key column, one aggregation finds the min record id per
+    key VALUE and emits star edges (value-center ↔ member) — LINEAR in
+    the data, never the quadratic all-pairs within a key value — then
+    one connected-components pass over the unioned star edges (the
+    size-adaptive CC in operators/graph.py). At 100 TB every shuffle
+    hashes on record or key ids; no step materializes a pair set
+    larger than the input.
+    """
+    from quanta_etl_spark.operators import graph as graph_ops
+
+    edges = None
+    for k in key_cols:
+        keyed = df.where(F.col(k).isNotNull()).select(
+            F.col(id_col).alias("__id"), F.col(k).alias("__k")
+        )
+        centers = keyed.groupBy("__k").agg(F.min("__id").alias("__c"))
+        e = (
+            keyed.join(centers, "__k")
+            .where(F.col("__id") != F.col("__c"))
+            .select(
+                F.col("__c").alias("id_a"), F.col("__id").alias("id_b")
+            )
+        )
+        edges = e if edges is None else edges.unionByName(e)
+    clustered = graph_ops.assign_clusters(edges.distinct())
+    ids = df.select(F.col(id_col).alias("id")).distinct()
+    out = ids.join(clustered, "id", "left").select(
+        "id", F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id")
+    )
+    w = Window.partitionBy("cluster_id")
+    return out.withColumn("cluster_size", F.count(F.lit(1)).over(w))

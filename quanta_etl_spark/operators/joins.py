@@ -332,3 +332,77 @@ def temporal_join(
     for k in keys:
         out = out.drop(versions[k])
     return out
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_id: str,
+    r_id: str,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    keys: Sequence[str] = (),
+    bin_width: float | None = None,
+) -> DataFrame:
+    """Interval × interval overlap join (half-open [start, end)):
+    every (left, right) pair whose ranges intersect, with the overlap
+    length — the calendar/genomics/session-intersection primitive
+    ``range_join`` (point ∈ interval) doesn't cover.
+
+    Without ``bin_width``: a conditional join (nested-loop unless
+    ``keys`` give an equi component) — fine for dimension-scale
+    interval sets. With ``bin_width``: both sides explode onto a
+    fixed-width grid and the join becomes an EQUI-join on (keys, bin)
+    + residual overlap filter + pair dedup — each interval lands in
+    ceil(len/width) cells, so the join shuffles/partitions like any
+    equi-join at 100 TB. Size the grid to the typical interval length
+    (cells ≈ interval → ~2 cells per interval).
+    """
+    overlap_cond = (F.col("__ls") < F.col("__re")) & (
+        F.col("__rs") < F.col("__le")
+    )
+    lsel = left.select(
+        *keys,
+        F.col(l_id).alias("__lid"),
+        F.col(l_start).alias("__ls"),
+        F.col(l_end).alias("__le"),
+    )
+    rsel = right.select(
+        *keys,
+        F.col(r_id).alias("__rid"),
+        F.col(r_start).alias("__rs"),
+        F.col(r_end).alias("__re"),
+    )
+    if bin_width is None:
+        joined = lsel.join(rsel, list(keys)) if keys else lsel.crossJoin(rsel)
+        pairs = joined.where(overlap_cond)
+    else:
+        def bins(s, e):
+            return F.sequence(
+                F.floor(F.col(s) / bin_width),
+                F.floor((F.col(e) - 1e-9) / bin_width),
+            )
+
+        lb = lsel.withColumn("__bin", F.explode(bins("__ls", "__le")))
+        rb = rsel.withColumn("__bin", F.explode(bins("__rs", "__re")))
+        pairs = (
+            lb.join(rb, [*keys, "__bin"])
+            .where(overlap_cond)
+            .drop("__bin")
+            .dropDuplicates([*keys, "__lid", "__rid"])
+        )
+    return pairs.select(
+        *keys,
+        F.col("__lid").alias(l_id),
+        F.col("__rid").alias(r_id),
+        F.col("__ls").alias(l_start),
+        F.col("__le").alias(l_end),
+        F.col("__rs").alias(r_start),
+        F.col("__re").alias(r_end),
+        (
+            F.least(F.col("__le"), F.col("__re"))
+            - F.greatest(F.col("__ls"), F.col("__rs"))
+        ).alias("overlap"),
+    )

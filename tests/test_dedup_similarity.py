@@ -298,3 +298,24 @@ def test_label_cohesion_geometry(spark):
     again = {r["label"]: r["cohesion"]
              for r in S2.label_cohesion(df.repartition(7)).collect()}
     assert again == {k: v["cohesion"] for k, v in out.items()}
+
+
+def test_multikey_clusters_transitive(spark):
+    """A~B by email, B~C by phone => one cluster; D isolated."""
+    from quanta_etl_spark.operators import dedup as D2
+
+    rows = [
+        (1, "e1", "p1"),
+        (2, "e1", "p2"),   # shares email with 1
+        (3, "e3", "p2"),   # shares phone with 2 -> transitively with 1
+        (4, "e4", None),   # NULL phone never links
+        (5, None, None),   # fully isolated
+    ]
+    df = spark.createDataFrame(rows, "id long, email string, phone string")
+    out = {r["id"]: r for r in D2.multikey_clusters(
+        df, "id", ["email", "phone"]
+    ).collect()}
+    assert out[1]["cluster_id"] == out[2]["cluster_id"] == out[3]["cluster_id"] == 1
+    assert out[1]["cluster_size"] == 3
+    assert out[4]["cluster_id"] == 4 and out[4]["cluster_size"] == 1
+    assert out[5]["cluster_id"] == 5

@@ -177,3 +177,24 @@ def test_temporal_join_inner_drops_unmatched(spark):
     ).withColumn("ts", F.to_timestamp("d"))
     got = J2.temporal_join(facts, versions, "user", "ts", how="inner")
     assert [r["fid"] for r in got.collect()] == [2]
+
+
+def test_interval_overlap_join_banded_equals_naive(spark):
+    from quanta_etl_spark.operators import joins as J3
+
+    lrows = [(1, 0.0, 10.0), (2, 20.0, 25.0), (3, 38.0, 42.0)]
+    rrows = [(7, 5.0, 8.0), (8, 9.0, 21.0), (9, 42.0, 50.0)]
+    left = spark.createDataFrame(lrows, "lid long, s double, e double")
+    right = spark.createDataFrame(rrows, "rid long, s2 double, e2 double")
+    naive = J3.interval_overlap_join(
+        left, right, "lid", "rid", "s", "e", "s2", "e2"
+    )
+    banded = J3.interval_overlap_join(
+        left, right, "lid", "rid", "s", "e", "s2", "e2", bin_width=7.0
+    )
+    want = {(1, 7), (1, 8), (2, 8)}  # [38,42) vs [42,50) do NOT touch
+    got_n = {(r["lid"], r["rid"]) for r in naive.collect()}
+    got_b = {(r["lid"], r["rid"]) for r in banded.collect()}
+    assert got_n == want and got_b == want
+    ov = {(r["lid"], r["rid"]): r["overlap"] for r in banded.collect()}
+    assert ov[(1, 7)] == 3.0 and ov[(1, 8)] == 1.0 and ov[(2, 8)] == 1.0
