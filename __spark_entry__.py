@@ -2608,6 +2608,35 @@ def q_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_text_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 PMI collocations over the corpus
+    (text_stats.collocations): adjacent bigram vs unigram probability
+    ratio, min-count 5, linear zip-based pairing — the phrase-mining /
+    tokenizer-merge-candidate extractor."""
+    docs = load_table(spark, sf, "documents")
+    return ts_ops.collocations(docs, "text", min_count=5, top_k=20)
+
+
+def q_text_bm25(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 top-20 retrieval for a fixed query
+    (text_stats.bm25_topk): inverted-index-style postings filter
+    inside the explode, broadcast df/corpus-stats joins, decimal-
+    accumulated per-document score — the lexical-search baseline."""
+    docs = load_table(spark, sf, "documents")
+    return ts_ops.bm25_topk(
+        docs, "doc_id", "text", ["window", "shuffle", "vector"], top_k=20
+    )
+
+
+def q_emb_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Nearest-centroid confusion matrix over the embeddings table
+    (similarity.centroid_confusion): decimal-exact centroids + cosine
+    argmax with (score, label) tiebreaks — the cluster-separability
+    eval."""
+    emb = load_table(spark, sf, "embeddings")
+    return sim_ops.centroid_confusion(emb, "embedding", "label", "vec_id")
+
+
 def q_dedup_multikey(spark: SparkSession, sf: str) -> DataFrame:
     """Multi-key transitive entity resolution
     (dedup.multikey_clusters): synthetic email/phone identifiers over
@@ -2861,6 +2890,9 @@ def queries() -> dict[str, QueryFn]:
         "table_checksum": q_table_checksum,
         "dedup_multikey": q_dedup_multikey,
         "interval_overlap": q_interval_overlap,
+        "text_collocations": q_text_collocations,
+        "text_bm25": q_text_bm25,
+        "emb_confusion": q_emb_confusion,
         # -- (2) r5-green, code path changed this round ----------------
         "corpus_mix": q_corpus_mix,
         "emb_topk_ivf": q_emb_topk_ivf,
@@ -3084,6 +3116,110 @@ def _lsh_topk_oracle(num_planes: int = 6, k: int = 5) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "text_collocations": """
+            WITH norm AS (
+                SELECT string_split(
+                    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                    ' ') AS t
+                FROM documents
+            ), uni AS (
+                SELECT unnest(t) AS a FROM norm
+            ), ucnt AS (
+                SELECT a, count(*) AS n_a FROM uni GROUP BY a
+            ), bg AS (
+                SELECT unnest([t[i] || ' ' || t[i + 1]
+                               FOR i IN generate_series(1,
+                                   greatest(len(t) - 1, 0))]) AS bigram
+                FROM norm
+            ), bcnt AS (
+                SELECT bigram, count(*) AS n_ab FROM bg GROUP BY bigram
+            ), tot AS (
+                SELECT (SELECT sum(n_a) FROM ucnt) AS tu,
+                       (SELECT sum(n_ab) FROM bcnt) AS tb
+            ), scored AS (
+                SELECT b.bigram, b.n_ab,
+                       ln((CAST(b.n_ab AS DOUBLE) / tb)
+                          / ((CAST(ua.n_a AS DOUBLE) / tu)
+                             * (CAST(ub.n_a AS DOUBLE) / tu))) AS pmi
+                FROM bcnt b
+                JOIN ucnt ua ON ua.a = string_split(b.bigram, ' ')[1]
+                JOIN ucnt ub ON ub.a = string_split(b.bigram, ' ')[2]
+                CROSS JOIN tot
+                WHERE b.n_ab >= 5
+            )
+            SELECT bigram, n_ab, pmi FROM scored
+            ORDER BY pmi DESC, bigram ASC LIMIT 20
+        """,
+        "text_bm25": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split(trim(regexp_replace(
+                           lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+                FROM documents
+            ), dl AS (
+                SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+            ), corpus AS (
+                SELECT count(*) AS n_docs,
+                       CAST(sum(CAST(dl AS DECIMAL(30,6))) AS DOUBLE)
+                           / count(*) AS avgdl
+                FROM dl
+            ), tf AS (
+                SELECT doc_id, term, count(*) AS tf FROM toks
+                WHERE term IN ('window', 'shuffle', 'vector')
+                GROUP BY 1, 2
+            ), dfreq AS (
+                SELECT term, count(*) AS df FROM tf GROUP BY 1
+            ), per_term AS (
+                SELECT tf.doc_id,
+                       ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+                       * (tf.tf * (1.2 + 1))
+                         / (tf.tf + 1.2 * (1 - 0.75
+                            + 0.75 * dl.dl / c.avgdl)) AS s
+                FROM tf
+                JOIN dfreq d USING (term)
+                JOIN dl ON tf.doc_id = dl.doc_id
+                CROSS JOIN corpus c
+            )
+            SELECT doc_id,
+                   CAST(sum(CAST(s AS DECIMAL(38,18))) AS DOUBLE)
+                       AS score,
+                   count(*) AS n_terms_hit
+            FROM per_term GROUP BY doc_id
+            ORDER BY score DESC, doc_id ASC LIMIT 20
+        """,
+        "emb_confusion": """
+            WITH ex AS (
+                SELECT label, vec_id AS vid,
+                       generate_subscripts(embedding, 1) AS pos,
+                       CAST(unnest(embedding) AS DOUBLE) AS v
+                FROM embeddings
+            ), cent AS (
+                SELECT label AS clabel, pos,
+                       CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE)
+                           / count(*) AS c
+                FROM ex GROUP BY 1, 2
+            ), scored AS (
+                SELECT e.label, e.vid, ct.clabel,
+                       CAST(sum(CAST(e.v * ct.c AS DECIMAL(38,18)))
+                            AS DOUBLE) AS dot,
+                       CAST(sum(CAST(e.v * e.v AS DECIMAL(38,18)))
+                            AS DOUBLE) AS nv,
+                       CAST(sum(CAST(ct.c * ct.c AS DECIMAL(38,18)))
+                            AS DOUBLE) AS nc
+                FROM ex e JOIN cent ct USING (pos)
+                GROUP BY 1, 2, 3
+            ), ranked AS (
+                SELECT label, vid, clabel,
+                       row_number() OVER (
+                           PARTITION BY vid
+                           ORDER BY dot / (sqrt(nv) * sqrt(nc)) DESC,
+                                    clabel ASC) AS rn
+                FROM scored
+            )
+            SELECT label, clabel AS predicted, count(*) AS n
+            FROM ranked WHERE rn = 1
+            GROUP BY 1, 2
+        """,
         "dedup_multikey": """
             WITH RECURSIVE ents AS (
                 SELECT c_custkey AS id,

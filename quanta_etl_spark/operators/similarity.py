@@ -369,3 +369,65 @@ def label_cohesion(
             / F.count(F.lit(1))
         ).alias("cohesion"),
     )
+
+
+def centroid_confusion(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-centroid classification eval: assign every vector to the
+    label centroid it is most cosine-similar to, then report the
+    confusion matrix ``(label, predicted, n)`` — the quick "are these
+    embedding clusters separable?" answer (and the eval harness shape
+    for any label-vs-cluster comparison).
+
+    Determinism discipline matches :func:`label_cohesion`: centroids
+    from decimal component sums, per-(vector, centroid) dots/norms
+    decimal-accumulated, argmax by (cosine desc, label asc) —
+    reproducible on any engine at any partitioning.
+
+    Shape: centroids are |labels|·dims rows (broadcast); scoring joins
+    each exploded vector component against every centroid's — the
+    |vectors|·dims·|labels| intermediate rides one shuffle to the
+    (vector, centroid) grain. For thousands of labels switch to the
+    IVF/LSH pruned path; exact all-centroid scoring is right at
+    classifier-eval scale.
+    """
+    ex = df.select(
+        F.col(label_col).alias("label"),
+        F.col(id_col).alias("vid"),
+        F.posexplode(F.col(vec_col)).alias("pos", "v"),
+    ).withColumn("v", F.col("v").cast("double"))
+    cent = ex.groupBy(F.col("label").alias("clabel"), F.col("pos")).agg(
+        (
+            F.sum(F.col("v").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    scored = ex.join(F.broadcast(cent), "pos").groupBy(
+        "label", "vid", "clabel"
+    ).agg(
+        F.sum((F.col("v") * F.col("c")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("dot"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("nv"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("nc"),
+    )
+    cos = F.col("dot") / (F.sqrt(F.col("nv")) * F.sqrt(F.col("nc")))
+    w = Window.partitionBy("vid").orderBy(
+        cos.desc(), F.col("clabel").asc()
+    )
+    assigned = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("label", F.col("clabel").alias("predicted"))
+    )
+    return assigned.groupBy("label", "predicted").agg(
+        F.count(F.lit(1)).alias("n")
+    )

@@ -222,3 +222,150 @@ def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             "entropy_bits"
         ),
     )
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-k adjacent-bigram collocations by PMI — pointwise mutual
+    information log(P(ab) / (P(a)·P(b))) over adjacent token pairs,
+    the classic "which word pairs belong together" extractor (phrase
+    mining, tokenizer-merge candidates). ``min_count`` filters the
+    unstable low-frequency tail PMI notoriously over-ranks.
+
+    Unigram and bigram probabilities use their own totals (token count
+    and bigram count), both exact ints; PMI is one ln() per surviving
+    bigram on a frame that aggregation already shrank. Adjacent-only
+    pairs keep the explode LINEAR in corpus size (window-free: slice +
+    zip of the token array rides the scan). Ties break on the bigram
+    text, so the top-k is deterministic.
+    """
+    toks = df.select(ws_tokens(normalize_text(text_col)).alias("__t"))
+    uni = toks.select(F.explode("__t").alias("a")).groupBy("a").agg(
+        F.count(F.lit(1)).alias("n_a")
+    )
+    big = (
+        toks.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("__t"), 1, F.greatest(
+                        F.size("__t") - 1, F.lit(0))),
+                    F.slice(F.col("__t"), 2, F.greatest(
+                        F.size("__t") - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    tot_uni = uni.agg(F.sum("n_a").alias("__tu"))
+    # P(ab) is over ALL bigram positions (the standard formulation);
+    # the min_count cut only prunes what gets SCORED.
+    tot_big = big.agg(F.sum("n_ab").alias("__tb"))
+    big = big.where(F.col("n_ab") >= min_count)
+    scored = (
+        big.join(F.broadcast(uni.withColumnRenamed("n_a", "na")), "a")
+        .join(
+            F.broadcast(
+                uni.select(
+                    F.col("a").alias("b"), F.col("n_a").alias("nb")
+                )
+            ),
+            "b",
+        )
+        .crossJoin(F.broadcast(tot_uni))
+        .crossJoin(F.broadcast(tot_big))
+        .withColumn(
+            "pmi",
+            F.log(
+                (F.col("n_ab").cast("double") / F.col("__tb"))
+                / (
+                    (F.col("na").cast("double") / F.col("__tu"))
+                    * (F.col("nb").cast("double") / F.col("__tu"))
+                )
+            ),
+        )
+    )
+    return (
+        scored.select(
+            F.concat_ws(" ", "a", "b").alias("bigram"),
+            "n_ab", "pmi",
+        )
+        .orderBy(F.col("pmi").desc(), F.col("bigram").asc())
+        .limit(top_k)
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """BM25 retrieval: score every document against ``query_terms``
+    and return the top-k — the lexical-search baseline every corpus /
+    RAG pipeline ranks against. Standard Robertson idf with the +1
+    floor: idf = ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    Shape: the query-term filter lands INSIDE the token explode (only
+    matching postings aggregate — the inverted-index access pattern,
+    not a full-corpus score); document length and N/avgdl come from
+    one stats pass; every join against the (|terms|-row) df frame and
+    the 1-row corpus frame broadcasts. tf/df/dl are exact ints, avgdl
+    derives from a decimal sum, and the score algebra is one
+    fixed-shape double expression — deterministic on any engine.
+    """
+    terms = [t.lower() for t in query_terms]
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(ws_tokens(normalize_text(text_col))).alias("term"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.col("dl").cast("decimal(30,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    tf = (
+        toks.where(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (
+        F.col("tf") * (k1 + 1)
+    ) / (
+        F.col("tf")
+        + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    per_term = scored.withColumn("__s", idf * tf_part)
+    return (
+        per_term.groupBy("doc_id")
+        .agg(
+            F.sum(F.col("__s").cast("decimal(38,18)"))
+            .cast("double")
+            .alias("score"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(top_k)
+    )
