@@ -2608,6 +2608,44 @@ def q_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_anomaly_cusum(spark: SparkSession, sf: str) -> DataFrame:
+    """One-sided CUSUM drift detection per user (windows.cusum,
+    applyInPandas — the max-clamp recursion has no window form):
+    sequential double arithmetic is engine-identical, so the oracle's
+    recursive CTE reproduces every score bit-for-bit."""
+    ev = load_table(spark, sf, "events")
+    out = win_ops.cusum(
+        ev, "user_id", "ts", "value",
+        target=50.0, slack=10.0, threshold=120.0,
+        tiebreak_cols=["event_id"],
+    )
+    return out.select("event_id", "user_id", "cusum", "alarm")
+
+
+def q_topk_diversified(spark: SparkSession, sf: str) -> DataFrame:
+    """Diversity-capped ranking (windows.diversified_topk): the 12
+    highest-value orders with at most 2 per priority class — per-group
+    window prune, then TakeOrderedAndProject; no global sort."""
+    o = load_table(spark, sf, "orders")
+    return win_ops.diversified_topk(
+        o,
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        "o_orderpriority",
+        per_group=2,
+        k=12,
+    ).select("o_orderkey", "o_orderpriority", "o_totalprice")
+
+
+def q_time_in_state(spark: SparkSession, sf: str) -> DataFrame:
+    """State-duration accounting per event type
+    (events.time_in_state): µs-exact held time until each user's next
+    event, decimal-summed to hours."""
+    ev = load_table(spark, sf, "events")
+    return event_ops.time_in_state(
+        ev, "user_id", "ts", "event_type", ["event_id"]
+    )
+
+
 def q_text_collocations(spark: SparkSession, sf: str) -> DataFrame:
     """Top-20 PMI collocations over the corpus
     (text_stats.collocations): adjacent bigram vs unigram probability
@@ -2893,6 +2931,9 @@ def queries() -> dict[str, QueryFn]:
         "text_collocations": q_text_collocations,
         "text_bm25": q_text_bm25,
         "emb_confusion": q_emb_confusion,
+        "anomaly_cusum": q_anomaly_cusum,
+        "topk_diversified": q_topk_diversified,
+        "time_in_state": q_time_in_state,
         # -- (2) r5-green, code path changed this round ----------------
         "corpus_mix": q_corpus_mix,
         "emb_topk_ivf": q_emb_topk_ivf,
@@ -3116,6 +3157,55 @@ def _lsh_topk_oracle(num_planes: int = 6, k: int = 5) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "anomaly_cusum": """
+            WITH RECURSIVE ordered AS (
+                SELECT event_id, user_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+            ), cs(user_id, rn, event_id, s) AS (
+                SELECT user_id, rn, event_id,
+                       greatest(0.0, value - 50.0 - 10.0)
+                FROM ordered WHERE rn = 1
+                UNION ALL
+                SELECT o.user_id, o.rn, o.event_id,
+                       greatest(0.0, c.s + (o.value - 50.0 - 10.0))
+                FROM cs c JOIN ordered o
+                  ON o.user_id = c.user_id AND o.rn = c.rn + 1
+            )
+            SELECT event_id, user_id, s AS cusum,
+                   s > 120.0 AS alarm
+            FROM cs
+        """,
+        "topk_diversified": """
+            WITH pruned AS (
+                SELECT o_orderkey, o_orderpriority, o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice DESC, o_orderkey ASC
+                       ) AS rn
+                FROM orders
+            )
+            SELECT o_orderkey, o_orderpriority, o_totalprice
+            FROM pruned WHERE rn <= 2
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 12
+        """,
+        "time_in_state": """
+            WITH held AS (
+                SELECT event_type AS state,
+                       epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id))
+                       - epoch_us(ts) AS dur
+                FROM events
+            )
+            SELECT state,
+                   count(*) AS n_intervals,
+                   CAST(sum(CAST(dur AS DECIMAL(38,6))) AS DOUBLE)
+                       / 3600e6 AS total_hours
+            FROM held WHERE dur IS NOT NULL
+            GROUP BY state
+        """,
         "text_collocations": """
             WITH norm AS (
                 SELECT string_split(

@@ -480,3 +480,36 @@ def sequence_conformance(
     return per_user.withColumn(
         "conforms", F.regexp_like(F.col("sequence"), F.lit(pattern))
     )
+
+
+def time_in_state(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """State-duration accounting: treat each event as entering a state
+    held until the user's NEXT event, and aggregate total held time
+    per state — "how long do users sit in each status" (the last event
+    of each user holds nothing, mirroring time_weighted_avg's
+    convention).
+
+    Durations are exact integer microseconds (timestamp_diff; NTZ-safe
+    and tz-independent), decimal-summed, reported as hours. One lead
+    window on the user key + one tiny aggregation.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col), *[F.col(c) for c in tiebreak_cols]
+    )
+    dur_us = F.timestamp_diff(
+        "MICROSECOND", F.col(ts_col), F.lead(ts_col).over(w)
+    )
+    held = df.withColumn("__dur", dur_us).where(F.col("__dur").isNotNull())
+    return held.groupBy(F.col(state_col).alias("state")).agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        (
+            F.sum(F.col("__dur").cast("decimal(38,6)")).cast("double")
+            / F.lit(3600e6)
+        ).alias("total_hours"),
+    )

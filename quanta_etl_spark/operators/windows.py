@@ -632,3 +632,82 @@ def rolling_corr(
         cov / F.sqrt(varx * vary),
     )
     return df.withColumn("rolling_corr", corr)
+
+
+def cusum(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    target: float,
+    slack: float,
+    threshold: float,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """One-sided upper CUSUM drift detector per key:
+    ``S_0 = 0; S_t = max(0, S_{t-1} + (x_t − target − slack))``, with
+    ``alarm`` when S_t > threshold — the classic change-point detector
+    that catches SMALL persistent shifts a per-point z-score never
+    crosses a threshold on.
+
+    The max(0, ·) clamp makes the recursion genuinely sequential — no
+    window frame or closed form — so like :func:`ewma` this is the
+    ``applyInPandas`` case: one shuffle on the key, a numpy recursion
+    per group (vectorized clamp loop, no Python-per-row).
+
+    Output keeps (key, order cols, value, cusum, alarm). The SQL
+    oracle reproduces it with a recursive CTE — slow but exact, which
+    is the point of the oracle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    order = [ts_col, *tiebreak_cols]
+    cols = [key, *order, value_col]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.select(*cols).schema.fields
+    ) + ", cusum double, alarm boolean"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort")
+        x = pdf[value_col].to_numpy(dtype=float)
+        drift = x - target - slack
+        s = np.empty_like(drift)
+        acc = 0.0
+        for i, d in enumerate(drift):  # max-clamp recursion
+            acc = max(0.0, acc + d)
+            s[i] = acc
+        pdf["cusum"] = s
+        pdf["alarm"] = s > threshold
+        return pdf
+
+    return df.select(*cols).groupBy(key).applyInPandas(fn, out_schema)
+
+
+def diversified_topk(
+    df: DataFrame,
+    order_cols: Sequence[Column],
+    group_col: str,
+    per_group: int,
+    k: int,
+) -> DataFrame:
+    """Top-k with a diversity cap: the global top ``k`` rows by
+    ``order_cols``, but never more than ``per_group`` rows from any
+    one ``group_col`` value — the feed/search-results constraint
+    ("top deals, at most 2 per seller") a plain ORDER BY LIMIT can't
+    express.
+
+    Shape: one per-group window prunes to the group's best
+    ``per_group`` rows (shuffle on the group key), then a
+    TakeOrderedAndProject takes the global k from the pruned frame —
+    no global sort of the raw data. ``order_cols`` must be a total
+    order (include an id tiebreak) for deterministic results.
+    """
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    pruned = (
+        df.withColumn("__gr", F.row_number().over(w))
+        .where(F.col("__gr") <= per_group)
+        .drop("__gr")
+    )
+    return pruned.orderBy(*order_cols).limit(k)

@@ -84,3 +84,63 @@ def test_rolling_corr_scaled_path_equals_decimal_path(spark):
             assert fast[o] is None
         else:
             assert fast[o] == pytest.approx(slow[o], abs=1e-9)
+
+
+# ---------- cusum / diversified_topk / time_in_state ----------
+
+def test_cusum_detects_small_shift(spark):
+    # baseline 10, then persistent +1 shift: z-scores never fire but
+    # CUSUM accumulates past the threshold
+    vals = [10.0, 10.2, 9.8, 10.0] + [11.0] * 6
+    rows = [("g", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, o long, v double")
+    out = {r["o"]: r for r in W.cusum(
+        df, "k", "o", "v", target=10.0, slack=0.5, threshold=1.2
+    ).collect()}
+    # hand recursion: drift = v - 10.5
+    s, exp = 0.0, {}
+    for i, v in enumerate(vals):
+        s = max(0.0, s + (v - 10.5))
+        exp[i] = s
+    for i in exp:
+        assert out[i]["cusum"] == pytest.approx(exp[i], abs=1e-12), i
+    assert out[3]["alarm"] is False
+    assert out[9]["alarm"] is True
+
+
+def test_diversified_topk_cap(spark):
+    rows = [
+        ("a", 1, 100.0), ("a", 2, 90.0), ("a", 3, 80.0),
+        ("b", 4, 95.0), ("b", 5, 85.0),
+        ("c", 6, 70.0),
+    ]
+    df = spark.createDataFrame(rows, "grp string, id long, score double")
+    out = W.diversified_topk(
+        df, [F.col("score").desc(), F.col("id").asc()], "grp",
+        per_group=2, k=4,
+    ).collect()
+    assert [(r["grp"], r["id"]) for r in out] == [
+        ("a", 1), ("b", 4), ("a", 2), ("b", 5)
+    ]  # a's third-best (80) is capped out; c's 70 misses the top 4
+
+
+def test_time_in_state(spark):
+    from quanta_etl_spark.operators import events as E2
+
+    rows = [
+        (1, "2024-01-01 10:00:00", "browse", 1),
+        (1, "2024-01-01 11:00:00", "cart", 2),     # browse held 1h
+        (1, "2024-01-01 11:30:00", "browse", 3),   # cart held 0.5h
+        (2, "2024-01-01 09:00:00", "browse", 4),
+        (2, "2024-01-01 10:30:00", "done", 5),     # browse held 1.5h
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, d string, event_type string, event_id long"
+    ).withColumn("ts", F.to_timestamp("d"))
+    out = {r["state"]: r for r in E2.time_in_state(
+        df, "user_id", "ts", "event_type", ["event_id"]
+    ).collect()}
+    assert out["browse"]["total_hours"] == pytest.approx(2.5)
+    assert out["browse"]["n_intervals"] == 2
+    assert out["cart"]["total_hours"] == pytest.approx(0.5)
+    assert "done" not in out  # terminal events hold nothing
