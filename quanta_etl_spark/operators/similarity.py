@@ -395,29 +395,44 @@ def centroid_confusion(
     IVF/LSH pruned path; exact all-centroid scoring is right at
     classifier-eval scale.
     """
+    # ex feeds three aggregations (centroids, vector norms, dots) —
+    # checkpoint so the explode doesn't re-execute per consumer.
     ex = df.select(
         F.col(label_col).alias("label"),
         F.col(id_col).alias("vid"),
         F.posexplode(F.col(vec_col)).alias("pos", "v"),
-    ).withColumn("v", F.col("v").cast("double"))
+    ).withColumn("v", F.col("v").cast("double")).localCheckpoint(
+        eager=False
+    )
     cent = ex.groupBy(F.col("label").alias("clabel"), F.col("pos")).agg(
         (
             F.sum(F.col("v").cast("decimal(38,12)")).cast("double")
             / F.count(F.lit(1))
         ).alias("c")
     )
-    scored = ex.join(F.broadcast(cent), "pos").groupBy(
-        "label", "vid", "clabel"
-    ).agg(
-        F.sum((F.col("v") * F.col("c")).cast("decimal(38,18)"))
-        .cast("double")
-        .alias("dot"),
+    # Norms are per-vector / per-centroid — compute them ONCE outside
+    # the |labels|-way dot-product expansion (inlining them there costs
+    # 3x the decimal aggregation work for identical values).
+    vnorm = ex.groupBy("vid").agg(
         F.sum((F.col("v") * F.col("v")).cast("decimal(38,18)"))
         .cast("double")
-        .alias("nv"),
+        .alias("nv")
+    )
+    cnorm = cent.groupBy("clabel").agg(
         F.sum((F.col("c") * F.col("c")).cast("decimal(38,18)"))
         .cast("double")
-        .alias("nc"),
+        .alias("nc")
+    )
+    scored = (
+        ex.join(F.broadcast(cent), "pos")
+        .groupBy("label", "vid", "clabel")
+        .agg(
+            F.sum((F.col("v") * F.col("c")).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("dot")
+        )
+        .join(vnorm, "vid")
+        .join(F.broadcast(cnorm), "clabel")
     )
     cos = F.col("dot") / (F.sqrt(F.col("nv")) * F.sqrt(F.col("nc")))
     w = Window.partitionBy("vid").orderBy(
