@@ -2608,6 +2608,26 @@ def q_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_stream_cusum(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming CUSUM drift scores end-to-end
+    (streaming/ingest.streaming_cusum, applyInPandasWithState with an
+    O(1)-per-key accumulator): bounded single-batch input equals the
+    batch recursion, so the same recursive-CTE oracle checks it."""
+    from quanta_etl_spark.streaming import ingest
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = ingest.read_stream(spark, f"{sf}/events.parque[t]", raw_schema)
+    ev = ingest.normalize_event_time(stream)
+    out = ingest.streaming_cusum(ev)
+    q = ingest.write_stream_memory(out, "stream_cusum", output_mode="append")
+    q.awaitTermination()
+    return spark.table("stream_cusum").select(
+        "event_id", "user_id", "cusum", "alarm"
+    )
+
+
 def q_anomaly_cusum(spark: SparkSession, sf: str) -> DataFrame:
     """One-sided CUSUM drift detection per user (windows.cusum,
     applyInPandas — the max-clamp recursion has no window form):
@@ -2932,6 +2952,7 @@ def queries() -> dict[str, QueryFn]:
         "text_bm25": q_text_bm25,
         "emb_confusion": q_emb_confusion,
         "anomaly_cusum": q_anomaly_cusum,
+        "stream_cusum": q_stream_cusum,
         "topk_diversified": q_topk_diversified,
         "time_in_state": q_time_in_state,
         # -- (2) r5-green, code path changed this round ----------------
@@ -3157,6 +3178,26 @@ def _lsh_topk_oracle(num_planes: int = 6, k: int = 5) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "stream_cusum": """
+            WITH RECURSIVE ordered AS (
+                SELECT event_id, user_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+            ), cs(user_id, rn, event_id, s) AS (
+                SELECT user_id, rn, event_id,
+                       greatest(0.0, value - 50.0 - 10.0)
+                FROM ordered WHERE rn = 1
+                UNION ALL
+                SELECT o.user_id, o.rn, o.event_id,
+                       greatest(0.0, c.s + (o.value - 50.0 - 10.0))
+                FROM cs c JOIN ordered o
+                  ON o.user_id = c.user_id AND o.rn = c.rn + 1
+            )
+            SELECT event_id, user_id, s AS cusum,
+                   s > 120.0 AS alarm
+            FROM cs
+        """,
         "anomaly_cusum": """
             WITH RECURSIVE ordered AS (
                 SELECT event_id, user_id, value,

@@ -559,3 +559,63 @@ def windowed_distinct_users(
         deduped.groupBy(F.window(ts_col, window).alias("win"))
         .agg(F.count(F.lit(1)).alias("distinct_users"))
     )
+
+
+_CUSUM_STATE = "acc double"
+_CUSUM_OUTPUT = (
+    "user_id bigint, event_id bigint, cusum double, alarm boolean"
+)
+_CUSUM_TARGET = 50.0
+_CUSUM_SLACK = 10.0
+_CUSUM_THRESHOLD = 120.0
+
+
+def _cusum_fn(
+    key: tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Streaming CUSUM: state = one double (the running clamped sum) —
+    the cheapest stateful detector there is. Chunks are concatenated
+    and sorted by (ts, event_id) before the recursion (cross-chunk
+    order is arbitrary); the per-key accumulator carries across
+    micro-batches, so a drift that started three batches ago keeps
+    accumulating. Identical arithmetic to the batch
+    ``windows.cusum`` — bounded single-batch input reproduces it
+    bit-for-bit."""
+    (uid,) = key
+    acc: float = float(state.get[0]) if state.exists else 0.0
+    chunks = list(pdf_iter)
+    if not chunks:
+        state.update((acc,))
+        return
+    pdf = pd.concat(chunks).sort_values(["ts", "event_id"], kind="mergesort")
+    sums: list[float] = []
+    alarms: list[bool] = []
+    for v in pdf["value"].astype(float):
+        acc = max(0.0, acc + (v - _CUSUM_TARGET - _CUSUM_SLACK))
+        sums.append(acc)
+        alarms.append(acc > _CUSUM_THRESHOLD)
+    state.update((acc,))
+    yield pd.DataFrame(
+        {
+            "user_id": uid,
+            "event_id": pdf["event_id"].values,
+            "cusum": sums,
+            "alarm": alarms,
+        }
+    )
+
+
+def streaming_cusum(df: DataFrame) -> DataFrame:
+    """Streaming twin of ``windows.cusum`` (target 50, slack 10,
+    threshold 120 — the gated parameterization): per-user one-sided
+    CUSUM drift scores carried across micro-batches in O(1)-per-key
+    state via ``applyInPandasWithState``."""
+    return df.select("user_id", "event_id", "ts", "value").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        _cusum_fn,
+        outputStructType=_CUSUM_OUTPUT,
+        stateStructType=_CUSUM_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -500,3 +500,95 @@ def test_windowed_distinct_users_non_hour_window(spark, tmp_path):
     got = {(r["win"]["start"].hour, r["win"]["start"].minute):
            r["distinct_users"] for r in out}
     assert got == {(10, 0): 2, (10, 30): 1}
+
+
+def test_streaming_cusum_state_across_batches(spark, tmp_path):
+    """The CUSUM accumulator must carry across micro-batches: drift
+    that accumulates in batch 1 keeps the alarm latched in batch 2."""
+    from pyspark.sql.types import DoubleType, LongType, TimestampType
+
+    ev_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    # batch 1: values 110 -> each adds 50 to the accumulator
+    b1 = [(1, i, t0 + dt.timedelta(seconds=i), 110.0) for i in range(3)]
+    # batch 2: value at target: drift -10 but acc stays > threshold
+    b2 = [(1, 10, t0 + dt.timedelta(seconds=10), 50.0)]
+    src = str(tmp_path / "cusum_src")
+    spark.createDataFrame(b1, ev_schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(b2, ev_schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = ingest.read_stream(spark, src, ev_schema, max_files_per_trigger=1)
+    out = ingest.streaming_cusum(stream)
+    got = {r["event_id"]: r for r in _run_to_memory(
+        spark, out, "cusum_stream"
+    ).collect()}
+    # batch 1 recursion: 50, 100, 150
+    assert got[0]["cusum"] == pytest.approx(50.0)
+    assert got[2]["cusum"] == pytest.approx(150.0)
+    assert got[2]["alarm"] is True
+    # batch 2: 150 + (50 - 60) = 140 -> still alarming; state carried
+    assert got[10]["cusum"] == pytest.approx(140.0)
+    assert got[10]["alarm"] is True
+
+
+def test_interval_join_left_outer_emits_unmatched(spark, tmp_path):
+    """Left-outer stream-stream interval join: unmatched left rows
+    flush as NULL-right rows once the watermark passes their join
+    range (driven here by later data in batch 2)."""
+    from pyspark.sql.types import LongType, TimestampType
+
+    sch = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("id", LongType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    late = t0 + dt.timedelta(hours=6)
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    # left batch 1: one row that will never match; batch 2: watermark pusher
+    spark.createDataFrame([(1, 1, t0)], sch).coalesce(1).write.parquet(ldir)
+    spark.createDataFrame([(9, 99, late)], sch).coalesce(1).write.mode(
+        "append"
+    ).parquet(ldir)
+    # right: only a row far in the future (advances right watermark)
+    spark.createDataFrame(
+        [(8, 88, late)],
+        StructType(
+            [
+                StructField("r_user_id", LongType()),
+                StructField("r_id", LongType()),
+                StructField("r_ts", TimestampType()),
+            ]
+        ),
+    ).coalesce(1).write.parquet(rdir)
+    left = ingest.read_stream(spark, ldir, sch, max_files_per_trigger=1)
+    right = ingest.read_stream(
+        spark,
+        rdir,
+        StructType(
+            [
+                StructField("r_user_id", LongType()),
+                StructField("r_id", LongType()),
+                StructField("r_ts", TimestampType()),
+            ]
+        ),
+    )
+    joined = ingest.interval_join_streams(
+        left, right, "user_id", "ts", "r_ts",
+        lower="0 seconds", upper="10 minutes",
+        watermark="1 hour", how="leftOuter",
+    )
+    got = _run_to_memory(spark, joined, "louter_join").collect()
+    by_id = {r["id"]: r for r in got}
+    assert 1 in by_id, "unmatched left row must flush as outer result"
+    assert by_id[1]["r_id"] is None
