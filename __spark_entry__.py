@@ -2608,6 +2608,35 @@ def q_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_entity_resolution(spark: SparkSession, sf: str) -> DataFrame:
+    """Fuzzy entity resolution END-TO-END: blocked levenshtein pairs
+    (dedup.fuzzy_match_pairs) → connected components →
+    min-id survivors, singletons kept — the full dedupe-people
+    pipeline in one gated plan; the oracle chains the same pair SQL
+    into a recursive min-label CTE."""
+    c = load_table(spark, sf, "customer").where(F.col("c_custkey") < 300)
+    pairs = dedup_ops.fuzzy_match_pairs(
+        c, "c_custkey", "c_name", max_distance=2
+    )
+    clustered = graph_ops.assign_clusters(pairs.select("id_a", "id_b"))
+    ids = c.select(F.col("c_custkey").alias("id"))
+    return ids.join(clustered, "id", "left").select(
+        "id",
+        F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id"),
+        F.coalesce(F.col("is_survivor"), F.lit(True)).alias("is_survivor"),
+    )
+
+
+def q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (sampling.weighted_sample, Efraimidis–Spirakis): 100 orders with
+    inclusion probability ∝ order value — hash-derived uniforms, so
+    the sample reproduces on any engine; one TakeOrderedAndProject."""
+    o = load_table(spark, sf, "orders")
+    out = samp_ops.weighted_sample(o, "o_orderkey", "o_totalprice", k=100)
+    return out.select("o_orderkey", "o_totalprice", "sample_key")
+
+
 def q_stream_cusum(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming CUSUM drift scores end-to-end
     (streaming/ingest.streaming_cusum, applyInPandasWithState with an
@@ -2953,6 +2982,8 @@ def queries() -> dict[str, QueryFn]:
         "emb_confusion": q_emb_confusion,
         "anomaly_cusum": q_anomaly_cusum,
         "stream_cusum": q_stream_cusum,
+        "entity_resolution": q_entity_resolution,
+        "weighted_sample": q_weighted_sample,
         "topk_diversified": q_topk_diversified,
         "time_in_state": q_time_in_state,
         # -- (2) r5-green, code path changed this round ----------------
@@ -3217,6 +3248,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, s AS cusum,
                    s > 120.0 AS alarm
             FROM cs
+        """,
+        "entity_resolution": """
+            WITH RECURSIVE c AS (
+                SELECT c_custkey, c_name,
+                       lower(substr(c_name, 1, 1)) AS b0,
+                       length(c_name) AS b1
+                FROM customer WHERE c_custkey < 300
+            ), pairs AS (
+                SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+                FROM c a JOIN c b
+                  ON a.b0 = b.b0 AND a.b1 = b.b1
+                 AND a.c_custkey < b.c_custkey
+                WHERE levenshtein(a.c_name, b.c_name) <= 2
+            ), edges AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION
+                SELECT id_b AS a, id_a AS b FROM pairs
+            ), cc(node, lbl) AS (
+                SELECT c_custkey, c_custkey FROM c
+                UNION
+                SELECT e.b, x.lbl FROM cc x JOIN edges e ON e.a = x.node
+                WHERE x.lbl < e.b
+            )
+            SELECT node AS id, min(lbl) AS cluster_id,
+                   node = min(lbl) AS is_survivor
+            FROM cc GROUP BY node
+        """,
+        "weighted_sample": """
+            SELECT o_orderkey, o_totalprice,
+                   ln((CAST(CAST(('0x' || substr(
+                           md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+                           AS UBIGINT) AS DOUBLE) + 1.0)
+                      / 1152921504606846976.0) / o_totalprice
+                       AS sample_key
+            FROM orders WHERE o_totalprice > 0
+            ORDER BY sample_key DESC, o_orderkey ASC
+            LIMIT 100
         """,
         "topk_diversified": """
             WITH pruned AS (

@@ -148,3 +148,36 @@ def fixed_n_per_group(
         .where(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis):
+    each row draws a deterministic uniform u from the md5 hash of its
+    id and ranks by ln(u)/w — the top ``k`` constitute a sample where
+    inclusion probability scales with weight. Deterministic end to
+    end (same ids + weights → same sample on any engine or cluster),
+    which ordinary rand()-weighted sampling never is.
+
+    Rows with non-positive weight are excluded (A-ES is undefined
+    there). Shape: a pure map-side key expression + one
+    TakeOrderedAndProject — no shuffle of the raw data, no global
+    sort; the classic distributed one-pass weighted reservoir.
+    """
+    from quanta_etl_spark.functions.text import portable_hash60
+
+    u = (
+        portable_hash60(F.col(id_col).cast("string")).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(2**60))
+    key = F.log(u) / F.col(weight_col)
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("sample_key", key)
+        .orderBy(F.col("sample_key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

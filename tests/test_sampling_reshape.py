@@ -125,3 +125,29 @@ def test_fixed_n_per_group(spark):
     assert sorted(r["id"] for r in out.collect()) == sorted(
         r["id"] for r in again.collect()
     )
+
+
+def test_weighted_sample_bias_and_determinism(spark):
+    from quanta_etl_spark.operators import sampling as samp3
+
+    # 1000 ids: 100 "heavy" (weight 50) vs 900 light (weight 1)
+    rows = [(i, 50.0 if i < 100 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    out = samp3.weighted_sample(df, "id", "w", k=100)
+    picked = [r["id"] for r in out.collect()]
+    assert len(picked) == 100
+    heavy = sum(1 for i in picked if i < 100)
+    # heavy ids carry 5000/5900 of the mass; expect far more than the
+    # 10 a uniform sample would give (loose bound to avoid flakiness:
+    # the hash is fixed, so this is deterministic anyway)
+    assert heavy > 40
+    # deterministic across partitionings
+    again = [r["id"] for r in samp3.weighted_sample(
+        df.repartition(7), "id", "w", k=100).collect()]
+    assert again == picked
+    # zero/negative weights never sampled
+    df2 = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, 5.0)], "id long, w double"
+    )
+    assert [r["id"] for r in samp3.weighted_sample(
+        df2, "id", "w", 10).collect()] == [3]
