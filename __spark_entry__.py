@@ -2608,6 +2608,25 @@ def q_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_graph_link_predict(spark: SparkSession, sf: str) -> DataFrame:
+    """Jaccard link prediction over the co-supply graph
+    (graph.link_prediction_jaccard): top-20 unconnected supplier pairs
+    by shared-neighbor Jaccard — candidates only ever materialize
+    through the wedge join, never the all-pairs square."""
+    return graph_ops.link_prediction_jaccard(
+        _cosupply_edges(spark, sf), top_k=20
+    )
+
+
+def q_seasonal_decompose(spark: SparkSession, sf: str) -> DataFrame:
+    """Classic additive decomposition of daily event value
+    (resample.seasonal_decompose): centered 7-day moving-average
+    trend, day-of-week seasonal means, residual — decimal-exact daily
+    sums underneath every component."""
+    ev = load_table(spark, sf, "events")
+    return resample_ops.seasonal_decompose(ev, "ts", "value")
+
+
 def q_entity_resolution(spark: SparkSession, sf: str) -> DataFrame:
     """Fuzzy entity resolution END-TO-END: blocked levenshtein pairs
     (dedup.fuzzy_match_pairs) → connected components →
@@ -2984,6 +3003,8 @@ def queries() -> dict[str, QueryFn]:
         "stream_cusum": q_stream_cusum,
         "entity_resolution": q_entity_resolution,
         "weighted_sample": q_weighted_sample,
+        "graph_link_predict": q_graph_link_predict,
+        "seasonal_decompose": q_seasonal_decompose,
         "topk_diversified": q_topk_diversified,
         "time_in_state": q_time_in_state,
         # -- (2) r5-green, code path changed this round ----------------
@@ -3248,6 +3269,68 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, s AS cusum,
                    s > 120.0 AS alarm
             FROM cs
+        """,
+        "graph_link_predict": """
+            WITH ps AS (
+                SELECT DISTINCT l_orderkey, l_suppkey
+                FROM lineitem WHERE l_quantity >= 48
+            ), e AS (
+                SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+                FROM ps a JOIN ps b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_suppkey < b.l_suppkey
+            ), adj AS (
+                SELECT a AS n, b AS nb FROM e
+                UNION ALL SELECT b, a FROM e
+            ), deg AS (
+                SELECT n, count(*) AS deg FROM adj GROUP BY n
+            ), common AS (
+                SELECT w1.n AS x, w2.n AS y, count(*) AS common
+                FROM adj w1 JOIN adj w2
+                  ON w1.nb = w2.nb AND w1.n < w2.n
+                GROUP BY 1, 2
+            ), cand AS (
+                SELECT c.x, c.y, c.common
+                FROM common c
+                LEFT JOIN e ON e.a = c.x AND e.b = c.y
+                WHERE e.a IS NULL
+            )
+            SELECT c.x AS node_a, c.y AS node_b, c.common,
+                   CAST(c.common AS DOUBLE)
+                   / (dx.deg + dy.deg - c.common) AS jaccard
+            FROM cand c
+            JOIN deg dx ON dx.n = c.x
+            JOIN deg dy ON dy.n = c.y
+            ORDER BY jaccard DESC, node_a ASC, node_b ASC
+            LIMIT 20
+        """,
+        "seasonal_decompose": """
+            WITH daily AS (
+                SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                       CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+                           AS observed
+                FROM events GROUP BY 1
+            ), tr AS (
+                SELECT day, observed,
+                       CASE WHEN count(*) OVER w >= 7 THEN
+                           CAST(sum(CAST(observed AS DECIMAL(30,6)))
+                                OVER w AS DOUBLE)
+                           / count(*) OVER w
+                       END AS trend
+                FROM daily
+                WINDOW w AS (ORDER BY day
+                             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+            ), seas AS (
+                SELECT dayofweek(day) + 1 AS dow,
+                       CAST(sum(CAST(observed - trend AS DECIMAL(30,6)))
+                            AS DOUBLE) / count(*) AS seasonal
+                FROM tr WHERE trend IS NOT NULL
+                GROUP BY 1
+            )
+            SELECT t.day, t.observed, t.trend, s.seasonal,
+                   t.observed - t.trend - s.seasonal AS residual
+            FROM tr t LEFT JOIN seas s
+              ON dayofweek(t.day) + 1 = s.dow
         """,
         "entity_resolution": """
             WITH RECURSIVE c AS (

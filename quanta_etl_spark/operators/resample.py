@@ -192,3 +192,62 @@ def dow_seasonality(
         mean.alias("mean_value"),
         (mean / overall).alias("seasonal_index"),
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    trend_window: int = 7,
+) -> DataFrame:
+    """Additive seasonal decomposition at the daily grain:
+    observed = trend + seasonal + residual, where trend is a centered
+    ``trend_window``-day moving average (NULL at the edges where the
+    frame is partial), seasonal is the day-of-week mean deviation from
+    trend, and residual is what's left — the classic-decomposition
+    (moving-average STL-lite) every forecasting pipeline starts from.
+
+    Determinism: daily totals are decimal sums; the trend average
+    divides a decimal window sum by the in-frame count; seasonal
+    means are decimal-accumulated per weekday. One aggregation to the
+    day grain, two windows and one 7-row join over that tiny frame.
+    """
+    daily = df.groupBy(
+        F.date_trunc("day", F.col(ts_col)).alias("day")
+    ).agg(
+        F.sum(F.col(value_col).cast("decimal(30,6)"))
+        .cast("double")
+        .alias("observed")
+    )
+    half = trend_window // 2
+    w = Window.orderBy("day").rowsBetween(-half, half)
+    with_trend = daily.withColumn(
+        "trend",
+        F.when(
+            F.count(F.lit(1)).over(w) >= trend_window,
+            F.sum(F.col("observed").cast("decimal(30,6)")).over(w)
+            .cast("double")
+            / F.count(F.lit(1)).over(w),
+        ),
+    ).withColumn("__detr", F.col("observed") - F.col("trend"))
+    seasonal = with_trend.where(F.col("__detr").isNotNull()).groupBy(
+        F.dayofweek("day").alias("__dow")
+    ).agg(
+        (
+            F.sum(F.col("__detr").cast("decimal(30,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("seasonal")
+    )
+    return (
+        with_trend.withColumn("__dow", F.dayofweek("day"))
+        .join(F.broadcast(seasonal), "__dow", "left")
+        .select(
+            "day",
+            "observed",
+            "trend",
+            "seasonal",
+            (
+                F.col("observed") - F.col("trend") - F.col("seasonal")
+            ).alias("residual"),
+        )
+    )

@@ -250,3 +250,50 @@ def test_reconcile_zero_totals_within_tolerance(spark):
     assert out["recomputed"] == 0.0
     assert out["within_tolerance"] is True
     assert out["rel_diff"] is None  # undefined against a zero base
+
+
+# ---------- link prediction / seasonal decompose ----------
+
+def test_link_prediction_jaccard(spark):
+    # square a-b-c-d-a: diagonals (a,c) and (b,d) are the predictions
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")])
+    out = G.link_prediction_jaccard(e, top_k=10).collect()
+    got = {(r["node_a"], r["node_b"]): r for r in out}
+    assert set(got) == {("a", "c"), ("b", "d")}
+    # each diagonal shares both neighbors: common=2, union=2+2-2=2 -> 1.0
+    assert got[("a", "c")]["jaccard"] == 1.0
+    assert got[("a", "c")]["common"] == 2
+    # existing edges never predicted
+    assert ("a", "b") not in got
+
+
+def test_link_prediction_excludes_no_common(spark):
+    e = _edges(spark, [("a", "b"), ("c", "d")])
+    assert G.link_prediction_jaccard(e).count() == 0
+
+
+def test_seasonal_decompose_identity(spark):
+    import datetime as dtm
+
+    # 28 days of data: value = 100 + dow_effect
+    effects = {1: 5.0, 2: -3.0, 3: 0.0, 4: 1.0, 5: -1.0, 6: 2.0, 7: -4.0}
+    rows = []
+    for d in range(28):
+        day = dtm.datetime(2024, 1, 1) + dtm.timedelta(days=d)
+        dow = day.isoweekday() % 7 + 1  # Spark: Sunday=1
+        rows.append((day, 100.0 + effects[dow]))
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    out = {r["day"].day: r for r in R.seasonal_decompose(
+        df, "ts", "v", trend_window=7
+    ).collect() if r["day"].month == 1}
+    # interior day: trend = mean over any 7 consecutive days = 100
+    mid = out[15]
+    assert mid["trend"] == pytest.approx(100.0, abs=1e-9)
+    # observed = trend + seasonal + residual reconstructs exactly
+    assert mid["observed"] == pytest.approx(
+        mid["trend"] + mid["seasonal"] + mid["residual"], abs=1e-9
+    )
+    # pure weekly signal: residual ~ 0 in the interior
+    assert abs(mid["residual"]) < 1e-6
+    # edges (first 3 days): partial frame -> NULL trend
+    assert out[1]["trend"] is None
