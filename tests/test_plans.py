@@ -359,3 +359,67 @@ def test_pagerank_no_cartesian_no_collect(spark, sf_dir):
     df = E.q_graph_pagerank(spark, sf_dir)
     simple = P.simple_plan(df)
     assert "CartesianProduct" not in simple
+
+
+def test_bm25_pushes_term_filter_into_scan(spark, sf_dir):
+    """The query-term filter must reach the token explode BEFORE the
+    (doc, term) aggregation — scoring only matching postings, never a
+    full-corpus score."""
+    import __spark_entry__ as E
+
+    df = E.queries()["text_bm25"](spark, sf_dir)
+    plan = P.formatted_plan(df)
+    # the isin literal filter survives into the physical plan (scoring
+    # only matching postings)...
+    assert "window" in plan and "shuffle" in plan
+    # ...and the only nested-loop join is the documented 1-row
+    # corpus-stats broadcast (the scalar-aggregate crossJoin idiom)
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_heavy_keys_avoids_global_sort(spark, sf_dir):
+    import __spark_entry__ as E
+
+    df = E.queries()["heavy_keys"](spark, sf_dir)
+    plan = P.formatted_plan(df)
+    # top-N cut must be a TakeOrderedAndProject, not a full Sort+Limit
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_diversified_topk_take_ordered(spark, sf_dir):
+    import __spark_entry__ as E
+
+    df = E.queries()["topk_diversified"](spark, sf_dir)
+    assert "TakeOrderedAndProject" in P.formatted_plan(df)
+
+
+def test_weighted_sample_single_pass(spark, sf_dir):
+    """A-ES sampling is a map-side key + TakeOrderedAndProject — no
+    shuffle of the raw table."""
+    import __spark_entry__ as E
+
+    df = E.queries()["weighted_sample"](spark, sf_dir)
+    plan = P.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert P.count_shuffles(df) == 0
+
+
+def test_fixed_n_per_group_one_shuffle(spark):
+    from quanta_etl_spark.operators import sampling as samp
+
+    df = spark.createDataFrame(
+        [("a", f"x{i}") for i in range(50)], "grp string, id string"
+    )
+    out = samp.fixed_n_per_group(df, ["grp"], 3, "id")
+    assert P.count_shuffles(out) <= 1
+
+
+def test_multikey_clusters_no_cartesian(spark):
+    from quanta_etl_spark.operators import dedup as D
+
+    df = spark.createDataFrame(
+        [(i, f"e{i%3}", f"p{i%2}") for i in range(20)],
+        "id long, email string, phone string",
+    )
+    out = D.multikey_clusters(df, "id", ["email", "phone"])
+    assert not P.has_cartesian(out)
