@@ -373,8 +373,10 @@ def test_bm25_pushes_term_filter_into_scan(spark, sf_dir):
     # only matching postings)...
     assert "window" in plan and "shuffle" in plan
     # ...and the only nested-loop join is the documented 1-row
-    # corpus-stats broadcast (the scalar-aggregate crossJoin idiom)
-    assert plan.count("BroadcastNestedLoopJoin") == 1
+    # corpus-stats broadcast (the scalar-aggregate crossJoin idiom).
+    # simple_plan: one line per node (formatted_plan repeats each node
+    # in its details section).
+    assert P.simple_plan(df).count("BroadcastNestedLoopJoin") == 1
 
 
 def test_heavy_keys_avoids_global_sort(spark, sf_dir):
