@@ -263,3 +263,44 @@ def test_chi_square_self_dependence(spark, xs):
     assert out["dof"] == (k - 1) ** 2
     assert out["chi2"] >= -1e-9
     assert out["n"] == len(xs)
+
+
+@given(weights=st.lists(
+    st.floats(min_value=0.015625, max_value=100.0, allow_nan=False,
+              allow_infinity=False, width=32),
+    min_size=1, max_size=15,
+), k=st.integers(1, 20))
+@settings(**_SETTINGS)
+def test_weighted_sample_is_subset_with_exact_size(spark, weights, k):
+    """The sample is always a subset of the positive-weight rows, of
+    size min(k, n); rows are never duplicated."""
+    from quanta_etl_spark.operators import sampling as samp_ops
+
+    rows = [(i, float(w)) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    picked = [r["id"] for r in
+              samp_ops.weighted_sample(df, "id", "w", k).collect()]
+    assert len(picked) == min(k, len(weights))
+    assert len(set(picked)) == len(picked)
+    assert set(picked) <= {i for i, _ in rows}
+
+
+@given(vals=st.lists(st.integers(0, 30), min_size=4, max_size=24),
+       bins=st.integers(2, 6))
+@settings(**_SETTINGS)
+def test_quantile_bins_partition_properties(spark, vals, bins):
+    """Bins partition the rows; sizes differ by at most 1; bin order
+    respects value order."""
+    from quanta_etl_spark.operators import sampling as samp_ops
+
+    rows = [(i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    out = samp_ops.quantile_bins(df, "v", num_bins=bins,
+                                 tiebreak_cols=["id"]).collect()
+    assert len(out) == len(vals)
+    from collections import Counter
+    sizes = Counter(r["bin"] for r in out)
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # monotone: sort rows by (v, id); bins must be non-decreasing
+    ordered = sorted(out, key=lambda r: (r["v"], r["id"]))
+    assert all(a["bin"] <= b["bin"] for a, b in zip(ordered, ordered[1:]))
