@@ -2691,16 +2691,17 @@ def q_anomaly_cusum(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_topk_diversified(spark: SparkSession, sf: str) -> DataFrame:
-    """Diversity-capped ranking (windows.diversified_topk): the 12
-    highest-value orders with at most 2 per priority class — per-group
-    window prune, then TakeOrderedAndProject; no global sort."""
+    """Diversity-capped ranking (windows.diversified_topk): the 10
+    highest-value orders with at most 2 per priority class (5 classes
+    × 2 = the cap is reachable and binding) — per-group window prune,
+    then TakeOrderedAndProject; no global sort."""
     o = load_table(spark, sf, "orders")
     return win_ops.diversified_topk(
         o,
         [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
         "o_orderpriority",
         per_group=2,
-        k=12,
+        k=10,
     ).select("o_orderkey", "o_orderpriority", "o_totalprice")
 
 
@@ -3381,7 +3382,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_orderpriority, o_totalprice
             FROM pruned WHERE rn <= 2
             ORDER BY o_totalprice DESC, o_orderkey ASC
-            LIMIT 12
+            LIMIT 10
         """,
         "time_in_state": """
             WITH held AS (
@@ -3400,10 +3401,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_collocations": """
             WITH norm AS (
+                -- empty-text guard: DuckDB string_split('') yields
+                -- [''] (one empty token) where Spark ws_tokens('')
+                -- yields []; excluding empty docs keeps both engines
+                -- on identical token totals
                 SELECT string_split(
                     trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
                     ' ') AS t
                 FROM documents
+                WHERE trim(regexp_replace(lower(text),
+                                          '\\s+', ' ', 'g')) <> ''
             ), uni AS (
                 SELECT unnest(t) AS a FROM norm
             ), ucnt AS (
@@ -3434,10 +3441,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_bm25": """
             WITH toks AS (
+                -- empty-text guard (see text_collocations): keeps dl/
+                -- n_docs/avgdl identical to Spark's empty-array
+                -- tokenization of empty documents
                 SELECT doc_id,
                        unnest(string_split(trim(regexp_replace(
                            lower(text), '\\s+', ' ', 'g')), ' ')) AS term
                 FROM documents
+                WHERE trim(regexp_replace(lower(text),
+                                          '\\s+', ' ', 'g')) <> ''
             ), dl AS (
                 SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
             ), corpus AS (
@@ -3568,11 +3580,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "table_checksum": """
             WITH rows_c AS (
+                -- per-value COALESCE with the chr(30) sentinel mirrors
+                -- the operator: DuckDB's concat_ws silently DROPS a
+                -- NULL and its separator, which would desynchronize
+                -- the canonical row string on nullable columns
                 SELECT concat_ws(chr(31),
-                           CAST(l_orderkey AS VARCHAR),
-                           CAST(l_linenumber AS VARCHAR),
-                           l_returnflag,
-                           CAST(l_shipdate AS VARCHAR)) AS row_str
+                           COALESCE(CAST(l_orderkey AS VARCHAR),
+                                    chr(30) || 'null'),
+                           COALESCE(CAST(l_linenumber AS VARCHAR),
+                                    chr(30) || 'null'),
+                           COALESCE(l_returnflag, chr(30) || 'null'),
+                           COALESCE(CAST(l_shipdate AS VARCHAR),
+                                    chr(30) || 'null')) AS row_str
                 FROM lineitem
             )
             SELECT count(*) AS n_rows,

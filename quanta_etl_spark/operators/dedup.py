@@ -1257,6 +1257,8 @@ def multikey_clusters(
     """
     from quanta_etl_spark.operators import graph as graph_ops
 
+    if not key_cols:
+        raise ValueError("multikey_clusters needs at least one key column")
     edges = None
     for k in key_cols:
         keyed = df.where(F.col(k).isNotNull()).select(

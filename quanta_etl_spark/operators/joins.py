@@ -363,13 +363,18 @@ def interval_overlap_join(
     overlap_cond = (F.col("__ls") < F.col("__re")) & (
         F.col("__rs") < F.col("__le")
     )
-    lsel = left.select(
+    # start < end guards: an empty interval [x, x) intersects nothing
+    # under half-open semantics (the bare condition would still pair
+    # it), and an INVERTED interval would make the banded path's
+    # sequence() descend — exploding one malformed row into millions
+    # of bin cells instead of zero.
+    lsel = left.where(F.col(l_start) < F.col(l_end)).select(
         *keys,
         F.col(l_id).alias("__lid"),
         F.col(l_start).alias("__ls"),
         F.col(l_end).alias("__le"),
     )
-    rsel = right.select(
+    rsel = right.where(F.col(r_start) < F.col(r_end)).select(
         *keys,
         F.col(r_id).alias("__rid"),
         F.col(r_start).alias("__rs"),

@@ -458,7 +458,11 @@ def table_checksum(
             rendered = F.format_string(f"%.{precision}f", col.cast("double"))
         else:
             rendered = col.cast("string")
-        parts.append(F.coalesce(rendered, F.lit("<null>")))
+        # sentinel embeds chr(30) (record separator): a real data
+        # string containing control characters could still forge it —
+        # documented caveat, not an escape scheme; meanwhile the
+        # plain-text string "<null>" can no longer collide with NULL.
+        parts.append(F.coalesce(rendered, F.lit(chr(30) + "null")))
     row_str = F.concat_ws(sep, *parts)
     return df.agg(
         F.count(F.lit(1)).alias("n_rows"),

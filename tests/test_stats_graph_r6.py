@@ -297,3 +297,22 @@ def test_seasonal_decompose_identity(spark):
     assert abs(mid["residual"]) < 1e-6
     # edges (first 3 days): partial frame -> NULL trend
     assert out[1]["trend"] is None
+
+
+def test_seasonal_decompose_even_window_exact_span(spark):
+    """Even trend windows must average exactly trend_window days
+    (review r6: a symmetric frame quietly spanned w+1)."""
+    import datetime as dtm
+
+    rows = [
+        (dtm.datetime(2024, 1, 1) + dtm.timedelta(days=d), float(d))
+        for d in range(12)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    out = {r["day"].day: r for r in R.seasonal_decompose(
+        df, "ts", "v", trend_window=4
+    ).collect()}
+    # day 5 (index 4): frame = days idx 3..6 -> mean of 3,4,5,6 = 4.5
+    assert out[5]["trend"] == pytest.approx(4.5, abs=1e-9)
+    # first day: partial frame -> NULL
+    assert out[1]["trend"] is None
