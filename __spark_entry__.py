@@ -2608,6 +2608,39 @@ def q_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_new_vs_returning(spark: SparkSession, sf: str) -> DataFrame:
+    """Growth accounting (events.new_vs_returning): daily first-ever
+    vs returning actives + the cumulative user curve — distinct
+    (user, day) collapse first, windows only over the day frame."""
+    ev = load_table(spark, sf, "events")
+    return event_ops.new_vs_returning(ev, "user_id", "ts")
+
+
+def q_benford_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford first-digit screen over order totals
+    (quality.benford_check): observed vs log10(1+1/d) frequencies and
+    per-digit chi-squared contributions, from exact integer counts."""
+    o = load_table(spark, sf, "orders")
+    return quality_ops.benford_check(o, "o_totalprice")
+
+
+def q_allocate_budget(spark: SparkSession, sf: str) -> DataFrame:
+    """Largest-remainder (Hamilton) allocation
+    (aggregates.allocate_proportional): one million units split across
+    priority classes ∝ revenue, integer allocations summing EXACTLY
+    to the total — remainder ranking tie-broken by class name."""
+    o = load_table(spark, sf, "orders")
+    rev = o.groupBy("o_orderpriority").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    out = agg_ops.allocate_proportional(
+        rev, "o_orderpriority", "revenue", 1_000_000
+    )
+    return out.select("o_orderpriority", "revenue", "quota", "allocated")
+
+
 def q_graph_link_predict(spark: SparkSession, sf: str) -> DataFrame:
     """Jaccard link prediction over the co-supply graph
     (graph.link_prediction_jaccard): top-20 unconnected supplier pairs
@@ -3006,6 +3039,9 @@ def queries() -> dict[str, QueryFn]:
         "weighted_sample": q_weighted_sample,
         "graph_link_predict": q_graph_link_predict,
         "seasonal_decompose": q_seasonal_decompose,
+        "new_vs_returning": q_new_vs_returning,
+        "benford_audit": q_benford_audit,
+        "allocate_budget": q_allocate_budget,
         "topk_diversified": q_topk_diversified,
         "time_in_state": q_time_in_state,
         # -- (2) r5-green, code path changed this round ----------------
@@ -3270,6 +3306,79 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, s AS cusum,
                    s > 120.0 AS alarm
             FROM cs
+        """,
+        "new_vs_returning": """
+            WITH act AS (
+                SELECT DISTINCT user_id,
+                       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+                FROM events
+            ), fst AS (
+                SELECT user_id, min(day) AS first_day
+                FROM act GROUP BY 1
+            ), daily AS (
+                SELECT a.day,
+                       sum(CASE WHEN a.day = f.first_day
+                                THEN 1 ELSE 0 END) AS n_new,
+                       count(*) - sum(CASE WHEN a.day = f.first_day
+                                           THEN 1 ELSE 0 END)
+                           AS n_returning
+                FROM act a JOIN fst f USING (user_id)
+                GROUP BY a.day
+            )
+            SELECT day, n_new, n_returning,
+                   sum(n_new) OVER (ORDER BY day
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW)
+                       AS cum_users
+            FROM daily
+        """,
+        "benford_audit": """
+            WITH d AS (
+                SELECT CAST(regexp_extract(
+                           CAST(abs(o_totalprice) AS VARCHAR),
+                           '([1-9])', 1) AS INT) AS digit
+                FROM orders
+                WHERE o_totalprice IS NOT NULL AND o_totalprice <> 0
+                  AND regexp_extract(CAST(abs(o_totalprice) AS VARCHAR),
+                                     '([1-9])', 1) <> ''
+            ), cnt AS (
+                SELECT digit, count(*) AS n FROM d GROUP BY digit
+            ), tot AS (
+                SELECT CAST(sum(n) OVER () AS DOUBLE) AS t, digit, n
+                FROM cnt
+            )
+            SELECT digit, n,
+                   CAST(n AS DOUBLE) / t AS observed_freq,
+                   log10(1.0 + 1.0 / digit) AS benford_freq,
+                   (CAST(n AS DOUBLE) / t - log10(1.0 + 1.0 / digit))
+                   * (CAST(n AS DOUBLE) / t - log10(1.0 + 1.0 / digit))
+                   / log10(1.0 + 1.0 / digit) * t AS chi2_contrib
+            FROM tot
+        """,
+        "allocate_budget": """
+            WITH rev AS (
+                SELECT o_orderpriority,
+                       CAST(sum(CAST(o_totalprice AS DECIMAL(30,6)))
+                            AS DOUBLE) AS revenue
+                FROM orders GROUP BY 1
+            ), based AS (
+                SELECT o_orderpriority, revenue,
+                       CAST(revenue AS DOUBLE) * 1000000
+                       / CAST(sum(CAST(revenue AS DECIMAL(30,6)))
+                              OVER () AS DOUBLE) AS quota
+                FROM rev WHERE revenue > 0
+            ), fl AS (
+                SELECT o_orderpriority, revenue, quota,
+                       CAST(floor(quota) AS BIGINT) AS f,
+                       quota - floor(quota) AS rem
+                FROM based
+            )
+            SELECT o_orderpriority, revenue, quota,
+                   f + CASE WHEN row_number() OVER (
+                                ORDER BY rem DESC, o_orderpriority ASC)
+                            <= 1000000 - sum(f) OVER ()
+                            THEN 1 ELSE 0 END AS allocated
+            FROM fl
         """,
         "graph_link_predict": """
             WITH ps AS (

@@ -474,3 +474,50 @@ def hhi_concentration(
         F.sum(F.col("__share") * F.col("__share")).alias("hhi"),
         F.count(F.lit(1)).alias("n_units"),
     )
+
+
+def allocate_proportional(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    total_units: int,
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Largest-remainder proportional allocation: split an integer
+    ``total_units`` across rows in proportion to ``weight_col`` so the
+    allocations are integers that sum EXACTLY to the total per group —
+    budget distribution, seat apportionment, inventory splits; plain
+    rounding drifts by ±(rows/2) units.
+
+    Method (Hamilton): each row takes floor(share); the leftover units
+    go one each to the largest fractional remainders (ties broken by
+    id — deterministic). Exactness: quotas derive from decimal weight
+    sums; the remainder ranking is a per-group window over the
+    allocation frame.
+    """
+    wsum = Window.partitionBy(*by)
+    quota = (
+        F.col(weight_col).cast("double")
+        * total_units
+        / F.sum(F.col(weight_col).cast("decimal(30,6)"))
+        .over(wsum)
+        .cast("double")
+    )
+    based = (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("__quota", quota)
+        .withColumn("__floor", F.floor("__quota").cast("long"))
+        .withColumn("__rem", F.col("__quota") - F.col("__floor"))
+    )
+    leftover = F.lit(total_units) - F.sum("__floor").over(wsum)
+    rank_w = Window.partitionBy(*by).orderBy(
+        F.col("__rem").desc(), F.col(id_col).asc()
+    )
+    out = based.withColumn("__r", F.row_number().over(rank_w)).withColumn(
+        "allocated",
+        F.col("__floor")
+        + (F.col("__r") <= leftover).cast("long"),
+    )
+    return out.select(
+        *by, id_col, weight_col, F.col("__quota").alias("quota"), "allocated"
+    )

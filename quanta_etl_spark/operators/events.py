@@ -513,3 +513,36 @@ def time_in_state(
             / F.lit(3600e6)
         ).alias("total_hours"),
     )
+
+
+def new_vs_returning(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Daily new-vs-returning split: per day, how many active users saw
+    their FIRST-ever activity that day vs earlier — the growth-
+    accounting curve every product dashboard opens with. Also emits
+    the cumulative distinct-user count (running total of new users —
+    no rescan of history needed).
+
+    Shape: collapse to distinct (user, day) first, one min-agg for
+    first days, flag by comparison, aggregate per day, one lag-free
+    cumulative window over the tiny day frame.
+    """
+    act = df.select(
+        F.col(user_col).alias("__u"),
+        F.date_trunc("day", F.col(ts_col)).alias("day"),
+    ).distinct()
+    first = act.groupBy("__u").agg(F.min("day").alias("__first"))
+    flagged = act.join(first, "__u").withColumn(
+        "__is_new", (F.col("day") == F.col("__first")).cast("long")
+    )
+    daily = flagged.groupBy("day").agg(
+        F.sum("__is_new").alias("n_new"),
+        (F.count(F.lit(1)) - F.sum("__is_new")).alias("n_returning"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.withColumn(
+        "cum_users", F.sum("n_new").over(w)
+    ).select("day", "n_new", "n_returning", "cum_users")

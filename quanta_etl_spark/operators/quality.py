@@ -470,3 +470,42 @@ def table_checksum(
         .cast("string")
         .alias("checksum"),
     )
+
+
+def benford_check(
+    df: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law: per
+    digit 1-9, observed count/frequency, the expected log10(1 + 1/d)
+    frequency, and the chi-squared contribution — the classic
+    fabricated-numbers screen for financial columns.
+
+    Digit extraction is string-based (first [1-9] of the absolute
+    value's plain rendering) — no log/floor float edge cases; counts
+    are exact ints, so every statistic is engine-identical. One
+    aggregation to 9 rows.
+    """
+    digit = F.regexp_extract(
+        F.abs(F.col(value_col)).cast("string"), "([1-9])", 1
+    )
+    counts = (
+        df.where(F.col(value_col).isNotNull() & (F.col(value_col) != 0))
+        .withColumn("__d", digit)
+        .where(F.col("__d") != "")
+        .groupBy(F.col("__d").cast("int").alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy()
+    tot = F.sum("n").over(w).cast("double")
+    obs = F.col("n").cast("double") / tot
+    exp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return counts.select(
+        "digit",
+        "n",
+        obs.alias("observed_freq"),
+        exp.alias("benford_freq"),
+        (
+            (obs - exp) * (obs - exp) / exp * tot
+        ).alias("chi2_contrib"),
+    )

@@ -1,0 +1,68 @@
+"""Round-6 batch 17: new-vs-returning growth accounting, Benford
+first-digit audit, largest-remainder proportional allocation."""
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from quanta_etl_spark.operators import aggregates as A
+from quanta_etl_spark.operators import events as E
+from quanta_etl_spark.operators import quality as Q
+
+
+def test_new_vs_returning(spark):
+    rows = [
+        (1, "2024-01-01 10:00:00"), (1, "2024-01-01 12:00:00"),  # dup day
+        (2, "2024-01-01 11:00:00"),
+        (1, "2024-01-02 09:00:00"),
+        (3, "2024-01-02 10:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, d string").withColumn(
+        "ts", F.to_timestamp("d")
+    )
+    out = {r["day"].day: r for r in
+           E.new_vs_returning(df, "user_id", "ts").collect()}
+    assert out[1]["n_new"] == 2 and out[1]["n_returning"] == 0
+    assert out[2]["n_new"] == 1 and out[2]["n_returning"] == 1
+    assert out[1]["cum_users"] == 2 and out[2]["cum_users"] == 3
+
+
+def test_benford_check(spark):
+    # values with known first digits: 1x5, 2x3, 9x2
+    vals = [1.5, 12.0, 0.19, 100.0, 0.0001234, 2.0, 25.0, -2.9, 9.0, 0.95]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    out = {r["digit"]: r for r in Q.benford_check(df, "v").collect()}
+    assert out[1]["n"] == 5 and out[2]["n"] == 3 and out[9]["n"] == 2
+    assert out[1]["observed_freq"] == pytest.approx(0.5)
+    assert out[1]["benford_freq"] == pytest.approx(math.log10(2), rel=1e-12)
+    # zero and null rows never contribute
+    df2 = spark.createDataFrame([(0.0,), (None,), (3.0,)], "v double")
+    out2 = {r["digit"]: r["n"] for r in Q.benford_check(df2, "v").collect()}
+    assert out2 == {3: 1}
+
+
+def test_allocate_proportional_exact_sum(spark):
+    rows = [("g", 1, 1.0), ("g", 2, 1.0), ("g", 3, 1.0)]
+    df = spark.createDataFrame(rows, "k string, id long, w double")
+    out = {r["id"]: r["allocated"] for r in A.allocate_proportional(
+        df, "id", "w", 100, ["k"]
+    ).collect()}
+    # 100/3: two rows get 33, one gets 34; leftover goes to lowest id
+    assert sum(out.values()) == 100
+    assert sorted(out.values()) == [33, 33, 34]
+    assert out[1] == 34  # remainder tie -> id tiebreak
+
+
+def test_allocate_proportional_weighted_groups(spark):
+    rows = [("a", 1, 3.0), ("a", 2, 1.0), ("b", 3, 5.0)]
+    df = spark.createDataFrame(rows, "k string, id long, w double")
+    out = {r["id"]: r for r in A.allocate_proportional(
+        df, "id", "w", 10, ["k"]
+    ).collect()}
+    # group a: quotas 7.5/2.5 -> floors 7/2, leftover 1 -> both .5 rem,
+    # id tiebreak gives it to id 1
+    assert out[1]["allocated"] + out[2]["allocated"] == 10
+    assert out[1]["allocated"] == 8 and out[2]["allocated"] == 2
+    assert out[3]["allocated"] == 10  # sole member takes the group total
