@@ -2608,6 +2608,28 @@ def q_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_debounce_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Leading-edge debounce per (user, type) — only burst onsets
+    (≥60s since the previous same-key event) survive
+    (events.debounce); µs-exact gap arithmetic."""
+    ev = load_table(spark, sf, "events")
+    out = event_ops.debounce(
+        ev, ["user_id", "event_type"], "ts", 60.0, ["event_id"]
+    )
+    return out.select("event_id", "user_id", "event_type")
+
+
+def q_rate_alerts(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding-window rate alerting (events.rate_alerts): every event
+    that is the 4th-or-later of its user within the trailing day —
+    an exact RANGE-frame count, no tumbling-boundary misses."""
+    ev = load_table(spark, sf, "events")
+    out = event_ops.rate_alerts(
+        ev, "user_id", "ts", window_seconds=86400, threshold=4
+    )
+    return out.select("event_id", "user_id", "n_in_window")
+
+
 def q_new_vs_returning(spark: SparkSession, sf: str) -> DataFrame:
     """Growth accounting (events.new_vs_returning): daily first-ever
     vs returning actives + the cumulative user curve — distinct
@@ -3042,6 +3064,8 @@ def queries() -> dict[str, QueryFn]:
         "new_vs_returning": q_new_vs_returning,
         "benford_audit": q_benford_audit,
         "allocate_budget": q_allocate_budget,
+        "debounce_events": q_debounce_events,
+        "rate_alerts": q_rate_alerts,
         "topk_diversified": q_topk_diversified,
         "time_in_state": q_time_in_state,
         # -- (2) r5-green, code path changed this round ----------------
@@ -3306,6 +3330,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, s AS cusum,
                    s > 120.0 AS alarm
             FROM cs
+        """,
+        "debounce_events": """
+            WITH g AS (
+                SELECT event_id, user_id, event_type,
+                       epoch_us(ts) - epoch_us(
+                           lag(ts) OVER (PARTITION BY user_id, event_type
+                                         ORDER BY ts, event_id)
+                       ) AS gap_us
+                FROM events
+            )
+            SELECT event_id, user_id, event_type
+            FROM g WHERE gap_us IS NULL OR gap_us >= 60000000
+        """,
+        "rate_alerts": """
+            WITH s AS (
+                SELECT event_id, user_id,
+                       count(*) OVER (
+                           PARTITION BY user_id
+                           ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                           RANGE BETWEEN 86400 PRECEDING
+                                     AND CURRENT ROW
+                       ) AS n_in_window
+                FROM events
+            )
+            SELECT event_id, user_id, n_in_window
+            FROM s WHERE n_in_window >= 4
         """,
         "new_vs_returning": """
             WITH act AS (

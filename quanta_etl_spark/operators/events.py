@@ -546,3 +546,64 @@ def new_vs_returning(
     return daily.withColumn(
         "cum_users", F.sum("n_new").over(w)
     ).select("day", "n_new", "n_returning", "cum_users")
+
+
+def debounce(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    min_gap_seconds: float,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Debounce/throttle: within each key, keep only the FIRST event of
+    every burst — an event survives iff at least ``min_gap_seconds``
+    passed since the previous event of the same key (the leading-edge
+    debounce every telemetry/click pipeline applies before counting).
+
+    Gap arithmetic is exact integer microseconds (timestamp_diff —
+    NTZ-safe); one lag window per key, rows dropped map-side after it.
+    Unlike sessionize (which LABELS bursts) this SELECTS one row per
+    burst onset — the two compose: debounce to onsets, sessionize the
+    onsets.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts_col), *[F.col(c) for c in tiebreak_cols]
+    )
+    gap_us = F.timestamp_diff(
+        "MICROSECOND", F.lag(ts_col).over(w), F.col(ts_col)
+    )
+    keep = gap_us.isNull() | (
+        gap_us >= F.lit(int(min_gap_seconds * 1_000_000))
+    )
+    return df.withColumn("__keep", keep).where(F.col("__keep")).drop(
+        "__keep"
+    )
+
+
+def rate_alerts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    window_seconds: int,
+    threshold: int,
+) -> DataFrame:
+    """Sliding-window rate alerting: flag every event that is the
+    ``threshold``-th (or later) event of its key within the trailing
+    ``window_seconds`` — abuse/rate-limit detection with exact sliding
+    semantics (a tumbling bucket misses bursts straddling the
+    boundary).
+
+    One RANGE-frame count window ordered by integer epoch seconds —
+    evaluated with a sliding pointer inside each sorted key partition,
+    no self-join. Same-second peers all share the frame (RANGE
+    includes value ties symmetrically), so no tiebreak is needed for
+    determinism. Adds ``n_in_window``; returns only alerting rows.
+    """
+    secs = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(secs)
+        .rangeBetween(-window_seconds, 0)
+    )
+    out = df.withColumn("n_in_window", F.count(F.lit(1)).over(w))
+    return out.where(F.col("n_in_window") >= threshold)

@@ -66,3 +66,38 @@ def test_allocate_proportional_weighted_groups(spark):
     assert out[1]["allocated"] + out[2]["allocated"] == 10
     assert out[1]["allocated"] == 8 and out[2]["allocated"] == 2
     assert out[3]["allocated"] == 10  # sole member takes the group total
+
+
+def test_debounce_leading_edge(spark):
+    rows = [
+        (1, "2024-01-01 10:00:00.000000", 1),
+        (1, "2024-01-01 10:00:02.000000", 2),   # <5s: dropped
+        (1, "2024-01-01 10:00:04.500000", 3),   # <5s since PREV: dropped
+        (1, "2024-01-01 10:00:30.000000", 4),   # new burst
+        (2, "2024-01-01 10:00:01.000000", 5),   # other key unaffected
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, d string, event_id long"
+    ).withColumn("ts", F.to_timestamp("d"))
+    out = [r["event_id"] for r in E.debounce(
+        df, ["user_id"], "ts", 5.0, ["event_id"]
+    ).orderBy("event_id").collect()]
+    assert out == [1, 4, 5]
+
+
+def test_rate_alerts_sliding(spark):
+    # 4 events in 10s, then quiet, then 2 events
+    rows = [
+        (1, "2024-01-01 10:00:00", 1), (1, "2024-01-01 10:00:03", 2),
+        (1, "2024-01-01 10:00:06", 3), (1, "2024-01-01 10:00:09", 4),
+        (1, "2024-01-01 10:05:00", 5), (1, "2024-01-01 10:05:01", 6),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, d string, event_id long"
+    ).withColumn("ts", F.to_timestamp("d"))
+    out = {r["event_id"]: r["n_in_window"] for r in E.rate_alerts(
+        df, "user_id", "ts", window_seconds=10, threshold=3
+    ).collect()}
+    # event 3 is the 3rd within 10s; event 4 the 4th; the rest never
+    # reach 3 in any trailing window
+    assert out == {3: 3, 4: 4}
