@@ -2608,6 +2608,41 @@ def q_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ab_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-proportion A/B readout (aggregates.ab_test_proportions):
+    users hash-split into two arms (md5 parity — deterministic
+    assignment), conversion = any purchase; sizes, rates, lift, and
+    the pooled z statistic from exact integer counts."""
+    ev = load_table(spark, sf, "events")
+    units = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("long"))
+        .alias("converted")
+    ).withColumn(
+        "grp",
+        F.when(
+            T.portable_hash60(F.col("user_id").cast("string")) % 2 == 0,
+            F.lit("A"),
+        ).otherwise(F.lit("B")),
+    )
+    return agg_ops.ab_test_proportions(units, "user_id", "grp", "converted")
+
+
+def q_basket_lift(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket association over order contents
+    (aggregates.basket_lift): top-20 part-brand pairs by lift, pair
+    fan-out blocked per order — support/confidence/lift from exact
+    counts."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part")
+    baskets = li.join(
+        F.broadcast(p.select("p_partkey", "p_brand")),
+        li["l_partkey"] == p["p_partkey"],
+    ).select("l_orderkey", "p_brand")
+    return agg_ops.basket_lift(
+        baskets, "l_orderkey", "p_brand", min_support=5, top_k=20
+    )
+
+
 def q_debounce_events(spark: SparkSession, sf: str) -> DataFrame:
     """Leading-edge debounce per (user, type) — only burst onsets
     (≥60s since the previous same-key event) survive
@@ -3066,6 +3101,8 @@ def queries() -> dict[str, QueryFn]:
         "allocate_budget": q_allocate_budget,
         "debounce_events": q_debounce_events,
         "rate_alerts": q_rate_alerts,
+        "ab_test": q_ab_test,
+        "basket_lift": q_basket_lift,
         "topk_diversified": q_topk_diversified,
         "time_in_state": q_time_in_state,
         # -- (2) r5-green, code path changed this round ----------------
@@ -3330,6 +3367,86 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, s AS cusum,
                    s > 120.0 AS alarm
             FROM cs
+        """,
+        "ab_test": """
+            WITH units AS (
+                SELECT user_id,
+                       max(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS converted,
+                       CASE WHEN CAST(('0x' || substr(
+                               md5(CAST(user_id AS VARCHAR)), 1, 15))
+                               AS UBIGINT) % 2 = 0
+                            THEN 'A' ELSE 'B' END AS grp
+                FROM events GROUP BY user_id
+            ), per AS (
+                SELECT grp, count(*) AS n, sum(converted) AS conv
+                FROM units GROUP BY grp
+            ), one AS (
+                SELECT
+                    max(CASE WHEN grp = 'A' THEN n END) AS n_a,
+                    max(CASE WHEN grp = 'A' THEN conv END) AS conv_a,
+                    max(CASE WHEN grp = 'B' THEN n END) AS n_b,
+                    max(CASE WHEN grp = 'B' THEN conv END) AS conv_b
+                FROM per
+            )
+            SELECT 'A' AS group_a, n_a, conv_a,
+                   CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+                   'B' AS group_b, n_b, conv_b,
+                   CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+                   CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                   - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                       AS lift_abs,
+                   CASE WHEN sqrt(
+                            ((CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+                             / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                            * (1 - (CAST(conv_a AS DOUBLE)
+                                    + CAST(conv_b AS DOUBLE))
+                                   / (CAST(n_a AS DOUBLE)
+                                      + CAST(n_b AS DOUBLE)))
+                            * (1 / CAST(n_a AS DOUBLE)
+                               + 1 / CAST(n_b AS DOUBLE))) > 0
+                   THEN (CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                         - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                        / sqrt(
+                            ((CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+                             / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                            * (1 - (CAST(conv_a AS DOUBLE)
+                                    + CAST(conv_b AS DOUBLE))
+                                   / (CAST(n_a AS DOUBLE)
+                                      + CAST(n_b AS DOUBLE)))
+                            * (1 / CAST(n_a AS DOUBLE)
+                               + 1 / CAST(n_b AS DOUBLE)))
+                   END AS z_stat
+            FROM one
+        """,
+        "basket_lift": """
+            WITH bi AS (
+                SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            ), nb AS (
+                SELECT CAST(count(DISTINCT b) AS DOUBLE) AS n_baskets
+                FROM bi
+            ), item_n AS (
+                SELECT i, count(*) AS n_item FROM bi GROUP BY i
+            ), pairs AS (
+                SELECT a.i AS item_a, b2.i AS item_b, count(*) AS n_pair
+                FROM bi a JOIN bi b2
+                  ON a.b = b2.b AND a.i < b2.i
+                GROUP BY 1, 2 HAVING count(*) >= 5
+            )
+            SELECT p.item_a, p.item_b, p.n_pair,
+                   CAST(p.n_pair AS DOUBLE) / nb.n_baskets AS support,
+                   CAST(p.n_pair AS DOUBLE) / ia.n_item AS confidence,
+                   (CAST(p.n_pair AS DOUBLE) / nb.n_baskets)
+                   / ((CAST(ia.n_item AS DOUBLE) / nb.n_baskets)
+                      * (CAST(ib.n_item AS DOUBLE) / nb.n_baskets))
+                       AS lift
+            FROM pairs p
+            JOIN item_n ia ON ia.i = p.item_a
+            JOIN item_n ib ON ib.i = p.item_b
+            CROSS JOIN nb
+            ORDER BY lift DESC, item_a ASC, item_b ASC
+            LIMIT 20
         """,
         "debounce_events": """
             WITH g AS (

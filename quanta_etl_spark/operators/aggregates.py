@@ -521,3 +521,138 @@ def allocate_proportional(
     return out.select(
         *by, id_col, weight_col, F.col("__quota").alias("quota"), "allocated"
     )
+
+
+def ab_test_proportions(
+    assignments: DataFrame,
+    unit_col: str,
+    group_col: str,
+    converted_col: str,
+) -> DataFrame:
+    """Two-proportion z-test between exactly two experiment arms: one
+    row with per-arm sizes/conversions/rates, the absolute lift, and
+    the pooled-variance z statistic — the A/B readout.
+
+    Counts are exact ints; every float derives from them through one
+    fixed expression tree, so the statistic is engine-identical. The
+    input is one row per experimental UNIT (dedupe upstream — units,
+    not events, are the denominator). Raises if the data does not
+    contain exactly two groups (a silent 3-arm "A/B test" is a bug).
+
+    Shape: one aggregation to two rows, then a 2-row pivot — nothing
+    here scales with anything but the unit count's single shuffle.
+    """
+    per = assignments.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(converted_col).cast("long")).alias("conv"),
+    )
+    arms = per.orderBy("grp").collect()
+    if len(arms) != 2:
+        raise ValueError(
+            f"ab_test_proportions expects exactly 2 groups, got "
+            f"{[r['grp'] for r in arms]}"
+        )
+    # re-express as a 1-row frame IN PLAN (the collect above is a
+    # guardrail on the 2-row aggregate, not a data path)
+    a, b = arms[0]["grp"], arms[1]["grp"]
+    one = per.groupBy().pivot("grp", [a, b]).agg(
+        F.first("n").alias("n"), F.first("conv").alias("conv")
+    )
+    na = F.col(f"{a}_n").cast("double")
+    nb = F.col(f"{b}_n").cast("double")
+    ca = F.col(f"{a}_conv").cast("double")
+    cb = F.col(f"{b}_conv").cast("double")
+    pa = ca / na
+    pb = cb / nb
+    pool = (ca + cb) / (na + nb)
+    se = F.sqrt(pool * (1 - pool) * (1 / na + 1 / nb))
+    return one.select(
+        F.lit(a).alias("group_a"),
+        F.col(f"{a}_n").alias("n_a"),
+        F.col(f"{a}_conv").alias("conv_a"),
+        pa.alias("rate_a"),
+        F.lit(b).alias("group_b"),
+        F.col(f"{b}_n").alias("n_b"),
+        F.col(f"{b}_conv").alias("conv_b"),
+        pb.alias("rate_b"),
+        (pb - pa).alias("lift_abs"),
+        F.when(se > 0, (pb - pa) / se).alias("z_stat"),
+    )
+
+
+def basket_lift(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """Pairwise market-basket association: for item pairs co-occurring
+    in ``min_support``+ baskets, support / confidence(a→b) / lift —
+    the frequent-itemset first stage ("customers who bought X…").
+
+    Shape: distinct (basket, item) first; the pair self-join blocks on
+    the basket key, so fan-out is C(items-per-basket, 2) per basket —
+    bounded by basket width, never the global item square (the same
+    blocking discipline as the co-supply graph). Item totals broadcast
+    back; counts exact, ratios one fixed expression. Ties in the
+    top-k break on the item pair.
+    """
+    bi = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    n_baskets = bi.agg(
+        F.count_distinct("__b").cast("double").alias("__nb")
+    )
+    item_n = bi.groupBy(F.col("__i").alias("item")).agg(
+        F.count(F.lit(1)).alias("n_item")
+    )
+    a = bi.alias("a")
+    b = bi.alias("b")
+    pairs = (
+        a.join(b, "__b")
+        .where(F.col("a.__i") < F.col("b.__i"))
+        .groupBy(
+            F.col("a.__i").alias("item_a"), F.col("b.__i").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= min_support)
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(item_n.withColumnRenamed("item", "item_a")
+                        .withColumnRenamed("n_item", "n_a")),
+            "item_a",
+        )
+        .join(
+            F.broadcast(item_n.withColumnRenamed("item", "item_b")
+                        .withColumnRenamed("n_item", "n_b")),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+        .withColumn(
+            "support", F.col("n_pair").cast("double") / F.col("__nb")
+        )
+        .withColumn(
+            "confidence", F.col("n_pair").cast("double") / F.col("n_a")
+        )
+        .withColumn(
+            "lift",
+            (F.col("n_pair").cast("double") / F.col("__nb"))
+            / (
+                (F.col("n_a").cast("double") / F.col("__nb"))
+                * (F.col("n_b").cast("double") / F.col("__nb"))
+            ),
+        )
+    )
+    return (
+        scored.select(
+            "item_a", "item_b", "n_pair", "support", "confidence", "lift"
+        )
+        .orderBy(
+            F.col("lift").desc(),
+            F.col("item_a").asc(),
+            F.col("item_b").asc(),
+        )
+        .limit(top_k)
+    )

@@ -101,3 +101,46 @@ def test_rate_alerts_sliding(spark):
     # event 3 is the 3rd within 10s; event 4 the 4th; the rest never
     # reach 3 in any trailing window
     assert out == {3: 3, 4: 4}
+
+
+def test_ab_test_proportions(spark):
+    rows = (
+        [("A", i, i < 20) for i in range(100)]      # 20% conversion
+        + [("B", 100 + i, i < 30) for i in range(100)]  # 30%
+    )
+    df = spark.createDataFrame(rows, "grp string, uid long, conv boolean")
+    out = A.ab_test_proportions(df, "uid", "grp", "conv").collect()[0]
+    assert out["n_a"] == 100 and out["conv_a"] == 20
+    assert out["rate_b"] == pytest.approx(0.3)
+    assert out["lift_abs"] == pytest.approx(0.1)
+    # hand z: pool=0.25, se=sqrt(.25*.75*(2/100))
+    se = (0.25 * 0.75 * 0.02) ** 0.5
+    assert out["z_stat"] == pytest.approx(0.1 / se, rel=1e-12)
+    # three arms must raise
+    df3 = df.union(spark.createDataFrame([("C", 999, True)],
+                                         "grp string, uid long, conv boolean"))
+    with pytest.raises(ValueError):
+        A.ab_test_proportions(df3, "uid", "grp", "conv")
+
+
+def test_basket_lift(spark):
+    # bread+butter always together (10 baskets); milk independent-ish
+    rows = []
+    for b in range(10):
+        rows += [(b, "bread"), (b, "butter")]
+        if b < 5:
+            rows.append((b, "milk"))
+    for b in range(10, 20):
+        rows.append((b, "milk"))
+    df = spark.createDataFrame(rows, "basket long, item string")
+    out = {(r["item_a"], r["item_b"]): r for r in A.basket_lift(
+        df, "basket", "item", min_support=3, top_k=10
+    ).collect()}
+    bb = out[("bread", "butter")]
+    assert bb["n_pair"] == 10
+    assert bb["confidence"] == pytest.approx(1.0)
+    # lift = (10/20) / ((10/20)*(10/20)) = 2.0
+    assert bb["lift"] == pytest.approx(2.0)
+    # bread+milk: 5 pairs; lift = (5/20)/((10/20)*(15/20)) = 0.666..
+    bm = out[("bread", "milk")]
+    assert bm["lift"] == pytest.approx(2 / 3, rel=1e-12)
