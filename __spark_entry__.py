@@ -2608,6 +2608,18 @@ def q_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_holt_forecast(spark: SparkSession, sf: str) -> DataFrame:
+    """Holt double-exponential smoothing + 7-day forecast over daily
+    event revenue (resample.holt_forecast, applyInPandas recursion —
+    bit-identical to the oracle's recursive CTE; the oracle writes
+    (1 − β), not its decimal value, because 1−0.3 and the literal 0.7
+    differ by one ulp)."""
+    ev = load_table(spark, sf, "events")
+    return resample_ops.holt_forecast(
+        ev, "ts", "value", alpha=0.5, beta=0.3, horizon=7
+    )
+
+
 def q_ab_test(spark: SparkSession, sf: str) -> DataFrame:
     """Two-proportion A/B readout (aggregates.ab_test_proportions):
     users hash-split into two arms (md5 parity — deterministic
@@ -3103,6 +3115,7 @@ def queries() -> dict[str, QueryFn]:
         "rate_alerts": q_rate_alerts,
         "ab_test": q_ab_test,
         "basket_lift": q_basket_lift,
+        "holt_forecast": q_holt_forecast,
         "topk_diversified": q_topk_diversified,
         "time_in_state": q_time_in_state,
         # -- (2) r5-green, code path changed this round ----------------
@@ -3367,6 +3380,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, s AS cusum,
                    s > 120.0 AS alarm
             FROM cs
+        """,
+        "holt_forecast": """
+            WITH RECURSIVE daily AS (
+                SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                       CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+                           AS y
+                FROM events GROUP BY 1
+            ), o AS (
+                SELECT day, y, row_number() OVER (ORDER BY day) AS rn
+                FROM daily
+            ), hl(rn, day, y, l, b, fitted) AS (
+                SELECT o.rn, o.day, o.y, o.y,
+                       (SELECT y FROM o WHERE rn = 2) - o.y,
+                       CAST(NULL AS DOUBLE)
+                FROM o WHERE o.rn = 1
+                UNION ALL
+                SELECT o.rn, o.day, o.y,
+                       0.5 * o.y + (1 - 0.5) * (h.l + h.b),
+                       0.3 * ((0.5 * o.y + (1 - 0.5) * (h.l + h.b)) - h.l)
+                       + (1 - 0.3) * h.b,
+                       h.l + h.b
+                FROM hl h JOIN o ON o.rn = h.rn + 1
+            ), hist AS (
+                SELECT day, y AS observed, l AS level, b AS trend,
+                       fitted, FALSE AS is_forecast
+                FROM hl
+            ), last_row AS (
+                SELECT day, l, b FROM hl
+                ORDER BY rn DESC LIMIT 1
+            ), fc AS (
+                SELECT last_row.day + to_days(CAST(h AS INTEGER)) AS day,
+                       CAST(NULL AS DOUBLE) AS observed,
+                       l AS level, b AS trend,
+                       l + h * b AS fitted,
+                       TRUE AS is_forecast
+                FROM last_row,
+                     (SELECT unnest(generate_series(1, 7)) AS h)
+            )
+            SELECT * FROM hist
+            UNION ALL
+            SELECT * FROM fc
         """,
         "ab_test": """
             WITH units AS (

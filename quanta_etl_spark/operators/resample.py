@@ -256,3 +256,83 @@ def seasonal_decompose(
             ).alias("residual"),
         )
     )
+
+
+def holt_forecast(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    horizon: int = 7,
+) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing over the daily
+    total, plus an ``horizon``-day linear forecast — the trend-aware
+    step past EWMA that still needs no model fitting. Recursion:
+    l_t = α·y_t + (1−α)(l_{t−1}+b_{t−1});
+    b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}; initialized l_1=y_1,
+    b_1=y_2−y_1. Forecast rows extend the series with
+    ŷ_{T+h} = l_T + h·b_T (``is_forecast`` marks them).
+
+    The clamp-free recursion is still sequential — applyInPandas over
+    the (tiny, single-group) daily frame, identical IEEE arithmetic to
+    the oracle's recursive CTE. Daily totals are decimal sums, so both
+    engines recurse over identical inputs. At 100 TB the heavy step is
+    the daily aggregation; the recursion runs on |days| rows.
+    """
+    import pandas as pd
+
+    daily = df.groupBy(
+        F.date_trunc("day", F.col(ts_col)).alias("day")
+    ).agg(
+        F.sum(F.col(value_col).cast("decimal(30,6)"))
+        .cast("double")
+        .alias("observed")
+    ).withColumn("__g", F.lit(1))
+
+    out_schema = (
+        "day timestamp, observed double, level double, trend double, "
+        "fitted double, is_forecast boolean"
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day")
+        y = pdf["observed"].to_numpy(dtype=float)
+        days = list(pdf["day"])
+        n = len(y)
+        lv = [0.0] * n
+        tr = [0.0] * n
+        fit = [None] * n
+        if n >= 2:
+            lv[0], tr[0] = y[0], y[1] - y[0]
+        elif n == 1:
+            lv[0], tr[0] = y[0], 0.0
+        for t in range(1, n):
+            fit[t] = lv[t - 1] + tr[t - 1]
+            lv[t] = alpha * y[t] + (1 - alpha) * (lv[t - 1] + tr[t - 1])
+            tr[t] = beta * (lv[t] - lv[t - 1]) + (1 - beta) * tr[t - 1]
+        rows = {
+            # copy: rows["day"] must NOT alias `days`, or each forecast
+            # append would shift days[-1] under the next iteration
+            "day": list(days),
+            "observed": list(y),
+            "level": lv,
+            "trend": tr,
+            "fitted": fit,
+            "is_forecast": [False] * n,
+        }
+        step = days[-1] - days[-2] if n >= 2 else pd.Timedelta(days=1)
+        for h in range(1, horizon + 1):
+            rows["day"].append(days[-1] + h * step)
+            rows["observed"].append(None)
+            rows["level"].append(lv[-1])
+            rows["trend"].append(tr[-1])
+            rows["fitted"].append(lv[-1] + h * tr[-1])
+            rows["is_forecast"].append(True)
+        return pd.DataFrame(rows)
+
+    return (
+        daily.groupBy("__g")
+        .applyInPandas(fn, out_schema)
+        .select("day", "observed", "level", "trend", "fitted", "is_forecast")
+    )

@@ -144,3 +144,52 @@ def test_basket_lift(spark):
     # bread+milk: 5 pairs; lift = (5/20)/((10/20)*(15/20)) = 0.666..
     bm = out[("bread", "milk")]
     assert bm["lift"] == pytest.approx(2 / 3, rel=1e-12)
+
+
+def test_holt_forecast_linear_series_exact(spark):
+    """On a perfectly linear series Holt recovers the line: fitted
+    one-step-ahead values equal the observations, and forecasts
+    extend the line exactly."""
+    import datetime as dtm
+
+    from quanta_etl_spark.operators import resample as R2
+
+    rows = [
+        (dtm.datetime(2024, 1, 1) + dtm.timedelta(days=d), 10.0 + 3.0 * d)
+        for d in range(10)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    out = R2.holt_forecast(df, "ts", "v", alpha=0.5, beta=0.3, horizon=3)
+    rows_out = sorted(out.collect(), key=lambda r: r["day"])
+    hist = [r for r in rows_out if not r["is_forecast"]]
+    fc = [r for r in rows_out if r["is_forecast"]]
+    assert len(hist) == 10 and len(fc) == 3
+    # one-step fitted on a line = exact
+    for r in hist[1:]:
+        assert r["fitted"] == pytest.approx(r["observed"], abs=1e-9)
+    # forecasts continue the line: 10 + 3*10, 3*11, 3*12
+    assert [r["fitted"] for r in fc] == pytest.approx(
+        [40.0, 43.0, 46.0], abs=1e-9
+    )
+    assert all(r["observed"] is None for r in fc)
+
+
+def test_holt_forecast_days_evenly_spaced(spark):
+    """Forecast days advance by exactly one step each (regression: an
+    aliasing bug made the horizon triangular — +1, +2, +3 days)."""
+    import datetime as dtm
+
+    from quanta_etl_spark.operators import resample as R2
+
+    rows = [
+        (dtm.datetime(2024, 3, 1) + dtm.timedelta(days=d), float(d))
+        for d in range(5)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    fc = sorted(
+        [r for r in R2.holt_forecast(df, "ts", "v", horizon=4).collect()
+         if r["is_forecast"]],
+        key=lambda r: r["day"],
+    )
+    got = [r["day"].day for r in fc]
+    assert got == [6, 7, 8, 9]
