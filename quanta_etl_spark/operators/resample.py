@@ -300,13 +300,15 @@ def holt_forecast(
         y = pdf["observed"].to_numpy(dtype=float)
         days = list(pdf["day"])
         n = len(y)
-        lv = [0.0] * n
-        tr = [0.0] * n
-        fit = [None] * n
+        lv: list = [0.0] * n
+        tr: list = [None] * n
+        fit: list = [None] * n
         if n >= 2:
             lv[0], tr[0] = y[0], y[1] - y[0]
         elif n == 1:
-            lv[0], tr[0] = y[0], 0.0
+            # trend is UNDEFINED off one observation (the oracle's
+            # rn=2 lookup is NULL there) — never fake a 0 slope
+            lv[0] = y[0]
         for t in range(1, n):
             fit[t] = lv[t - 1] + tr[t - 1]
             lv[t] = alpha * y[t] + (1 - alpha) * (lv[t - 1] + tr[t - 1])
@@ -321,13 +323,19 @@ def holt_forecast(
             "fitted": fit,
             "is_forecast": [False] * n,
         }
-        step = days[-1] - days[-2] if n >= 2 else pd.Timedelta(days=1)
+        # forecasts step at the DAILY grain always (the frame is the
+        # daily aggregate; stepping by the last observed gap would
+        # desync from the calendar — and the oracle — whenever the
+        # final two active days aren't consecutive)
+        step = pd.Timedelta(days=1)
         for h in range(1, horizon + 1):
             rows["day"].append(days[-1] + h * step)
             rows["observed"].append(None)
             rows["level"].append(lv[-1])
             rows["trend"].append(tr[-1])
-            rows["fitted"].append(lv[-1] + h * tr[-1])
+            rows["fitted"].append(
+                lv[-1] + h * tr[-1] if tr[-1] is not None else None
+            )
             rows["is_forecast"].append(True)
         return pd.DataFrame(rows)
 

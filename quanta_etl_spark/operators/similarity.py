@@ -383,10 +383,12 @@ def centroid_confusion(
     embedding clusters separable?" answer (and the eval harness shape
     for any label-vs-cluster comparison).
 
-    Determinism discipline matches :func:`label_cohesion`: centroids
-    from decimal component sums, per-(vector, centroid) dots/norms
-    decimal-accumulated, argmax by (cosine desc, label asc) —
-    reproducible on any engine at any partitioning.
+    Determinism: centroids come from decimal component sums (means
+    must be row-order-free); SCORING is plain IEEE array folds in
+    fixed index order (the emb_cosine_topk discipline — matches
+    DuckDB's list_dot_product term for term), with argmax tie-broken
+    by (cosine desc, label asc). NULL/empty vectors are excluded —
+    they have no cosine to any centroid.
 
     Shape: centroids are |labels|·dims rows (broadcast); scoring joins
     each exploded vector component against every centroid's — the
@@ -424,7 +426,7 @@ def centroid_confusion(
         F.col(label_col).alias("label"),
         F.col(id_col).alias("vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vv"),
-    )
+    ).where(F.size("vv") > 0)
     scored = vecs.crossJoin(F.broadcast(cent_arr))
     cos = cosine_similarity(F.col("vv"), F.col("cv"))
     w = Window.partitionBy("vid").orderBy(
