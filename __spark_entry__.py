@@ -3013,83 +3013,21 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, QueryFn]:
     # The driver's correctness gate records the FIRST 50 entries only
     # (observed: r1 gated 50 of 51, r2 gated dict positions 1-50 of 67,
-    # r4/r5 gated positions 1-50). Rotation policy (VERDICT r4 #2 /
-    # r5 #1) so every query holds a recent green driver row. Round-6
-    # window (positions 1-50, COUNTED, not assumed — r5's cap comment
-    # was off by one and this round's first draft was off by three):
-    # the 7 r5 queries that have never held a driver CORRECTNESS row
-    # lead the dict outright, then 43 of the 46 queries ADDED this
-    # round. The 3 remaining r6 queries (quantile_bins, salted_agg,
-    # dow_seasonality — the simplest of the batch, each with a local
-    # gate-replica green at BOTH sf0.001 and sf0.01) sit at positions
-    # 51-53 and rotate under the cap in r7. Every entry past the cap
-    # was re-verified by tools/check_oracle.py this round — see
-    # NOTES.md r6 for the full-sweep record.
+    # r4/r5/r6 gated positions 1-50). Rotation policy (VERDICT r4 #2 /
+    # r5 #1 / r6 #2) so every query holds a recent green driver row.
+    # Round-7 window (positions 1-50, COUNTED programmatically by
+    # tests/test_contract.py, not assumed): (A) the 28 r6-new queries
+    # that never held a driver row, (B) the two red CORRECTNESS_r06
+    # rows whose oracle HUGEINT columns were cast to BIGINT this round,
+    # (C) 20 of the 47 stalest r4-green rows — the dedup/emb/corpus/
+    # media families whose code changed in r6 (max_bucket guard, auto
+    # planes) lead. The 27 remaining r4-era rows rotate under the cap
+    # in r8. Every entry past the cap was re-verified by
+    # tools/check_oracle.py; see NOTES.md for the sweep record.
     return {
-        # -- (A) never-driver-gated r5 queries: gate these FIRST -------
-        "profile_columns": q_profile_columns,
-        "window_distribution": q_window_distribution,
-        "fuzzy_pairs": q_fuzzy_pairs,
-        "json_map_explode": q_json_map_explode,
-        "window_value_picks": q_window_value_picks,
-        "sql_forecast_revenue": q_sql_forecast_revenue,
-        "array_functions": q_array_functions,
-        # -- (0h) newest this round: temporal join / conversion --------
-        "conversion_latency": q_conversion_latency,
-        "temporal_join": q_temporal_join,
-        # -- (0g) newest this round: cohesion ---------------------------
-        "emb_cohesion": q_emb_cohesion,
-        # -- (0f) newest this round: cadence/lead-time/rolling-corr ----
-        "inter_event_gap": q_inter_event_gap,
-        "fulfillment_lag": q_fulfillment_lag,
-        "rolling_corr": q_rolling_corr,
-        # -- (0e) newest this round: classic joins/reconcile/streaming -
-        "order_reconciliation": q_order_reconciliation,
-        "top_unshipped": q_top_unshipped,
-        "market_share": q_market_share,
-        "stream_distinct_users": q_stream_distinct_users,
-        # -- (0d) newest this round: corpus-paragraph/attribution ------
-        "paragraph_dedup": q_paragraph_dedup,
-        "attribution_last_touch": q_attribution_last_touch,
-        # -- (0c) newest this round: segmentation/concentration batch --
-        "rfm_segments": q_rfm_segments,
-        "gini_revenue": q_gini_revenue,
-        "hhi_brands": q_hhi_brands,
-        "heavy_keys": q_heavy_keys,
-        # -- (0b) newest this round: stats/graph/PII batch -------------
-        "ols_regression": q_ols_regression,
-        "chi_square": q_chi_square,
-        "mad_outliers": q_mad_outliers,
-        "revenue_mom_growth": q_revenue_mom_growth,
-        "pii_redact": q_pii_redact,
-        "graph_triangles": q_graph_triangles,
-        "graph_bfs": q_graph_bfs,
-        # -- (0) new this round: event-log analytics + frontier/
-        #    histogram/sampling batch (operators/events.py etc.) -------
-        "funnel_conversion": q_funnel_conversion,
-        "cohort_retention": q_cohort_retention,
-        "time_weighted_avg": q_time_weighted_avg,
-        "linear_interpolate": q_linear_interpolate,
-        "rolling_median": q_rolling_median,
-        "histogram_prices": q_histogram_prices,
-        "skyline_pareto": q_skyline_pareto,
-        "stratified_sample": q_stratified_sample,
-        "max_drawdown": q_max_drawdown,
-        "anomaly_zscore": q_anomaly_zscore,
-        "vwap_bucketed": q_vwap_bucketed,
-        "graph_pagerank": q_graph_pagerank,
-        "event_transitions": q_event_transitions,
-        "referential_check": q_referential_check,
-        "stream_anomaly": q_stream_anomaly,
-        "activity_streaks": q_activity_streaks,
-        "contribution_margin": q_contribution_margin,
-        "weighted_median": q_weighted_median,
-        "dedup_survivor": q_dedup_survivor,
-        # -- (1) new this round: streaming forward-fill gate -----------
-        "stream_forward_fill": q_stream_forward_fill,
-        # ---- 50-entry gate cap lands after the entry above -----------
-        # -- (1b) r6-new overflow: positions 51+, rotate under the
-        #    cap in r7 (local gate-replica green at sf0.001 + sf0.01) --
+        # -- (A) positions 1-28: the 28 r6-new queries that have never
+        #    held a driver CORRECTNESS row (local replica green at
+        #    sf0.001 + sf0.01 since r6) — rotation debt paid first ----
         "quantile_bins": q_quantile_bins,
         "salted_agg": q_salted_agg,
         "dow_seasonality": q_dow_seasonality,
@@ -3118,13 +3056,13 @@ def queries() -> dict[str, QueryFn]:
         "holt_forecast": q_holt_forecast,
         "topk_diversified": q_topk_diversified,
         "time_in_state": q_time_in_state,
-        # -- (2) r5-green, code path changed this round ----------------
-        "corpus_mix": q_corpus_mix,
-        "emb_topk_ivf": q_emb_topk_ivf,
-        # -- (3) r4-era rows rotating back under the gate --------------
-        "media_pixel_stats": q_media_pixel_stats,
-        "media_phash_dedup": q_media_phash_dedup,
-        "media_phash_neardup": q_media_phash_neardup,
+        # -- (B) positions 29-30: the two red CORRECTNESS_r06 rows;
+        #    oracle SQL HUGEINT columns cast to BIGINT this round ------
+        "profile_columns": q_profile_columns,
+        "referential_check": q_referential_check,
+        # -- (C) positions 31-50: stalest r4-green rows, code-touched
+        #    families first (dedup max_bucket guard, emb auto-planes
+        #    landed in r6 without a fresh driver row) ------------------
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
@@ -3132,31 +3070,85 @@ def queries() -> dict[str, QueryFn]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_apply": q_dedup_apply,
         "dedup_incremental": q_dedup_incremental,
-        "stream_dedup": q_stream_dedup,
-        "stream_stateful_running": q_stream_stateful_running,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_neardup_exact": q_emb_neardup_exact,
         "emb_neardup_lsh": q_emb_neardup_lsh,
-        "global_topk": q_global_topk,
-        "text_token_stats": q_text_token_stats,
-        "text_lang_id": q_text_lang_id,
-        "text_quality": q_text_quality,
-        "text_winnow": q_text_winnow,
-        "text_repetition": q_text_repetition,
-        # -- (4) past the cap: the 19 r4+J rows displaced by this
-        #    round's new batch (r4 driver row + r5 judge re-verify
-        #    stand; they rotate back under the cap next round) ---------
-        "decimal_money_agg": q_decimal_money_agg,
-        "rolling_time_window": q_rolling_time_window,
-        "window_cumulative": q_window_cumulative,
-        "window_ewma": q_window_ewma,
-        "agg_percentiles": q_agg_percentiles,
         "corpus_decontaminate": q_corpus_decontaminate,
         "corpus_cap_per_source": q_corpus_cap_per_source,
         "corpus_pack_sequences": q_corpus_pack_sequences,
         "corpus_shuffle_index": q_corpus_shuffle_index,
         "corpus_quality_filter": q_corpus_quality_filter,
         "corpus_chunk": q_corpus_chunk,
+        "media_pixel_stats": q_media_pixel_stats,
+        "media_phash_dedup": q_media_phash_dedup,
+        "media_phash_neardup": q_media_phash_neardup,
+        "decimal_money_agg": q_decimal_money_agg,
+        # ---- 50-entry gate cap lands after the entry above -----------
+        # -- past the cap: r5/r6-green rows (records ≤2 rounds old) and
+        #    the 27 remaining r4-era rows that rotate under the cap in
+        #    r8; every entry re-verified by tools/check_oracle.py -------
+        "window_distribution": q_window_distribution,
+        "fuzzy_pairs": q_fuzzy_pairs,
+        "json_map_explode": q_json_map_explode,
+        "window_value_picks": q_window_value_picks,
+        "sql_forecast_revenue": q_sql_forecast_revenue,
+        "array_functions": q_array_functions,
+        "conversion_latency": q_conversion_latency,
+        "temporal_join": q_temporal_join,
+        "emb_cohesion": q_emb_cohesion,
+        "inter_event_gap": q_inter_event_gap,
+        "fulfillment_lag": q_fulfillment_lag,
+        "rolling_corr": q_rolling_corr,
+        "order_reconciliation": q_order_reconciliation,
+        "top_unshipped": q_top_unshipped,
+        "market_share": q_market_share,
+        "stream_distinct_users": q_stream_distinct_users,
+        "paragraph_dedup": q_paragraph_dedup,
+        "attribution_last_touch": q_attribution_last_touch,
+        "rfm_segments": q_rfm_segments,
+        "gini_revenue": q_gini_revenue,
+        "hhi_brands": q_hhi_brands,
+        "heavy_keys": q_heavy_keys,
+        "ols_regression": q_ols_regression,
+        "chi_square": q_chi_square,
+        "mad_outliers": q_mad_outliers,
+        "revenue_mom_growth": q_revenue_mom_growth,
+        "pii_redact": q_pii_redact,
+        "graph_triangles": q_graph_triangles,
+        "graph_bfs": q_graph_bfs,
+        "funnel_conversion": q_funnel_conversion,
+        "cohort_retention": q_cohort_retention,
+        "time_weighted_avg": q_time_weighted_avg,
+        "linear_interpolate": q_linear_interpolate,
+        "rolling_median": q_rolling_median,
+        "histogram_prices": q_histogram_prices,
+        "skyline_pareto": q_skyline_pareto,
+        "stratified_sample": q_stratified_sample,
+        "max_drawdown": q_max_drawdown,
+        "anomaly_zscore": q_anomaly_zscore,
+        "vwap_bucketed": q_vwap_bucketed,
+        "graph_pagerank": q_graph_pagerank,
+        "event_transitions": q_event_transitions,
+        "stream_anomaly": q_stream_anomaly,
+        "activity_streaks": q_activity_streaks,
+        "contribution_margin": q_contribution_margin,
+        "weighted_median": q_weighted_median,
+        "dedup_survivor": q_dedup_survivor,
+        "stream_forward_fill": q_stream_forward_fill,
+        "corpus_mix": q_corpus_mix,
+        "emb_topk_ivf": q_emb_topk_ivf,
+        "stream_dedup": q_stream_dedup,
+        "stream_stateful_running": q_stream_stateful_running,
+        "global_topk": q_global_topk,
+        "text_token_stats": q_text_token_stats,
+        "text_lang_id": q_text_lang_id,
+        "text_quality": q_text_quality,
+        "text_winnow": q_text_winnow,
+        "text_repetition": q_text_repetition,
+        "rolling_time_window": q_rolling_time_window,
+        "window_cumulative": q_window_cumulative,
+        "window_ewma": q_window_ewma,
+        "agg_percentiles": q_agg_percentiles,
         "merge_upsert": q_merge_upsert,
         "merge_update_cols": q_merge_update_cols,
         "merge_scd2": q_merge_scd2,
@@ -3165,7 +3157,6 @@ def queries() -> dict[str, QueryFn]:
         "join_asof_forward": q_join_asof_forward,
         "quality_quarantine": q_quality_quarantine,
         "udtf_sentences": q_udtf_sentences,
-        # -- r5-green rows (records stand) -----------------------------
         "stream_session_window": q_stream_session_window,
         "stream_sliding_window": q_stream_sliding_window,
         "stream_stream_join": q_stream_stream_join,
@@ -3214,7 +3205,6 @@ def queries() -> dict[str, QueryFn]:
         "above_avg_orders": q_above_avg_orders,
         "big_qty_orders": q_big_qty_orders,
         "stream_static_join": q_stream_static_join,
-        # -- stable r4 rows that rotate into the window next round -----
         "setop_union": q_setop_union,
         "setop_intersect": q_setop_intersect,
         "setop_except": q_setop_except,
@@ -3443,9 +3433,11 @@ def oracle_sql() -> dict[str, str]:
                     max(CASE WHEN grp = 'B' THEN conv END) AS conv_b
                 FROM per
             )
-            SELECT 'A' AS group_a, n_a, conv_a,
+            SELECT 'A' AS group_a, n_a,
+                   CAST(conv_a AS BIGINT) AS conv_a,
                    CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
-                   'B' AS group_b, n_b, conv_b,
+                   'B' AS group_b, n_b,
+                   CAST(conv_b AS BIGINT) AS conv_b,
                    CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
                    CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
                    - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
@@ -3546,11 +3538,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM act a JOIN fst f USING (user_id)
                 GROUP BY a.day
             )
-            SELECT day, n_new, n_returning,
-                   sum(n_new) OVER (ORDER BY day
-                                    ROWS BETWEEN UNBOUNDED PRECEDING
-                                             AND CURRENT ROW)
-                       AS cum_users
+            SELECT day, CAST(n_new AS BIGINT) AS n_new,
+                   CAST(n_returning AS BIGINT) AS n_returning,
+                   CAST(sum(n_new) OVER (ORDER BY day
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                                  AND CURRENT ROW)
+                        AS BIGINT) AS cum_users
             FROM daily
         """,
         "benford_audit": """
@@ -4212,7 +4205,14 @@ def oracle_sql() -> dict[str, str]:
                        string_agg(para, '. ' ORDER BY pos) AS clean
                 FROM k GROUP BY 1
             ), t AS (
-                SELECT doc_id, count(*) AS n_paras FROM p GROUP BY 1
+                -- spine = INPUT frame, not the exploded one:
+                -- unnest(string_split(NULL)) emits zero rows, so a
+                -- NULL-text document would otherwise vanish while the
+                -- operator keeps it as (0, 0, md5('')) — ADVICE r6
+                SELECT i.doc_id, COALESCE(pc.n_paras, 0) AS n_paras
+                FROM inj i LEFT JOIN (
+                    SELECT doc_id, count(*) AS n_paras FROM p GROUP BY 1
+                ) pc USING (doc_id)
             )
             SELECT t.doc_id, t.n_paras,
                    COALESCE(r.n_kept, 0) AS n_kept,
@@ -4831,29 +4831,31 @@ def oracle_sql() -> dict[str, str]:
         "referential_check": """
             SELECT 'orders_customer' AS relation,
                    count(*) AS total_rows,
-                   sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
-                       AS null_keys,
-                   sum(CASE WHEN o_custkey IS NOT NULL
+                   CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS null_keys,
+                   CAST(sum(CASE WHEN o_custkey IS NOT NULL
                                  AND c.c_custkey IS NULL
-                            THEN 1 ELSE 0 END) AS orphans
+                            THEN 1 ELSE 0 END) AS BIGINT) AS orphans
             FROM orders LEFT JOIN (
                 SELECT DISTINCT c_custkey FROM customer
             ) c ON o_custkey = c.c_custkey
             UNION ALL
             SELECT 'lineitem_part', count(*),
-                   sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END),
-                   sum(CASE WHEN l_partkey IS NOT NULL
+                   CAST(sum(CASE WHEN l_partkey IS NULL
+                            THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(sum(CASE WHEN l_partkey IS NOT NULL
                                  AND p.p_partkey IS NULL
-                            THEN 1 ELSE 0 END)
+                            THEN 1 ELSE 0 END) AS BIGINT)
             FROM lineitem LEFT JOIN (
                 SELECT DISTINCT p_partkey FROM part
             ) p ON l_partkey = p.p_partkey
             UNION ALL
             SELECT 'lineitem_supplier', count(*),
-                   sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END),
-                   sum(CASE WHEN l_suppkey IS NOT NULL
+                   CAST(sum(CASE WHEN l_suppkey IS NULL
+                            THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(sum(CASE WHEN l_suppkey IS NOT NULL
                                  AND s.s_suppkey IS NULL
-                            THEN 1 ELSE 0 END)
+                            THEN 1 ELSE 0 END) AS BIGINT)
             FROM lineitem LEFT JOIN (
                 SELECT DISTINCT s_suppkey FROM supplier
             ) s ON l_suppkey = s.s_suppkey
@@ -5464,28 +5466,32 @@ def oracle_sql() -> dict[str, str]:
         "profile_columns": """
             WITH s AS (SELECT * FROM orders)
             SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
-                   sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+                   CAST(sum(CASE WHEN o_orderkey IS NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
                    count(DISTINCT o_orderkey) AS n_distinct,
                    CAST(min(o_orderkey) AS VARCHAR) AS min_str,
                    CAST(max(o_orderkey) AS VARCHAR) AS max_str
             FROM s
             UNION ALL
             SELECT 'o_custkey', count(*),
-                   sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+                   CAST(sum(CASE WHEN o_custkey IS NULL
+                            THEN 1 ELSE 0 END) AS BIGINT),
                    count(DISTINCT o_custkey),
                    CAST(min(o_custkey) AS VARCHAR),
                    CAST(max(o_custkey) AS VARCHAR)
             FROM s
             UNION ALL
             SELECT 'o_orderpriority', count(*),
-                   sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+                   CAST(sum(CASE WHEN o_orderpriority IS NULL
+                            THEN 1 ELSE 0 END) AS BIGINT),
                    count(DISTINCT o_orderpriority),
                    CAST(min(o_orderpriority) AS VARCHAR),
                    CAST(max(o_orderpriority) AS VARCHAR)
             FROM s
             UNION ALL
             SELECT 'o_totalprice', count(*),
-                   sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+                   CAST(sum(CASE WHEN o_totalprice IS NULL
+                            THEN 1 ELSE 0 END) AS BIGINT),
                    count(DISTINCT o_totalprice),
                    CAST(min(o_totalprice) AS VARCHAR),
                    CAST(max(o_totalprice) AS VARCHAR)

@@ -326,14 +326,25 @@ def ols_regress(
     building from exact decimal power sums removes that).
 
     Groups with zero x-variance return NULL slope/intercept/r2.
+
+    Input range: |x|, |y| < 1e12. Values beyond decimal(18,6) NULL out
+    under ``try_cast`` (deterministic under BOTH ANSI settings — a
+    plain cast would throw under ANSI=true and silently NULL under
+    ANSI=false), and the row is then EXCLUDED from the fit entirely —
+    n, the power sums, and the moments always describe the same row
+    set (filtering on the raw columns instead would keep such rows in
+    n while dropping them from the sums, silently skewing
+    slope/intercept/r2 — ADVICE r6). Widening the cast is not an
+    option: (18,6)×(18,6) → decimal(37,12) is the widest product that
+    stays inside the 38-digit cap, which is what makes the power sums
+    exact.
     """
-    # (18,6): the pairwise products type as decimal(37,12) — inside the
-    # 38-digit cap, so Spark's precision-overflow truncation never
-    # engages and every power sum is exact.
-    x = F.col(x_col).cast("decimal(18,6)")
-    y = F.col(y_col).cast("decimal(18,6)")
+    x = F.col(x_col).try_cast("decimal(18,6)")
+    y = F.col(y_col).try_cast("decimal(18,6)")
     agg = df.where(
         F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).where(
+        x.isNotNull() & y.isNotNull()
     ).groupBy(*by).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(x).alias("__sx"),

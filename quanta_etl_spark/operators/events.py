@@ -16,6 +16,7 @@ native filter/groupBy/join/window, fully inside WholeStageCodegen.
 
 from __future__ import annotations
 
+from functools import reduce
 from typing import Sequence
 
 from pyspark.sql import DataFrame
@@ -417,7 +418,11 @@ def event_ngram_paths(
     n-grams on the per-user timeline) — the sequence-mining rollup
     behind "what do users do next" sankeys. A path never crosses
     users; rows whose lookahead runs off the user's timeline emit
-    nothing.
+    nothing, and a path containing a NULL event type anywhere emits
+    nothing either (``concat_ws`` alone would silently skip the NULL
+    and collapse 'a > NULL > c' into the still-counted 'a > c' —
+    SQL's ``||`` concatenation propagates the NULL and drops the row,
+    so we filter on every step, not just the last lead — ADVICE r6).
 
     Shape: n−1 lead() picks over ONE window pass (same frame, Catalyst
     fuses them into a single Window node), then a count aggregation on
@@ -432,9 +437,12 @@ def event_ngram_paths(
         F.lead(type_col, i).over(w) for i in range(1, n)
     ]
     path = F.concat_ws(" > ", *steps)
-    complete = df.withColumn("__last", steps[-1]).withColumn(
-        "path", path
-    ).where(F.col("__last").isNotNull())
+    all_steps_present = reduce(
+        lambda a, b: a & b, [s.isNotNull() for s in steps]
+    )
+    complete = df.withColumn(
+        "__ok", all_steps_present
+    ).withColumn("path", path).where(F.col("__ok"))
     counts = complete.groupBy("path").agg(F.count(F.lit(1)).alias("n_paths"))
     return (
         counts.orderBy(F.col("n_paths").desc(), F.col("path").asc())

@@ -384,14 +384,50 @@ def interval_overlap_join(
         joined = lsel.join(rsel, list(keys)) if keys else lsel.crossJoin(rsel)
         pairs = joined.where(overlap_cond)
     else:
-        def bins(s, e):
+        def _floor_div(col, w):
+            # Exact floor division in long arithmetic. F.floor(col/w)
+            # routes through DOUBLE division, whose ulp at
+            # microsecond-epoch magnitudes (~0.25 at 1.5e15) can put a
+            # boundary-adjacent value in the wrong bin — a missing
+            # lower cell would silently DROP pairs that overlap only
+            # there. pmod keeps it floor (not truncate-toward-zero)
+            # for negative epochs too. (col - pmod) is exactly
+            # divisible by w, so the one double division is exact for
+            # |col| < 2^53 ≈ 9.0e15 — microsecond epochs to year 2255.
+            return (
+                (col - F.pmod(col, F.lit(w))) / F.lit(w)
+            ).cast("long")
+
+        def bins(dtypes, s, e):
+            int_types = {"tinyint", "smallint", "int", "bigint"}
+            if (
+                float(bin_width) == int(bin_width)
+                and dtypes[s] in int_types
+                and dtypes[e] in int_types
+            ):
+                # Integer path: end-exclusive on integer arithmetic —
+                # an interval ending exactly on a bin boundary does
+                # NOT occupy the boundary bin (the former 1e-9 epsilon
+                # was a no-op at epoch magnitudes — ADVICE r6).
+                w = int(bin_width)
+                return F.sequence(
+                    _floor_div(F.col(s), w),
+                    _floor_div(F.col(e) - F.lit(1), w),
+                )
+            # Fractional/double path: no end-exclusive adjustment — a
+            # boundary-ending interval occupies one extra cell. That
+            # costs a little join fan-out, never correctness: the
+            # residual overlap filter + dedup below discard the
+            # spurious pairings.
             return F.sequence(
                 F.floor(F.col(s) / bin_width),
-                F.floor((F.col(e) - 1e-9) / bin_width),
+                F.floor(F.col(e) / bin_width),
             )
 
-        lb = lsel.withColumn("__bin", F.explode(bins("__ls", "__le")))
-        rb = rsel.withColumn("__bin", F.explode(bins("__rs", "__re")))
+        ldt = dict(lsel.dtypes)
+        rdt = dict(rsel.dtypes)
+        lb = lsel.withColumn("__bin", F.explode(bins(ldt, "__ls", "__le")))
+        rb = rsel.withColumn("__bin", F.explode(bins(rdt, "__rs", "__re")))
         pairs = (
             lb.join(rb, [*keys, "__bin"])
             .where(overlap_cond)

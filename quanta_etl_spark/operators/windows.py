@@ -604,6 +604,12 @@ def rolling_corr(
 
     Rows with fewer than ``window_rows`` observations in frame or a
     zero-variance side get NULL. One window shuffle on the key.
+
+    Decimal-path input range: |x|, |y| < 1e12 — beyond decimal(18,6)
+    the cast overflows to NULL (non-ANSI mode). Such rows, like plain
+    NULL inputs, are excluded from n AND every power sum together
+    (counting them in n while the sums skip them would quietly skew
+    the correlation — the ols_regress hazard from ADVICE r6).
     """
     w = (
         Window.partitionBy(*key_cols)
@@ -615,10 +621,17 @@ def rolling_corr(
         y = F.round(F.col(y_col) * scale).cast("long")
         sxy_t = sxx_t = syy_t = "long"
     else:
-        x = F.col(x_col).cast("decimal(18,6)")
-        y = F.col(y_col).cast("decimal(18,6)")
+        # try_cast: NULL on overflow under BOTH ANSI settings (a plain
+        # cast throws under ANSI=true, Spark 4's default, and silently
+        # NULLs under ANSI=false — either way the row must drop from n
+        # and the sums together, which `valid` below guarantees).
+        x = F.col(x_col).try_cast("decimal(18,6)")
+        y = F.col(y_col).try_cast("decimal(18,6)")
         sxy_t = sxx_t = syy_t = "decimal(38,12)"
-    n = F.count(F.lit(1)).over(w).cast("double")
+    valid = x.isNotNull() & y.isNotNull()
+    x = F.when(valid, x)
+    y = F.when(valid, y)
+    n = F.sum(F.when(valid, 1).otherwise(0)).over(w).cast("double")
     sx = F.sum(x).over(w).cast("double")
     sy = F.sum(y).over(w).cast("double")
     sxy = F.sum((x * y).cast(sxy_t)).over(w).cast("double")

@@ -526,51 +526,74 @@ def compact_parquet(
     ``v*`` directories exist — see ``write_versioned_parquet``), the
     compacted rewrite of the LATEST version is committed as the NEXT
     version — fully atomic, no reader-visible window, concurrent
-    readers keep their pinned directories (VERDICT r5 #3). For a plain
-    directory the legacy rename-swap is used: never destructive (the
-    source survives at ``<path>__compact_bak`` until the new data is in
-    place — ADVICE r2), but readers of the bare path can hit a brief
-    mid-swap window, so keep hot tables versioned."""
+    readers keep their pinned directories (VERDICT r5 #3).
+
+    A PLAIN directory is MIGRATED to the MVCC layout on its first
+    compaction (VERDICT r6 #6): the compacted copy commits as
+    ``v0000000001`` + ``_COMMITTED`` through the standard protocol,
+    then the old top-level flat part-files are swept. No reader-visible
+    window on the data itself: the flat files survive untouched until
+    the new version is fully committed, and a crash anywhere before the
+    sweep leaves either (a) no committed version and the flat files
+    intact — re-run to redo the migration — or (b) a committed v1 plus
+    flat leftovers, which the next ``compact_parquet`` call sweeps
+    (recovery below). MIGRATION NOTE: afterwards the table must be read
+    via ``read_versioned_parquet`` (or ``<path>/v0000000001``) — a bare
+    ``spark.read.parquet(path)`` no longer resolves, by design: hot
+    tables belong on the versioned layout."""
     import math
 
-    committed = list_versions(spark, path)
-    if committed:
-        cur = committed[-1]
-        vdir = path.rstrip("/") + "/" + _VERSION_FMT.format(cur)
-        jvm = spark.sparkContext._jvm
-        conf = spark.sparkContext._jsc.hadoopConfiguration()
-        p = jvm.org.apache.hadoop.fs.Path(vdir)
-        fs = p.getFileSystem(conf)
+    base = path.rstrip("/")
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    bp = jvm.org.apache.hadoop.fs.Path(base)
+    fs = bp.getFileSystem(conf)
+
+    def _disk_bytes(d: str) -> int:
         total = 0
-        it = fs.listFiles(p, True)
+        it = fs.listFiles(jvm.org.apache.hadoop.fs.Path(d), True)
         while it.hasNext():
             f = it.next()
             if f.getPath().getName().endswith(".parquet"):
                 total += f.getLen()
-        n = max(1, math.ceil(total / target_partition_bytes))
+        return total
+
+    def _toplevel_flat_files() -> list:
+        # Flat-era residue at the table root: data/marker FILES that are
+        # not MVCC bookkeeping (``v<N>._claim`` tombstones stay).
+        out = []
+        for st in fs.listStatus(bp):
+            name = st.getPath().getName()
+            if st.isFile() and not name.endswith(_CLAIM_SUFFIX):
+                out.append(st.getPath())
+        return out
+
+    committed = list_versions(spark, path)
+    if committed:
+        cur = committed[-1]
+        vdir = base + "/" + _VERSION_FMT.format(cur)
+        n = max(1, math.ceil(_disk_bytes(vdir) / target_partition_bytes))
         write_versioned_parquet(
             read_versioned_parquet(spark, path, cur).repartition(n), path
         )
+        # Migration-crash recovery: a first-compaction interrupted
+        # between its v1 commit and its flat-file sweep leaves old
+        # top-level part-files next to the v-dirs; finish the sweep.
+        for f in _toplevel_flat_files():
+            fs.delete(f, False)
         return n
 
+    # Plain flat directory: migrate to the MVCC layout. Snapshot the
+    # flat file list BEFORE writing (the commit adds files under
+    # ``v0000000001`` that must survive the sweep).
     src = spark.read.parquet(path)
-    # Size probe via the Hadoop FileSystem API — no data scan.
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(conf)
-    total = 0
-    it = fs.listFiles(p, True)
-    while it.hasNext():
-        f = it.next()
-        if f.getPath().getName().endswith(".parquet"):
-            total += f.getLen()
-    n = max(1, math.ceil(total / target_partition_bytes))
-    tmp = path.rstrip("/") + "__compact_tmp"
-    # single data pass: write the compacted copy NEXT TO the source,
-    # then swap via metadata renames (source preserved until committed)
-    src.repartition(n).write.mode("overwrite").parquet(tmp)
-    swap_directory(spark, tmp, path, "compact")
+    flat_files = _toplevel_flat_files()
+    n = max(1, math.ceil(_disk_bytes(base) / target_partition_bytes))
+    # Single data pass: the source files are only deleted after the
+    # version directory is fully committed.
+    write_versioned_parquet(src.repartition(n), path)
+    for f in flat_files:
+        fs.delete(f, False)
     return n
 
 

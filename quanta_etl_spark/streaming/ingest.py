@@ -525,6 +525,35 @@ def streaming_anomaly_zscore(df: DataFrame) -> DataFrame:
     )
 
 
+_DURATION_UNIT_SECONDS = {
+    "microsecond": 1e-6,
+    "millisecond": 1e-3,
+    "second": 1.0,
+    "minute": 60.0,
+    "hour": 3600.0,
+    "day": 86400.0,
+    "week": 604800.0,
+}
+
+
+def _duration_seconds(spec: str) -> float:
+    """Parse a Spark interval string ('1 hour', '30 minutes', '2 days
+    12 hours') into seconds, for delay-vs-window sanity checks."""
+    import re as _re
+
+    total = 0.0
+    matched = False
+    for m in _re.finditer(r"(\d+(?:\.\d+)?)\s*([a-z]+?)s?\b", spec.lower()):
+        qty, unit = float(m.group(1)), m.group(2)
+        if unit not in _DURATION_UNIT_SECONDS:
+            raise ValueError(f"unknown duration unit {unit!r} in {spec!r}")
+        total += qty * _DURATION_UNIT_SECONDS[unit]
+        matched = True
+    if not matched:
+        raise ValueError(f"unparseable duration {spec!r}")
+    return total
+
+
 def windowed_distinct_users(
     df: DataFrame,
     user_col: str = "user_id",
@@ -537,16 +566,33 @@ def windowed_distinct_users(
     ``count_distinct`` is unsupported in Structured Streaming (state
     for an exact distinct inside an arbitrary aggregate is unbounded),
     so this uses the documented two-stage shape: watermarked
-    ``dropDuplicates`` on (window-bucket, user) — bounded state, rows
-    beyond the watermark age out — then an ordinary streaming count
-    per window. On bounded input it equals the batch
-    count(DISTINCT user) per bucket, which is what the SQL oracle
-    checks.
+    ``dropDuplicatesWithinWatermark`` on (window-bucket, user) —
+    bounded state, keys evicted once the watermark passes their event
+    time + delay — then an ordinary streaming count per window. On
+    bounded input it equals the batch count(DISTINCT user) per bucket,
+    which is what the SQL oracle checks.
+
+    Plain ``dropDuplicates`` would be WRONG here: the bucket column is
+    ``window().getField('start')``, a projection that loses event-time
+    watermark metadata, so its dedup state would never be evicted and
+    would grow without bound on a real stream (ADVICE r6).
+    ``dropDuplicatesWithinWatermark`` evicts on the watermark without
+    requiring an event-time column among the keys. Exactness needs
+    duplicates to land within the eviction horizon: two same-window
+    events are at most one window span apart, so ``delay`` must be
+    >= the window span (enforced below).
 
     At 100 TB: dedup state is one entry per (window, user) inside the
     watermark horizon; for billions of users switch the dedup stage to
     an approximate HLL sketch merge in ``foreachBatch``.
     """
+    if _duration_seconds(delay) < _duration_seconds(window):
+        raise ValueError(
+            f"delay {delay!r} must cover the window span {window!r}: "
+            "same-window duplicates can be up to one span apart, and "
+            "dropDuplicatesWithinWatermark only guarantees dedup of "
+            "keys that recur inside the eviction horizon"
+        )
     # The dedup bucket must be EXACTLY the aggregation window — a
     # fixed date_trunc would under-count finer windows (one surviving
     # row per hour) and over-count coarser ones (one per hour inside a
@@ -554,7 +600,7 @@ def windowed_distinct_users(
     bucketed = with_late_data_policy(df, ts_col, delay=delay).withColumn(
         "__bucket", F.window(F.col(ts_col), window).getField("start")
     )
-    deduped = bucketed.dropDuplicates(["__bucket", user_col])
+    deduped = bucketed.dropDuplicatesWithinWatermark(["__bucket", user_col])
     return (
         deduped.groupBy(F.window(ts_col, window).alias("win"))
         .agg(F.count(F.lit(1)).alias("distinct_users"))

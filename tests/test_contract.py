@@ -56,3 +56,78 @@ def test_oracle_sql_names_registered_tables_only():
         # parenthesized subqueries: FROM ( — captured group would be
         # empty/non-identifier, regex already excludes
         assert not unknown, f"{name}: unknown table refs {sorted(unknown)}"
+
+
+def _duck_con(sf_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def test_duck_gate_unsafe_detector_flags_uncast_sum_case(sf_dir):
+    """The r6 gate failures (profile_columns/referential_check) were
+    caused by bare integer sum(CASE...) columns: DuckDB types them
+    HUGEINT, and the driver's pandas fetch renders HUGEINT as float64
+    ("3.000000" vs Spark long "3") — values equal, hash red.  The
+    replica must flag that oracle shape red even though fetchall()
+    values would match."""
+    from tools.check_oracle import duck_gate_unsafe_columns
+
+    con = _duck_con(sf_dir)
+    rel = con.sql(
+        "SELECT sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n "
+        "FROM orders"
+    )
+    assert duck_gate_unsafe_columns(rel) == ["n:HUGEINT"]
+    ok = con.sql(
+        "SELECT CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n FROM orders"
+    )
+    assert duck_gate_unsafe_columns(ok) == []
+    # DECIMAL final columns are equally pandas-hazardous
+    dec = con.sql(
+        "SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s FROM orders"
+    )
+    assert duck_gate_unsafe_columns(dec) == ["s:DECIMAL(38,2)"]
+
+
+def test_all_oracles_emit_gate_safe_duckdb_types(sf_dir):
+    """Every oracle's FINAL columns must be pandas-safe DuckDB types:
+    no HUGEINT/UHUGEINT/DECIMAL may reach the driver's canonicalizer."""
+    from tools.check_oracle import duck_gate_unsafe_columns
+
+    con = _duck_con(sf_dir)
+    bad = {}
+    for name, sql in E.oracle_sql().items():
+        unsafe = duck_gate_unsafe_columns(con.sql(sql))
+        if unsafe:
+            bad[name] = unsafe
+    assert not bad, f"gate-unsafe DuckDB oracle output types: {bad}"
+
+
+def test_r7_gate_window_composition():
+    """The driver gates the FIRST 50 queries() entries; the r7 window
+    must be exactly: 28 never-driver-gated r6 queries, then the two
+    red CORRECTNESS_r06 rows (HUGEINT oracles fixed this round), then
+    20 stalest r4-era rows.  Counted, not assumed (r5/r6 lesson)."""
+    import json
+    import os
+
+    names = list(E.queries().keys())
+    window = names[:50]
+    gated = set()
+    for r in range(1, 7):
+        p = f"/root/repo/CORRECTNESS_r0{r}.json"
+        if os.path.exists(p):
+            gated |= set(json.load(open(p)))
+    never = [n for n in names if n not in gated]
+    # every never-gated query must be inside the window
+    assert set(never) <= set(window), sorted(set(never) - set(window))
+    # the two r6-red rows must be in the window for fresh green rows
+    assert "profile_columns" in window and "referential_check" in window

@@ -465,3 +465,25 @@ class TestSequenceMining:
             pattern=r"^signup",
         ).collect()}
         assert again == {u: r["sequence"] for u, r in out.items()}
+
+
+def test_ngram_paths_interior_null_dropped(spark):
+    """A path containing a NULL event type anywhere must emit nothing
+    (ADVICE r6: concat_ws would silently collapse 'a > NULL > c' into
+    a still-counted 'a > c', diverging from SQL || concatenation)."""
+    from pyspark.sql import functions as F
+    from quanta_etl_spark.operators import events as E3
+
+    rows = [
+        (1, 1, "a"), (1, 2, None), (1, 3, "c"), (1, 4, "d"), (1, 5, "e"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, o long, event_type string"
+    ).withColumn("ts", F.to_timestamp(F.lit("2024-01-01")) +
+                 F.make_interval(secs=F.col("o")))
+    out = E3.event_ngram_paths(
+        df, "user_id", "ts", "event_type", n=3, top_k=10
+    ).collect()
+    got = {r["path"]: r["n_paths"] for r in out}
+    # a>NULL>c, NULL>c>d dropped entirely; only the clean c>d>e remains
+    assert got == {"c > d > e": 1}

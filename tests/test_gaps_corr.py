@@ -144,3 +144,31 @@ def test_time_in_state(spark):
     assert out["browse"]["n_intervals"] == 2
     assert out["cart"]["total_hours"] == pytest.approx(0.5)
     assert "done" not in out  # terminal events hold nothing
+
+
+def test_rolling_corr_null_input_excluded_from_n_and_sums(spark):
+    """A NULL observation must leave n AND every power sum together:
+    counting it in n while the sums skip it would return a corr built
+    from inconsistent moments (ADVICE r6). With the NULL excluded, the
+    frame has too few valid observations and must yield NULL."""
+    rows = [(1, i, float(i), float(2 * i) if i != 3 else None)
+            for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "k long, o long, x double, y double")
+    out = {r["o"]: r["rolling_corr"] for r in W.rolling_corr(
+        df, ["k"], "o", "x", "y", window_rows=3
+    ).collect()}
+    # frames containing o=3 (the NULL y) have only 2 valid obs -> NULL
+    assert out[3] is None and out[4] is None and out[5] is None
+
+
+def test_rolling_corr_decimal_overflow_row_fully_excluded(spark):
+    """|x| >= 1e12 overflows the decimal(18,6) cast to NULL; the row
+    must drop from n as well as the sums (not skew the estimate)."""
+    rows = [(1, 1, 1.0, 2.0), (1, 2, 2.0, 4.0), (1, 3, 5e12, 6.0),
+            (1, 4, 4.0, 8.0)]
+    df = spark.createDataFrame(rows, "k long, o long, x double, y double")
+    out = {r["o"]: r["rolling_corr"] for r in W.rolling_corr(
+        df, ["k"], "o", "x", "y", window_rows=3
+    ).collect()}
+    # every 3-row frame that includes o=3 has only 2 valid obs
+    assert out[3] is None and out[4] is None

@@ -217,3 +217,48 @@ def test_interval_overlap_empty_and_inverted_intervals(spark):
             left, right, "lid", "rid", "s", "e", "s2", "e2", bin_width=bw
         )
         assert out.count() == 0
+
+
+def test_interval_overlap_integer_bins_exact_at_epoch_magnitude(spark):
+    """Integer inputs take the exact long-arithmetic bin path (ADVICE
+    r6: the old double epsilon was a no-op at microsecond-epoch
+    magnitudes). An interval ending exactly on a bin boundary must not
+    occupy the boundary bin, and banded must equal naive at 1.5e15."""
+    from pyspark.sql import functions as F
+    from quanta_etl_spark.operators import joins as J5
+
+    w = 3_600_000_000  # 1h bins
+    base = 416_667 * w  # bin-aligned epoch micros ~1.5e15, ulp(double) ~ 0.25
+    lrows = [
+        (1, base, base + w),          # ends exactly on a boundary
+        (2, base + 2 * w, base + 2 * w + 10),
+    ]
+    rrows = [
+        (7, base + w, base + w + 5),  # starts where lid=1 ends: no pair
+        (8, base + w - 3, base + w),  # overlaps lid=1's tail
+        (9, base + 2 * w + 5, base + 3 * w),
+    ]
+    left = spark.createDataFrame(lrows, "lid long, s long, e long")
+    right = spark.createDataFrame(rrows, "s2r long, s2 long, e2 long") \
+        .withColumnRenamed("s2r", "rid")
+    naive = J5.interval_overlap_join(
+        left, right, "lid", "rid", "s", "e", "s2", "e2"
+    )
+    banded = J5.interval_overlap_join(
+        left, right, "lid", "rid", "s", "e", "s2", "e2", bin_width=w
+    )
+    want = {(1, 8), (2, 9)}
+    assert {(r["lid"], r["rid"]) for r in naive.collect()} == want
+    assert {(r["lid"], r["rid"]) for r in banded.collect()} == want
+    # the boundary-ending interval generates exactly one bin cell
+    cells = left.where(F.col("lid") == 1).select(
+        F.explode(
+            F.sequence(
+                ((F.col("s") - F.pmod("s", F.lit(w))) / w).cast("long"),
+                (
+                    ((F.col("e") - 1) - F.pmod(F.col("e") - 1, F.lit(w))) / w
+                ).cast("long"),
+            )
+        )
+    ).count()
+    assert cells == 1

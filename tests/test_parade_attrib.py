@@ -113,3 +113,32 @@ def test_paragraph_dedup_null_text_doc_survives(spark):
     assert set(out) == {1, 2}
     assert out[2]["n_paras"] == 0 and out[2]["n_kept"] == 0
     assert out[2]["clean_text"] == ""
+
+
+def test_paragraph_dedup_oracle_keeps_null_text_doc():
+    """Differential pin for the ADVICE r6 oracle fix: the DuckDB
+    oracle's doc spine must come from the input table (a NULL-text doc
+    stays as (0, 0, md5(''))), mirroring the operator's no-rows-vanish
+    contract — unnest(string_split(NULL)) emits zero rows, so a spine
+    derived from the exploded frame would drop the document."""
+    import duckdb
+
+    import __spark_entry__ as E
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(0, CAST(NULL AS VARCHAR)), "
+        "(1, 'alpha beta. gamma delta'), "
+        "(2, 'epsilon zeta. gamma delta')"
+        ") AS v(doc_id, text)"
+    )
+    rows = {
+        r[0]: r for r in con.sql(E.oracle_sql()["paragraph_dedup"]).fetchall()
+    }
+    assert 0 in rows, "NULL-text doc vanished from the oracle spine"
+    doc0 = rows[0]
+    # (doc_id, n_paras, n_kept, clean_md5) — md5('') for empty clean
+    assert doc0[1] == 0 and doc0[2] == 0
+    assert doc0[3] == "d41d8cd98f00b204e9800998ecf8427e"
+    assert set(rows) == {0, 1, 2}

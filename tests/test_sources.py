@@ -126,7 +126,10 @@ def test_write_clustered_parquet_rowgroup_ranges(spark, tmp_path):
         assert hi1 < lo2  # disjoint key ranges across files
 
 
-def test_compact_parquet_merges_small_files(spark, tmp_path):
+def test_compact_parquet_migrates_flat_dir_to_versioned(spark, tmp_path):
+    """First compaction of a plain directory commits v0000000001 +
+    _COMMITTED and sweeps the flat part-files (VERDICT r6 #6 — the
+    rename-swap's reader-visible window is gone)."""
     out = str(tmp_path / "many")
     spark.range(0, 1000).repartition(50).write.parquet(out)
     import pathlib
@@ -135,11 +138,46 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     assert before == 50
     n = readers.compact_parquet(spark, out, target_partition_bytes=1 << 30)
     assert n == 1
-    after = list(pathlib.Path(out).glob("*.parquet"))
-    assert len(after) == 1
-    back = spark.read.parquet(out)
+    # migrated: exactly one committed version, flat files swept
+    assert readers.list_versions(spark, out) == [1]
+    v1 = pathlib.Path(out) / readers._VERSION_FMT.format(1)
+    assert (v1 / readers._COMMIT_MARKER).exists()
+    assert len(list(v1.glob("*.parquet"))) == 1
+    assert list(pathlib.Path(out).glob("*.parquet")) == []
+    back = readers.read_versioned_parquet(spark, out)
     assert back.count() == 1000
     assert back.agg(F.sum("id")).collect()[0][0] == 499500
+
+
+def test_compact_parquet_migration_crash_recovery(spark, tmp_path):
+    """Crash-injection for first-compaction of a flat dir: a writer
+    that died between its v1 commit and its flat-file sweep leaves
+    both visible. Versioned readers already see only v1; the next
+    compact_parquet must finish the sweep and not resurrect flat
+    rows."""
+    out = str(tmp_path / "crashy")
+    spark.range(0, 100).repartition(10).write.parquet(out)
+    import pathlib
+
+    # Simulate the crash window: v1 fully committed (as the migration
+    # does), but the flat part-files were never swept.
+    readers.write_versioned_parquet(
+        spark.read.parquet(out).repartition(2), out
+    )
+    assert readers.list_versions(spark, out) == [1]
+    assert len(list(pathlib.Path(out).glob("*.parquet"))) == 10
+    # Recovery run: takes the versioned branch, compacts v1 -> v2,
+    # sweeps the flat leftovers.
+    n = readers.compact_parquet(spark, out, target_partition_bytes=1 << 30)
+    assert n == 1
+    assert readers.list_versions(spark, out) == [1, 2]
+    assert list(pathlib.Path(out).glob("*.parquet")) == []
+    assert list(pathlib.Path(out).glob("_SUCCESS")) == []
+    back = readers.read_versioned_parquet(spark, out)
+    assert back.count() == 100
+    assert back.agg(F.sum("id")).collect()[0][0] == 4950
+    # claim tombstones survive the sweep (they guard version numbers)
+    assert (pathlib.Path(out) / "v0000000001._claim").exists()
 
 
 def test_read_text_lines_and_whole_file(spark, tmp_path):

@@ -316,3 +316,20 @@ def test_seasonal_decompose_even_window_exact_span(spark):
     assert out[5]["trend"] == pytest.approx(4.5, abs=1e-9)
     # first day: partial frame -> NULL
     assert out[1]["trend"] is None
+
+
+def test_ols_overflow_row_fully_excluded(spark):
+    """x beyond decimal(18,6) (>=1e12) overflows the cast to NULL; the
+    row must be excluded from n AND the power sums together, so the
+    fit over the remaining in-range rows is still exact (ADVICE r6:
+    previously n counted the row while the sums dropped it, quietly
+    skewing slope/intercept/r2)."""
+    rows = [(1, 1.0, 3.0), (1, 2.0, 5.0), (1, 3.0, 7.0),
+            (1, 5e12, 9.0)]
+    df = spark.createDataFrame(rows, "k long, x double, y double")
+    out = A.ols_regress(df, "y", "x", ["k"]).collect()[0]
+    # fit over the three in-range points of y = 2x + 1
+    assert out["n"] == 3
+    assert out["slope"] == pytest.approx(2.0)
+    assert out["intercept"] == pytest.approx(1.0)
+    assert out["r2"] == pytest.approx(1.0)

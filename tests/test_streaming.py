@@ -592,3 +592,59 @@ def test_interval_join_left_outer_emits_unmatched(spark, tmp_path):
     by_id = {r["id"]: r for r in got}
     assert 1 in by_id, "unmatched left row must flush as outer result"
     assert by_id[1]["r_id"] is None
+
+
+def test_windowed_distinct_users_state_is_watermark_evicted(spark, tmp_path):
+    """The dedup stage must be DeduplicateWithinWatermark, not plain
+    Deduplicate: the bucket column (window().getField('start')) loses
+    event-time metadata, so plain dropDuplicates state would never be
+    evicted and grows without bound on a real stream (ADVICE r6)."""
+    from pyspark.sql.types import LongType, TimestampType
+
+    ev_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    src = str(tmp_path / "evw")
+    spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10, 5))], ev_schema
+    ).write.parquet(src)
+    stream = ingest.read_stream(spark, src, ev_schema)
+    agg = ingest.windowed_distinct_users(stream)
+    plan = agg._jdf.queryExecution().analyzed().toString()
+    assert "DeduplicateWithinWatermark" in plan, plan
+
+
+def test_windowed_distinct_users_rejects_short_delay(spark, tmp_path):
+    """delay < window span breaks exactness (same-window duplicates can
+    be one span apart, beyond the dedup eviction horizon): rejected."""
+    from pyspark.sql.types import LongType, TimestampType
+
+    ev_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    src = str(tmp_path / "evd")
+    spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10, 5))], ev_schema
+    ).write.parquet(src)
+    stream = ingest.read_stream(spark, src, ev_schema)
+    with pytest.raises(ValueError, match="must cover the window span"):
+        ingest.windowed_distinct_users(
+            stream, window="1 day", delay="1 hour"
+        )
+
+
+def test_duration_seconds_parser():
+    assert ingest._duration_seconds("1 hour") == 3600.0
+    assert ingest._duration_seconds("30 minutes") == 1800.0
+    assert ingest._duration_seconds("2 days 12 hours") == 2.5 * 86400
+    assert ingest._duration_seconds("500 milliseconds") == 0.5
+    with pytest.raises(ValueError):
+        ingest._duration_seconds("3 fortnights")
+    with pytest.raises(ValueError):
+        ingest._duration_seconds("")

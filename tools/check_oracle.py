@@ -82,11 +82,30 @@ def spark_result(df) -> tuple[list[dict], list[str]]:
     return rows, cols
 
 
-def duckdb_result(con, sql: str) -> tuple[list[dict], list[str]]:
+# DuckDB output types the driver's pandas canonicalizer mishandles:
+# HUGEINT/UHUGEINT map to float64 (so integer 3 renders "3.000000" vs
+# Spark long "3" — the r6 profile_columns/referential_check failures)
+# and DECIMAL stringifies engine-dependently.  A bare integer
+# ``sum(CASE WHEN … THEN 1 ELSE 0 END)`` is the classic emitter —
+# oracles must CAST such columns to BIGINT.
+_DUCK_GATE_UNSAFE = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def duck_gate_unsafe_columns(rel) -> list[str]:
+    """Oracle output columns whose DuckDB type is pandas-hazardous."""
+    return [
+        f"{c}:{t}"
+        for c, t in zip(rel.columns, rel.types)
+        if any(u in str(t).upper() for u in _DUCK_GATE_UNSAFE)
+    ]
+
+
+def duckdb_result(con, sql: str) -> tuple[list[dict], list[str], list[str]]:
     rel = con.sql(sql)
     cols = rel.columns
+    unsafe = duck_gate_unsafe_columns(rel)
     rows = [dict(zip(cols, t)) for t in rel.fetchall()]
-    return rows, cols
+    return rows, cols, unsafe
 
 
 def main() -> int:
@@ -130,10 +149,18 @@ def main() -> int:
             print(f"weak  {name}: rows={len(s_rows)} (no oracle; rows-only check)")
             continue
         try:
-            d_rows, d_cols = duckdb_result(con, oracles[name])
+            d_rows, d_cols, d_unsafe = duckdb_result(con, oracles[name])
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
+            continue
+        if d_unsafe:
+            failures.append(name)
+            print(
+                f"FAIL  {name}: gate-unsafe DuckDB oracle types {d_unsafe}"
+                " (HUGEINT/DECIMAL → float64/str under the driver's pandas"
+                " fetch; CAST the column in the oracle SQL)"
+            )
             continue
         if sorted(s_cols) != sorted(d_cols):
             failures.append(name)
