@@ -3590,7 +3590,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, revenue, quota,
                    f + CASE WHEN row_number() OVER (
                                 ORDER BY rem DESC, o_orderpriority ASC)
-                            <= 1000000 - sum(f) OVER ()
+                            <= 1000000 - CAST(sum(f) OVER () AS BIGINT)
                             THEN 1 ELSE 0 END AS allocated
             FROM fl
         """,
@@ -3746,8 +3746,8 @@ def oracle_sql() -> dict[str, str]:
             ), bcnt AS (
                 SELECT bigram, count(*) AS n_ab FROM bg GROUP BY bigram
             ), tot AS (
-                SELECT (SELECT sum(n_a) FROM ucnt) AS tu,
-                       (SELECT sum(n_ab) FROM bcnt) AS tb
+                SELECT (SELECT CAST(sum(n_a) AS BIGINT) FROM ucnt) AS tu,
+                       (SELECT CAST(sum(n_ab) AS BIGINT) FROM bcnt) AS tb
             ), scored AS (
                 SELECT b.bigram, b.n_ab,
                        ln((CAST(b.n_ab AS DOUBLE) / tb)
