@@ -3000,6 +3000,101 @@ def q_quantile_bins(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_interval_islands(spark: SparkSession, sf: str) -> DataFrame:
+    """Gaps-and-islands coverage merge (windows.merge_intervals): each
+    event opens a 30-minute half-open activity interval; per-user
+    overlapping/touching intervals merge into maximal islands. Bounds
+    are exact epoch microseconds (long), sidestepping cross-engine
+    timestamp canonicalization."""
+    ev = load_table(spark, sf, "events")
+    iv = ev.select(
+        "user_id",
+        # NTZ ts: unix_micros needs TIMESTAMP; session tz is pinned UTC
+        # so the cast is value-preserving (events.py:176 idiom)
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + F.lit(1_800_000_000)
+        ).alias("e"),
+    )
+    return win_ops.merge_intervals(iv, ["user_id"], "s", "e").select(
+        "user_id", "island_start", "island_end", "n_intervals"
+    )
+
+
+def q_interval_coverage_gaps(spark: SparkSession, sf: str) -> DataFrame:
+    """Uncovered spans between activity islands (windows.
+    interval_gaps): per user, the [island_end, next_island_start)
+    holes in 30-minute-padded event coverage, lengths in exact
+    microseconds."""
+    ev = load_table(spark, sf, "events")
+    iv = ev.select(
+        "user_id",
+        # NTZ ts: unix_micros needs TIMESTAMP; session tz is pinned UTC
+        # so the cast is value-preserving (events.py:176 idiom)
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + F.lit(1_800_000_000)
+        ).alias("e"),
+    )
+    return win_ops.interval_gaps(iv, ["user_id"], "s", "e")
+
+
+def q_group_mode(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic per-group mode (aggregates.mode_by): the most
+    frequent part type per brand, ties to the smallest value —
+    the hash-gateable alternative to tie-nondeterministic F.mode."""
+    p = load_table(spark, sf, "part")
+    return agg_ops.mode_by(p, ["p_brand"], "p_type")
+
+
+def q_rolling_beta(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling OLS price~quantity per supplier (windows.
+    rolling_regress): trailing-20-shipment slope/intercept on the
+    exact int64 scale=100 path (every sum and the closed-form algebra
+    stay exactly representable in doubles — cross-engine
+    deterministic), keyed back to (suppkey, orderkey, linenumber)."""
+    li = load_table(spark, sf, "lineitem").where(F.col("l_suppkey") <= 25)
+    out = win_ops.rolling_regress(
+        li,
+        ["l_suppkey"],
+        "l_shipdate",
+        "l_quantity",
+        "l_extendedprice",
+        window_rows=20,
+        tiebreak_cols=["l_orderkey", "l_linenumber"],
+        scale=100,
+    )
+    return out.select(
+        "l_suppkey", "l_orderkey", "l_linenumber", "slope", "intercept"
+    )
+
+
+def q_dict_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """Stable dictionary encoding (reshape.dictionary_encode): dense
+    lexicographic integer codes for part brands, joined back onto the
+    corpus — the id-compaction step of a training-data pipeline."""
+    p = load_table(spark, sf, "part")
+    enc, _ = reshape_ops.dictionary_encode(
+        p.select("p_partkey", "p_brand"), "p_brand", id_col="brand_code"
+    )
+    return enc.select("p_partkey", "p_brand", "brand_code")
+
+
+def q_emb_covariance(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding covariance matrix (similarity.embedding_covariance):
+    64×64 upper triangle from one explode-free-of-joins pass with
+    decimal-exact product sums."""
+    e = load_table(spark, sf, "embeddings")
+    out = sim_ops.embedding_covariance(e, "embedding")
+    return out.select(
+        F.col("i").cast("long").alias("i"),
+        F.col("j").cast("long").alias("j"),
+        "cov",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -3212,6 +3307,14 @@ def queries() -> dict[str, QueryFn]:
         "vector_normalize": q_vector_normalize,
         "text_cleanup": q_text_cleanup,
         "text_entropy": q_text_entropy,
+        # --- r7 additions (positions 176+: OUTSIDE the r7 gate window;
+        # they head the r8 rotation) ---
+        "interval_islands": q_interval_islands,
+        "interval_coverage_gaps": q_interval_coverage_gaps,
+        "group_mode": q_group_mode,
+        "rolling_beta": q_rolling_beta,
+        "dict_encode": q_dict_encode,
+        "emb_covariance": q_emb_covariance,
     }
 
 
@@ -6450,5 +6553,136 @@ def oracle_sql() -> dict[str, str]:
                    lead(ts) OVER (PARTITION BY o_custkey ORDER BY ts, tb)
                        IS NULL AS is_current
             FROM v
+        """,
+        "interval_islands": """
+            WITH iv AS (
+                SELECT user_id, epoch_us(ts) AS s,
+                       epoch_us(ts) + 1800000000 AS e
+                FROM events
+            ), o AS (
+                SELECT user_id, s, e,
+                       max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS pmax
+                FROM iv
+            ), flagged AS (
+                SELECT user_id, s, e,
+                       CASE WHEN pmax IS NULL OR s > pmax
+                            THEN 1 ELSE 0 END AS brk
+                FROM o
+            ), grp AS (
+                SELECT user_id, s, e,
+                       CAST(sum(brk) OVER (PARTITION BY user_id
+                           ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS isl
+                FROM flagged
+            )
+            SELECT user_id, min(s) AS island_start, max(e) AS island_end,
+                   count(*) AS n_intervals
+            FROM grp GROUP BY user_id, isl
+        """,
+        "interval_coverage_gaps": """
+            WITH iv AS (
+                SELECT user_id, epoch_us(ts) AS s,
+                       epoch_us(ts) + 1800000000 AS e
+                FROM events
+            ), o AS (
+                SELECT user_id, s, e,
+                       max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS pmax
+                FROM iv
+            ), grp AS (
+                SELECT user_id, s, e,
+                       CAST(sum(CASE WHEN pmax IS NULL OR s > pmax
+                                     THEN 1 ELSE 0 END)
+                            OVER (PARTITION BY user_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS isl
+                FROM o
+            ), islands AS (
+                SELECT user_id, min(s) AS island_start,
+                       max(e) AS island_end
+                FROM grp GROUP BY user_id, isl
+            ), nxt AS (
+                SELECT user_id, island_end,
+                       lead(island_start) OVER (PARTITION BY user_id
+                           ORDER BY island_start) AS next_start
+                FROM islands
+            )
+            SELECT user_id, island_end AS gap_start, next_start AS gap_end,
+                   next_start - island_end AS gap_length
+            FROM nxt WHERE next_start IS NOT NULL
+        """,
+        "group_mode": """
+            WITH c AS (
+                SELECT p_brand, p_type, count(*) AS n
+                FROM part WHERE p_type IS NOT NULL
+                GROUP BY 1, 2
+            )
+            SELECT p_brand, p_type AS mode_value, n
+            FROM c
+            QUALIFY row_number() OVER (PARTITION BY p_brand
+                ORDER BY n DESC, p_type ASC) = 1
+        """,
+        "rolling_beta": """
+            WITH t AS (
+                SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+                       CAST(round(l_quantity * 100) AS BIGINT) AS x,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+                FROM lineitem WHERE l_suppkey <= 25
+            ), w AS (
+                SELECT l_suppkey, l_orderkey, l_linenumber,
+                       CAST(count(*) OVER fr AS DOUBLE) AS n,
+                       CAST(sum(x) OVER fr AS DOUBLE) AS sx,
+                       CAST(sum(y) OVER fr AS DOUBLE) AS sy,
+                       CAST(sum(x * y) OVER fr AS DOUBLE) AS sxy,
+                       CAST(sum(x * x) OVER fr AS DOUBLE) AS sxx
+                FROM t
+                WINDOW fr AS (PARTITION BY l_suppkey
+                    ORDER BY l_shipdate, l_orderkey, l_linenumber
+                    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+            ), s AS (
+                SELECT l_suppkey, l_orderkey, l_linenumber,
+                       CASE WHEN n >= 20 AND n * sxx - sx * sx > 0
+                            THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                       END AS slope,
+                       n, sx, sy
+                FROM w
+            )
+            SELECT l_suppkey, l_orderkey, l_linenumber, slope,
+                   (sy - slope * sx) / n / 100.0 AS intercept
+            FROM s
+        """,
+        "dict_encode": """
+            SELECT p_partkey, p_brand,
+                   CAST(dense_rank() OVER (ORDER BY p_brand) - 1 AS INT)
+                       AS brand_code
+            FROM part
+        """,
+        "emb_covariance": """
+            WITH ex AS (
+                SELECT vec_id,
+                       generate_subscripts(embedding, 1) - 1 AS pos,
+                       CAST(unnest(embedding) AS DOUBLE) AS v
+                FROM embeddings WHERE embedding IS NOT NULL
+            ), pr AS (
+                SELECT a.pos AS i, b.pos AS j,
+                       CAST(sum(CAST(a.v * b.v AS DECIMAL(38,18)))
+                            AS DOUBLE) AS sij
+                FROM ex a JOIN ex b
+                  ON a.vec_id = b.vec_id AND a.pos <= b.pos
+                GROUP BY 1, 2
+            ), s AS (
+                SELECT pos,
+                       CAST(sum(CAST(v AS DECIMAL(38,18))) AS DOUBLE) AS sv,
+                       CAST(count(*) AS DOUBLE) AS n
+                FROM ex GROUP BY pos
+            )
+            SELECT p.i, p.j,
+                   (p.sij - si.sv * sj.sv / si.n) / (si.n - 1.0) AS cov
+            FROM pr p
+            JOIN s si ON si.pos = p.i
+            JOIN s sj ON sj.pos = p.j
         """,
     }

@@ -667,3 +667,35 @@ def basket_lift(
         )
         .limit(top_k)
     )
+
+
+def mode_by(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """Deterministic per-group mode: the most frequent ``value_col``
+    per group, ties broken by the smallest value (Spark's built-in
+    ``F.mode`` is tie-nondeterministic, which a hash-gated pipeline
+    can't use). NULL values don't compete.
+
+    Shape: count per (group, value) — map-side partial combine, so the
+    shuffle carries one row per distinct pair — then a row_number pick
+    over the per-group count frame (second shuffle is on the group key
+    over already-aggregated rows). Returns (groups..., mode_value, n).
+    """
+    counts = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, value_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("n").desc(), F.col(value_col).asc()
+    )
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            *group_cols, F.col(value_col).alias("mode_value"), "n"
+        )
+    )

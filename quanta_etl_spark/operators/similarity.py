@@ -440,3 +440,81 @@ def centroid_confusion(
     return assigned.groupBy("label", "predicted").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+def embedding_covariance(
+    df: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sample covariance matrix of an embedding column, as the upper
+    triangle (i, j, cov) with 0-based dimension indices — the
+    d×d second-moment summary behind PCA/whitening/feature-drift
+    checks on an embedding corpus.
+
+    Shape: ONE pass, no self-join — each row expands its own
+    upper-triangle products via a nested JVM-side ``transform`` into
+    an array of (i, j, x_i·x_j) structs, exploded and hash-aggregated
+    on the (i, j) key. Map-side partial combine collapses every task
+    to ≤ d(d+1)/2 partial sums before the exchange, so the shuffle
+    carries d²-sized state per task, never data-sized rows — the same
+    contract as a tree-aggregated X^T X, expressed declaratively. The
+    per-dimension means come from one posexplode aggregation and
+    broadcast-join back onto the d(d+1)/2-row triangle. CPU cost
+    n·d²/2 products is inherent to covariance.
+
+    Exactness: products are summed as decimal(38,18) (the established
+    emb-ops discipline — float → exact double → per-term decimal
+    rounding), the closed form (S_ij − S_i·S_j/n)/(n−1) is evaluated
+    once in doubles. Rows with NULL vectors are excluded; dimensions
+    are assumed homogeneous (enforce upstream).
+    """
+    vecs = df.where(F.col(vec_col).isNotNull()).select(
+        F.transform(vec_col, lambda v: v.cast("double")).alias("__v")
+    )
+    d = F.size("__v")
+    idx = F.sequence(F.lit(1), d)  # 1-based for element_at
+    tri = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.sequence(i, d),
+                lambda j: F.struct(
+                    (i - 1).alias("i"),
+                    (j - 1).alias("j"),
+                    (
+                        F.element_at(F.col("__v"), i)
+                        * F.element_at(F.col("__v"), j)
+                    ).alias("prod"),
+                ),
+            ),
+        )
+    )
+    prods = (
+        vecs.select(F.explode(tri).alias("c"))
+        .select("c.i", "c.j", "c.prod")
+        .groupBy("i", "j")
+        .agg(
+            F.sum(F.col("prod").cast("decimal(38,18)")).alias("__sij"),
+        )
+    )
+    sums = (
+        vecs.select(F.posexplode("__v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.sum(F.col("x").cast("decimal(38,18)")).alias("__s"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+    )
+    si = sums.select(
+        F.col("pos").alias("i"),
+        F.col("__s").alias("__si"),
+        F.col("__n").alias("__ni"),
+    )
+    sj = sums.select(F.col("pos").alias("j"), F.col("__s").alias("__sj"))
+    joined = prods.join(F.broadcast(si), "i").join(F.broadcast(sj), "j")
+    n = F.col("__ni").cast("double")
+    sij = F.col("__sij").cast("double")
+    s_i = F.col("__si").cast("double")
+    s_j = F.col("__sj").cast("double")
+    cov = (sij - s_i * s_j / n) / (n - F.lit(1.0))
+    return joined.select("i", "j", cov.alias("cov")).orderBy("i", "j")

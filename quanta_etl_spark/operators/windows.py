@@ -724,3 +724,153 @@ def diversified_topk(
         .drop("__gr")
     )
     return pruned.orderBy(*order_cols).limit(k)
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Merge per-key overlapping or touching half-open intervals
+    ``[start, end)`` into maximal islands — the gaps-and-islands
+    rollup behind session coverage, SLA uptime, and calendar-merge
+    questions.
+
+    Shape: ONE window pass per key (ordered by (start, end)): an
+    interval opens a new island iff its start exceeds the running max
+    of all previous ends (touching intervals — ``start == prev_end``
+    — merge, per half-open semantics); a cumulative sum of the
+    new-island flags numbers the islands, and a (key, island) hash
+    aggregation emits bounds + member count. Raw rows shuffle once on
+    the key for the window; the island aggregation's map-side partial
+    combine means the second exchange carries only island-sized rows.
+    Skew lives with hot keys, exactly like any per-key window — salt
+    upstream if one key dominates.
+
+    Returns (keys..., island_start, island_end, n_intervals).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(start_col, end_col)
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = F.when(
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1
+    ).otherwise(0)
+    islanded = df.withColumn(
+        "__isl",
+        F.sum(new_island).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return islanded.groupBy(*key_cols, "__isl").agg(
+        F.min(start_col).alias("island_start"),
+        F.max(end_col).alias("island_end"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    ).drop("__isl")
+
+
+def interval_gaps(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Per-key gaps BETWEEN merged interval islands: for each pair of
+    consecutive islands (see ``merge_intervals``), the uncovered span
+    ``[island_end, next_island_start)``. Keys whose coverage is one
+    island emit nothing. Adds one more window pass (lead over the
+    already island-sized frame — tiny relative to the raw input).
+
+    Returns (keys..., gap_start, gap_end, gap_length). ``gap_length``
+    is in the input's native units for numeric interval bounds, and in
+    whole SECONDS (long-cast truncation) for timestamp bounds — pass
+    ``unix_micros`` longs instead when sub-second exactness matters.
+    """
+    islands = merge_intervals(df, key_cols, start_col, end_col)
+    w = Window.partitionBy(*key_cols).orderBy("island_start")
+    nxt = F.lead("island_start").over(w)
+    return (
+        islands.withColumn("__next", nxt)
+        .where(F.col("__next").isNotNull())
+        .select(
+            *key_cols,
+            F.col("island_end").alias("gap_start"),
+            F.col("__next").alias("gap_end"),
+            (
+                F.col("__next").cast("long")
+                - F.col("island_end").cast("long")
+            ).alias("gap_length"),
+        )
+    )
+
+
+def rolling_regress(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    x_col: str,
+    y_col: str,
+    window_rows: int = 20,
+    tiebreak_cols: Sequence[str] = (),
+    scale: int | None = None,
+) -> DataFrame:
+    """Rolling OLS y~x over a trailing ``window_rows``-observation
+    frame per key — the windowed companion of ``aggregates.
+    ols_regress`` (local trend / rolling-beta with intercept).
+
+    Same discipline as ``rolling_corr``: exact power sums over the
+    frame, closed-form slope/intercept algebra evaluated once per row
+    in doubles — bit-stable under any partitioning, unlike
+    sliding-state float accumulators. slope = (n·Σxy − Σx·Σy) /
+    (n·Σx² − (Σx)²), intercept = (Σy − slope·Σx)/n.
+
+    ``scale``: for fixed-decimal inputs (money → ``scale=100``) the
+    series pre-scale to exact int64 and every sum AND the slope
+    algebra stay exactly representable in doubles — fully
+    deterministic across engines (slope is invariant under the common
+    scaling; the intercept is de-scaled by one final division).
+    ``scale=None`` uses exact decimal sums; their double conversion
+    is correctly rounded per engine but can differ in the last ulp
+    between decimal implementations, so hash-gated pipelines should
+    prefer the scaled path. Frame-bounded sums keep the int64 path
+    100-TB-safe whenever one frame's products fit int64.
+
+    Rows with fewer than ``window_rows`` valid observations in frame
+    or zero x-variance get NULL slope/intercept. Decimal-path input
+    range and overflow-row handling are identical to
+    ``rolling_corr``'s (|x|,|y| < 1e12; overflowed rows leave n and
+    every sum together). One window shuffle on the key.
+    """
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(order_col), *[F.col(c) for c in tiebreak_cols])
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    if scale is not None:
+        x = F.round(F.col(x_col) * scale).cast("long")
+        y = F.round(F.col(y_col) * scale).cast("long")
+        sxy_t = sxx_t = "long"
+    else:
+        x = F.col(x_col).try_cast("decimal(18,6)")
+        y = F.col(y_col).try_cast("decimal(18,6)")
+        sxy_t = sxx_t = "decimal(38,12)"
+    valid = x.isNotNull() & y.isNotNull()
+    x = F.when(valid, x)
+    y = F.when(valid, y)
+    n = F.sum(F.when(valid, 1).otherwise(0)).over(w).cast("double")
+    sx = F.sum(x).over(w).cast("double")
+    sy = F.sum(y).over(w).cast("double")
+    sxy = F.sum((x * y).cast(sxy_t)).over(w).cast("double")
+    sxx = F.sum((x * x).cast(sxx_t)).over(w).cast("double")
+    denom = n * sxx - sx * sx
+    slope = F.when(
+        (n >= window_rows) & (denom > 0), (n * sxy - sx * sy) / denom
+    )
+    intercept = (sy - slope * sx) / n
+    if scale is not None:
+        # slope is scale-invariant; the intercept carries y's scaling
+        intercept = intercept / F.lit(float(scale))
+    return df.withColumn("slope", slope).withColumn(
+        "intercept", intercept
+    )

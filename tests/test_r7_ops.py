@@ -1,0 +1,156 @@
+"""Unit tests for the round-7 operator additions: gaps-and-islands
+interval merging, deterministic mode, rolling OLS, dictionary
+encoding, and the embedding covariance matrix."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from quanta_etl_spark.operators import aggregates as agg_ops
+from quanta_etl_spark.operators import reshape as reshape_ops
+from quanta_etl_spark.operators import similarity as sim_ops
+from quanta_etl_spark.operators import windows as win_ops
+
+
+class TestMergeIntervals:
+    def test_overlap_touch_and_disjoint(self, spark):
+        rows = [
+            (1, 0, 10),   # overlaps next
+            (1, 5, 12),
+            (1, 12, 20),  # touches previous (half-open: merges)
+            (1, 30, 40),  # disjoint island
+            (2, 0, 5),
+        ]
+        df = spark.createDataFrame(rows, "k long, s long, e long")
+        got = sorted(
+            tuple(r)
+            for r in win_ops.merge_intervals(df, ["k"], "s", "e").collect()
+        )
+        assert got == [(1, 0, 20, 3), (1, 30, 40, 1), (2, 0, 5, 1)]
+
+    def test_contained_interval_does_not_split_island(self, spark):
+        # [0, 100) contains [10, 20); a later [50, 60) must not open a
+        # new island even though it starts after the PREVIOUS ROW's end
+        # — the running max over ALL previous ends is what decides.
+        rows = [(1, 0, 100), (1, 10, 20), (1, 50, 60), (1, 150, 160)]
+        df = spark.createDataFrame(rows, "k long, s long, e long")
+        got = sorted(
+            tuple(r)
+            for r in win_ops.merge_intervals(df, ["k"], "s", "e").collect()
+        )
+        assert got == [(1, 0, 100, 3), (1, 150, 160, 1)]
+
+    def test_gaps(self, spark):
+        rows = [(1, 0, 10), (1, 5, 12), (1, 30, 40), (1, 100, 110), (2, 0, 5)]
+        df = spark.createDataFrame(rows, "k long, s long, e long")
+        got = sorted(
+            tuple(r)
+            for r in win_ops.interval_gaps(df, ["k"], "s", "e").collect()
+        )
+        # key 2 has one island -> no gap rows
+        assert got == [(1, 12, 30, 18), (1, 40, 100, 60)]
+
+
+class TestModeBy:
+    def test_tie_breaks_to_smallest_value(self, spark):
+        rows = [("g", "b"), ("g", "b"), ("g", "a"), ("g", "a"), ("g", "c")]
+        df = spark.createDataFrame(rows, "g string, v string")
+        got = agg_ops.mode_by(df, ["g"], "v").collect()
+        assert [(r.g, r.mode_value, r.n) for r in got] == [("g", "a", 2)]
+
+    def test_nulls_do_not_compete(self, spark):
+        rows = [("g", None), ("g", None), ("g", None), ("g", "z")]
+        df = spark.createDataFrame(rows, "g string, v string")
+        got = agg_ops.mode_by(df, ["g"], "v").collect()
+        assert [(r.g, r.mode_value, r.n) for r in got] == [("g", "z", 1)]
+
+
+class TestRollingRegress:
+    def test_recovers_exact_line_on_both_paths(self, spark):
+        rows = [(1, i, float(i), 2.0 * i + 1.0) for i in range(6)]
+        df = spark.createDataFrame(rows, "k long, o long, x double, y double")
+        for scale in (None, 100):
+            out = (
+                win_ops.rolling_regress(
+                    df, ["k"], "o", "x", "y", window_rows=3, scale=scale
+                )
+                .orderBy("o")
+                .collect()
+            )
+            assert [r.slope for r in out[:2]] == [None, None]
+            for r in out[2:]:
+                assert math.isclose(r.slope, 2.0, abs_tol=1e-12)
+                assert math.isclose(r.intercept, 1.0, abs_tol=1e-9)
+
+    def test_zero_variance_is_null(self, spark):
+        rows = [(1, i, 5.0, float(i)) for i in range(4)]
+        df = spark.createDataFrame(rows, "k long, o long, x double, y double")
+        out = win_ops.rolling_regress(
+            df, ["k"], "o", "x", "y", window_rows=3
+        ).collect()
+        assert all(r.slope is None and r.intercept is None for r in out)
+
+    def test_decimal_overflow_rows_leave_n_and_sums_together(self, spark):
+        # one absurd x beyond decimal(18,6): that row must vanish from
+        # the fit entirely, so frames containing it have n < window
+        rows = [(1, 0, 1.0, 3.0), (1, 1, 1e15, 9.9), (1, 2, 2.0, 5.0),
+                (1, 3, 3.0, 7.0), (1, 4, 4.0, 9.0)]
+        df = spark.createDataFrame(rows, "k long, o long, x double, y double")
+        out = (
+            win_ops.rolling_regress(df, ["k"], "o", "x", "y", window_rows=3)
+            .orderBy("o")
+            .collect()
+        )
+        # frames ending at o=2,3 contain the overflow row -> n=2 -> NULL
+        assert [r.slope for r in out[:4]] == [None, None, None, None]
+        assert math.isclose(out[4].slope, 2.0, abs_tol=1e-12)
+
+
+class TestDictionaryEncode:
+    def test_dense_lexicographic_and_partition_independent(self, spark):
+        rows = [("b",), ("a",), ("c",), ("a",), (None,)]
+        df = spark.createDataFrame(rows, "v string").repartition(5)
+        enc, dic = reshape_ops.dictionary_encode(df, "v")
+        assert sorted(tuple(r) for r in dic.collect()) == [
+            ("a", 0), ("b", 1), ("c", 2)
+        ]
+        got = sorted(
+            (r.v if r.v is not None else "~", r.code)
+            for r in enc.collect()
+        )
+        assert got == [("a", 0), ("a", 0), ("b", 1), ("c", 2), ("~", None)]
+
+    def test_start_offset(self, spark):
+        df = spark.createDataFrame([("x",), ("y",)], "v string")
+        _, dic = reshape_ops.dictionary_encode(df, "v", start=10)
+        assert sorted(tuple(r) for r in dic.collect()) == [("x", 10), ("y", 11)]
+
+
+class TestEmbeddingCovariance:
+    def test_matches_numpy_cov(self, spark):
+        rng = np.random.default_rng(7)
+        mat = rng.normal(size=(40, 5))
+        rows = [(i, [float(v) for v in mat[i]]) for i in range(40)]
+        df = spark.createDataFrame(rows, "id long, embedding array<double>")
+        got = {
+            (r.i, r.j): r.cov
+            for r in sim_ops.embedding_covariance(df).collect()
+        }
+        want = np.cov(mat, rowvar=False)  # sample covariance (ddof=1)
+        assert len(got) == 5 * 6 // 2
+        for (i, j), v in got.items():
+            assert math.isclose(v, want[i][j], rel_tol=1e-9), (i, j)
+
+    def test_null_vectors_excluded(self, spark):
+        rows = [(0, [1.0, 2.0]), (1, None), (2, [3.0, 4.0])]
+        df = spark.createDataFrame(rows, "id long, embedding array<double>")
+        got = {
+            (r.i, r.j): r.cov
+            for r in sim_ops.embedding_covariance(df).collect()
+        }
+        assert math.isclose(got[(0, 0)], 2.0)  # var([1,3]) with ddof=1
+        assert math.isclose(got[(0, 1)], 2.0)
+        assert math.isclose(got[(1, 1)], 2.0)
