@@ -3082,6 +3082,53 @@ def q_dict_encode(spark: SparkSession, sf: str) -> DataFrame:
     return enc.select("p_partkey", "p_brand", "brand_code")
 
 
+def q_graph_clustering(spark: SparkSession, sf: str) -> DataFrame:
+    """Local clustering coefficient per supplier over the co-supply
+    graph (graph.clustering_coefficient): 2T/(d(d-1)) from the same
+    hub-safe degree-ordered wedge join as graph_triangles; degree<2
+    nodes report NULL, not 0."""
+    return graph_ops.clustering_coefficient(_cosupply_edges(spark, sf))
+
+
+def q_graph_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    """3-core of the co-supply graph (graph.k_core): iterative peel of
+    degree<3 nodes, fixed-round semantics (8 peels) so the oracle can
+    unroll the identical rounds as chained CTEs — the pagerank
+    discipline for iterative algorithms."""
+    return graph_ops.k_core(_cosupply_edges(spark, sf), k=3, max_peels=8)
+
+
+def q_winsorize_prices(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-flag winsorization of extended price at the exact
+    interpolated [p05, p95] (quality.winsorize): one group-percentile
+    aggregation broadcast back onto the rows; clipping is a pure
+    projection, so the corpus shuffles once."""
+    li = load_table(spark, sf, "lineitem")
+    out = quality_ops.winsorize(
+        li, ["l_returnflag"], "l_extendedprice", lower=0.05, upper=0.95
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_extendedprice",
+        "l_extendedprice_winsorized",
+    )
+
+
+def q_funnel_windowed(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-budget conversion funnel (events.funnel_report with
+    max_span_seconds): signup → click → purchase where every step must
+    land within 24h of the user's first signup — first-entry
+    semantics, pure timestamp comparisons."""
+    ev = load_table(spark, sf, "events")
+    return event_ops.funnel_report(
+        ev,
+        ["signup", "click", "purchase"],
+        max_span_seconds=86400,
+    ).select("step_index", "step_name", "users")
+
+
 def q_emb_covariance(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding covariance matrix (similarity.embedding_covariance):
     64×64 upper triangle from one explode-free-of-joins pass with
@@ -3315,6 +3362,10 @@ def queries() -> dict[str, QueryFn]:
         "rolling_beta": q_rolling_beta,
         "dict_encode": q_dict_encode,
         "emb_covariance": q_emb_covariance,
+        "graph_clustering": q_graph_clustering,
+        "graph_kcore": q_graph_kcore,
+        "winsorize_prices": q_winsorize_prices,
+        "funnel_windowed": q_funnel_windowed,
     }
 
 
@@ -3430,6 +3481,50 @@ def _lsh_topk_oracle(num_planes: int = 6, k: int = 5) -> str:
                     ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
         FROM scored QUALIFY rank <= {k}
     """
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 8) -> str:
+    """SQL twin of graph_ops.k_core over the co-supply edge list: the
+    fixed ``rounds`` peels unroll into chained MATERIALIZED CTEs
+    (inlined CTEs would expand ~3^rounds references — DuckDB runs out
+    of file handles re-opening the scan; k-core's
+    early-exit is a pure optimization — once the edge set is stable,
+    further peels are no-ops, so the unrolled result is identical)."""
+    parts = [
+        """
+        WITH ps AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey, l_suppkey
+            FROM lineitem WHERE l_quantity >= 48
+        ), e0 AS MATERIALIZED (
+            SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+            FROM ps a JOIN ps b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_suppkey < b.l_suppkey
+        )"""
+    ]
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""", k{i} AS MATERIALIZED (
+            SELECT node FROM (
+                SELECT a AS node FROM {prev}
+                UNION ALL SELECT b FROM {prev}
+            ) GROUP BY node HAVING count(*) >= {k}
+        ), e{i} AS MATERIALIZED (
+            SELECT a, b FROM {prev}
+            WHERE a IN (SELECT node FROM k{i})
+              AND b IN (SELECT node FROM k{i})
+        )"""
+        )
+        prev = f"e{i}"
+    parts.append(
+        f"""
+        SELECT node, count(*) AS deg FROM (
+            SELECT a AS node FROM {prev}
+            UNION ALL SELECT b FROM {prev}
+        ) GROUP BY node HAVING count(*) >= {k}"""
+    )
+    return "".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6684,5 +6779,80 @@ def oracle_sql() -> dict[str, str]:
             FROM pr p
             JOIN s si ON si.pos = p.i
             JOIN s sj ON sj.pos = p.j
+        """,
+        "graph_clustering": """
+            WITH ps AS (
+                SELECT DISTINCT l_orderkey, l_suppkey
+                FROM lineitem WHERE l_quantity >= 48
+            ), e AS (
+                SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+                FROM ps a JOIN ps b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_suppkey < b.l_suppkey
+            ), tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM e e1
+                JOIN e e2 ON e2.a = e1.b
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+            ), per AS (
+                SELECT node, count(*) AS t FROM (
+                    SELECT x AS node FROM tri
+                    UNION ALL SELECT y FROM tri
+                    UNION ALL SELECT z FROM tri
+                ) GROUP BY node
+            ), deg AS (
+                SELECT node, count(*) AS deg FROM (
+                    SELECT a AS node FROM e
+                    UNION ALL SELECT b FROM e
+                ) GROUP BY node
+            )
+            SELECT d.node, d.deg,
+                   COALESCE(p.t, 0) AS triangles,
+                   CASE WHEN d.deg >= 2 THEN
+                       2.0 * CAST(COALESCE(p.t, 0) AS DOUBLE)
+                       / (CAST(d.deg AS DOUBLE)
+                          * (CAST(d.deg AS DOUBLE) - 1.0))
+                   END AS clustering_coeff
+            FROM deg d LEFT JOIN per p ON p.node = d.node
+        """,
+        "graph_kcore": _kcore_oracle(k=3, rounds=8),
+        "winsorize_prices": """
+            WITH b AS (
+                SELECT l_returnflag,
+                       quantile_cont(l_extendedprice, 0.05) AS lo,
+                       quantile_cont(l_extendedprice, 0.95) AS hi
+                FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+                   l.l_extendedprice,
+                   CASE WHEN l.l_extendedprice < b.lo THEN b.lo
+                        WHEN l.l_extendedprice > b.hi THEN b.hi
+                        ELSE l.l_extendedprice
+                   END AS l_extendedprice_winsorized
+            FROM lineitem l JOIN b USING (l_returnflag)
+        """,
+        "funnel_windowed": """
+            WITH s0 AS (
+                SELECT user_id, min(ts) AS t0 FROM events
+                WHERE event_type = 'signup' GROUP BY user_id
+            ), s1 AS (
+                SELECT e.user_id, s0.t0, min(e.ts) AS t1
+                FROM events e JOIN s0 ON e.user_id = s0.user_id
+                WHERE e.event_type = 'click' AND e.ts >= s0.t0
+                  AND e.ts <= s0.t0 + INTERVAL 86400 SECOND
+                GROUP BY e.user_id, s0.t0
+            ), s2 AS (
+                SELECT e.user_id, min(e.ts) AS t2
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'purchase' AND e.ts >= s1.t1
+                  AND e.ts <= s1.t0 + INTERVAL 86400 SECOND
+                GROUP BY e.user_id
+            )
+            SELECT 0 AS step_index, 'signup' AS step_name,
+                   (SELECT count(*) FROM s0) AS users
+            UNION ALL
+            SELECT 1, 'click', (SELECT count(*) FROM s1)
+            UNION ALL
+            SELECT 2, 'purchase', (SELECT count(*) FROM s2)
         """,
     }

@@ -30,6 +30,7 @@ def funnel_user_steps(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    max_span_seconds: float | None = None,
 ) -> DataFrame:
     """Per-user ordered conversion funnel: one row per user who entered
     the funnel, with the timestamp at which they completed each step
@@ -38,6 +39,13 @@ def funnel_user_steps(
     ``t_i`` is the user's earliest ``steps[i]`` event at-or-after their
     ``t_{i-1}`` (strict-order funnel; ties at the same timestamp count,
     matching the common product-analytics definition).
+
+    ``max_span_seconds`` adds the time-budget variant: every step must
+    also land within that many seconds of the user's FIRST-step entry
+    (first-entry semantics, as product-analytics tools define it — a
+    later funnel entry that would have fit the budget is not
+    re-attempted; comparisons are pure timestamp ordering, no float
+    arithmetic).
 
     Shape: step 0 is a filtered min-aggregation (shuffle on the user
     key); each later step left-joins the (slim, one-row-per-user)
@@ -59,16 +67,17 @@ def funnel_user_steps(
             .select(F.col(user_col), F.col(ts_col).alias("__ts"))
         )
         prev_cols = [f"t_{j}" for j in range(i)]
+        ok = F.col("__ts") >= F.col(f"t_{i - 1}")
+        if max_span_seconds is not None:
+            ok = ok & (
+                F.col("__ts")
+                <= F.col("t_0")
+                + F.expr(f"INTERVAL {max_span_seconds} SECONDS")
+            )
         out = (
             out.join(nxt, user_col, "left")
             .groupBy(user_col, *prev_cols)
-            .agg(
-                F.min(
-                    F.when(
-                        F.col("__ts") >= F.col(f"t_{i - 1}"), F.col("__ts")
-                    )
-                ).alias(f"t_{i}")
-            )
+            .agg(F.min(F.when(ok, F.col("__ts"))).alias(f"t_{i}"))
         )
     return out
 
@@ -79,13 +88,17 @@ def funnel_report(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    max_span_seconds: float | None = None,
 ) -> DataFrame:
     """Funnel summary: (step_index, step_name, users) — how many users
-    reached each step in order. A lazy unpivot over
+    reached each step in order (optionally within ``max_span_seconds``
+    of first-step entry). A lazy unpivot over
     :func:`funnel_user_steps` (count of non-null ``t_i``), so the whole
     report is one Spark job with no driver-side loops over data.
     """
-    per_user = funnel_user_steps(df, steps, user_col, ts_col, type_col)
+    per_user = funnel_user_steps(
+        df, steps, user_col, ts_col, type_col, max_span_seconds
+    )
     agg = per_user.agg(
         *[F.count(f"t_{i}").alias(f"c_{i}") for i in range(len(steps))]
     )

@@ -522,3 +522,118 @@ def link_prediction_jaccard(
         )
         .limit(top_k)
     )
+
+
+def clustering_coefficient(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Local clustering coefficient per node over an undirected simple
+    graph: ``2·T(v) / (deg(v)·(deg(v)−1))`` — how close each node's
+    neighborhood is to a clique (the community-structure diagnostic
+    that pairs with ``triangle_counts``).
+
+    Reuses the degree-ordered wedge join of :func:`triangle_counts`
+    (O(sqrt(m)) wedge fan-out per node, hub-safe), plus one degree
+    aggregation and a join on the node key. Degree-0/1 nodes have no
+    possible wedge — their coefficient is NULL, not 0 (a 0 would
+    conflate "no closed wedges" with "no wedges possible").
+
+    Returns (node, deg, triangles, clustering_coeff).
+    """
+    tri = triangle_counts(edges, src, dst)
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    both = e.select("a", "b").union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = both.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    d = F.col("deg").cast("double")
+    coeff = F.when(
+        F.col("deg") >= 2,
+        F.lit(2.0) * F.col("triangles").cast("double") / (d * (d - 1.0)),
+    )
+    return (
+        tri.join(deg, "node")
+        .select("node", "deg", "triangles", coeff.alias("clustering_coeff"))
+    )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_peels: int = 8,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly drop
+    nodes of degree < ``k`` (and their incident edges) until stable or
+    ``max_peels`` rounds — the standard dense-subgraph / influence
+    filter.
+
+    Semantics are FIXED-ROUND: the result is "the graph after
+    ``max_peels`` peels", which equals the true k-core whenever
+    peeling converges earlier (extra rounds are then no-ops — the
+    early-exit below is a pure optimization, never a semantic change).
+    This makes the operator oracle-checkable by unrolling the same
+    rounds in SQL (the ``pagerank`` discipline).
+
+    Scale shape: each round is one degree aggregation + two semi-joins
+    on the canonical edge set, with ``localCheckpoint`` truncating
+    lineage per round (iterative-algorithm discipline shared with
+    ``pagerank``/``connected_components``); the early-exit costs one
+    count action per round and stops the common case after the graph
+    stabilizes in 2-4 peels.
+
+    Returns (node, deg) for nodes in the surviving core (deg >= k
+    within the peeled edge set).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = e.count()
+    for _ in range(max_peels):
+        if n_edges == 0:
+            break
+        both = e.select("a", "b").union(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        keep = (
+            both.groupBy(F.col("a").alias("node"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= k)
+            .select("node")
+        )
+        e = (
+            e.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        n2 = e.count()
+        if n2 == n_edges:
+            break  # stable: further peels are no-ops
+        n_edges = n2
+    both = e.select("a", "b").union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    return (
+        both.groupBy(F.col("a").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .where(F.col("deg") >= k)
+    )

@@ -509,3 +509,44 @@ def benford_check(
             (obs - exp) * (obs - exp) / exp * tot
         ).alias("chi2_contrib"),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-group winsorization: clip ``value_col`` to its group's
+    exact [``lower``, ``upper``] quantiles — the outlier-taming step
+    before mean/regression-based features (robust against the fat
+    tails that motivate ``mad_outliers``, but value-preserving for the
+    bulk of the distribution).
+
+    Exact interpolated percentiles (``F.percentile``, the same
+    continuous-quantile definition as SQL ``quantile_cont``), computed
+    per group in ONE aggregation and broadcast-joined back — the data
+    shuffles once for the group percentile agg and never again (the
+    join side is group-count-sized). Clipping itself is a pure
+    projection: comparisons and boundary assignment introduce no new
+    floating-point arithmetic, so results are engine-deterministic.
+    NULL values pass through unclipped.
+    """
+    out_col = out_col or f"{value_col}_winsorized"
+    bounds = df.groupBy(*group_cols).agg(
+        F.percentile(value_col, F.lit(lower)).alias("__lo"),
+        F.percentile(value_col, F.lit(upper)).alias("__hi"),
+    )
+    v = F.col(value_col)
+    clipped = (
+        F.when(v < F.col("__lo"), F.col("__lo"))
+        .when(v > F.col("__hi"), F.col("__hi"))
+        .otherwise(v)
+    )
+    return (
+        df.join(F.broadcast(bounds), list(group_cols))
+        .withColumn(out_col, clipped)
+        .drop("__lo", "__hi")
+    )

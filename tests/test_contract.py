@@ -47,7 +47,8 @@ def test_oracle_sql_names_registered_tables_only():
         ctes = set(
             m.group(1).lower()
             for m in re.finditer(
-                r"\b([A-Za-z_][A-Za-z0-9_]*)\s*(?:\([^)]*\))?\s+AS\s*\(",
+                r"\b([A-Za-z_][A-Za-z0-9_]*)\s*(?:\([^)]*\))?\s+AS\s*"
+                r"(?:MATERIALIZED\s*)?\(",
                 sql,
                 re.I,
             )
@@ -131,6 +132,8 @@ def test_r7_gate_window_composition():
     r7_new = {
         "interval_islands", "interval_coverage_gaps", "group_mode",
         "rolling_beta", "dict_encode", "emb_covariance",
+        "graph_clustering", "graph_kcore", "winsorize_prices",
+        "funnel_windowed",
     }
     never = [n for n in names if n not in gated and n not in r7_new]
     # every never-gated pre-r7 query must be inside the window

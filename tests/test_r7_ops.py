@@ -154,3 +154,113 @@ class TestEmbeddingCovariance:
         assert math.isclose(got[(0, 0)], 2.0)  # var([1,3]) with ddof=1
         assert math.isclose(got[(0, 1)], 2.0)
         assert math.isclose(got[(1, 1)], 2.0)
+
+
+class TestClusteringCoefficient:
+    def test_triangle_and_star(self, spark):
+        from quanta_etl_spark.operators import graph as G
+
+        # triangle 1-2-3 plus a pendant 4 attached to 1
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (1, 4)], "src long, dst long"
+        )
+        got = {r.node: r for r in G.clustering_coefficient(edges).collect()}
+        assert got[2].clustering_coeff == 1.0        # deg2, 1 triangle
+        assert got[3].clustering_coeff == 1.0
+        # node 1: deg 3, 1 triangle -> 2/ (3*2) = 1/3
+        assert abs(got[1].clustering_coeff - 1 / 3) < 1e-12
+        assert got[4].clustering_coeff is None       # deg 1 -> NULL
+
+
+class TestKCore:
+    def test_peels_tail_chain(self, spark):
+        from quanta_etl_spark.operators import graph as G
+
+        # K4 core {1,2,3,4} with a chain 4-5-6 hanging off
+        k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+        edges = spark.createDataFrame(
+            k4 + [(4, 5), (5, 6)], "src long, dst long"
+        )
+        got = sorted(
+            (r.node, r.deg) for r in G.k_core(edges, k=3).collect()
+        )
+        assert got == [(1, 3), (2, 3), (3, 3), (4, 3)]
+
+    def test_cascading_peel_needs_iterations(self, spark):
+        from quanta_etl_spark.operators import graph as G
+
+        # path graph: every 2-core peel removes the two current
+        # endpoints; k=2 on a path peels everything, but only after
+        # length/2 cascading rounds
+        path = [(i, i + 1) for i in range(1, 7)]
+        edges = spark.createDataFrame(path, "src long, dst long")
+        assert G.k_core(edges, k=2, max_peels=8).count() == 0
+        # a cycle, by contrast, IS its own 2-core
+        cycle = path + [(7, 1)]
+        edges2 = spark.createDataFrame(cycle, "src long, dst long")
+        got = sorted(r.node for r in G.k_core(edges2, k=2).collect())
+        assert got == [1, 2, 3, 4, 5, 6, 7]
+
+
+class TestWinsorize:
+    def test_clips_to_exact_percentiles(self, spark):
+        from quanta_etl_spark.operators import quality as Q
+
+        rows = [("g", float(v)) for v in range(1, 11)]  # 1..10
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = Q.winsorize(df, ["g"], "v", lower=0.1, upper=0.9)
+        got = sorted(r.v_winsorized for r in out.collect())
+        # p10 of 1..10 = 1.9, p90 = 9.1 (continuous interpolation)
+        assert abs(got[0] - 1.9) < 1e-12
+        assert abs(got[-1] - 9.1) < 1e-12
+        assert got[1] == 2.0 and got[-2] == 9.0  # interior untouched
+
+    def test_null_passthrough(self, spark):
+        from quanta_etl_spark.operators import quality as Q
+
+        df = spark.createDataFrame(
+            [("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", None)],
+            "g string, v double",
+        )
+        out = Q.winsorize(df, ["g"], "v", lower=0.25, upper=0.75)
+        assert sum(1 for r in out.collect() if r.v_winsorized is None) == 1
+
+
+class TestFunnelWindowed:
+    def test_budget_excludes_slow_converters(self, spark):
+        import datetime as dt
+
+        from quanta_etl_spark.operators import events as E2
+
+        base = dt.datetime(2024, 1, 1)
+
+        def t(minutes):
+            return base + dt.timedelta(minutes=minutes)
+
+        rows = [
+            # u1 converts fast: within 10 min
+            (1, t(0), "signup"), (1, t(5), "click"), (1, t(10), "purchase"),
+            # u2 clicks in budget but purchases too late
+            (2, t(0), "signup"), (2, t(5), "click"), (2, t(120), "purchase"),
+            # u3's click is already out of budget
+            (3, t(0), "signup"), (3, t(90), "click"), (3, t(95), "purchase"),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_type string"
+        )
+        got = {
+            r.step_name: r.users
+            for r in E2.funnel_report(
+                df, ["signup", "click", "purchase"],
+                max_span_seconds=3600,
+            ).collect()
+        }
+        assert got == {"signup": 3, "click": 2, "purchase": 1}
+        # without the budget everyone converts
+        got2 = {
+            r.step_name: r.users
+            for r in E2.funnel_report(
+                df, ["signup", "click", "purchase"]
+            ).collect()
+        }
+        assert got2 == {"signup": 3, "click": 3, "purchase": 3}
