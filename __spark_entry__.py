@@ -2405,6 +2405,34 @@ def q_attribution_last_touch(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_attribution_position(spark: SparkSession, sf: str) -> DataFrame:
+    """Position-based (U-shaped 40/20/40) multi-touch attribution
+    (events.attribute_position_based): purchase revenue split across
+    the full click path per conversion — paths assigned via a
+    reverse-cumulative conversion count (no range join), weights as
+    column constants so the oracle's IEEE arithmetic matches bitwise."""
+    ev = load_table(spark, sf, "events")
+    campaign = (
+        F.get_json_object(F.col("props"), "$.k").cast("int") % 10
+    )
+    credited = event_ops.attribute_position_based(
+        ev, "user_id", "ts",
+        conversion_pred=F.col("event_type") == "purchase",
+        touch_pred=F.col("event_type") == "click",
+        touch_key=campaign,
+        value_col="value",
+        tiebreak_cols=["event_id"],
+    )
+    return credited.groupBy(
+        F.col("touch_key").alias("campaign")
+    ).agg(
+        F.count(F.lit(1)).alias("n_credits"),
+        F.sum(F.col("credit").cast("decimal(38,12)"))
+        .cast("double")
+        .alias("credited_value"),
+    )
+
+
 def q_order_reconciliation(spark: SparkSession, sf: str) -> DataFrame:
     """Header-vs-detail reconciliation (quality.reconcile_totals):
     each order's recorded total against the exact-decimal recomputed
@@ -3129,6 +3157,17 @@ def q_funnel_windowed(spark: SparkSession, sf: str) -> DataFrame:
     ).select("step_index", "step_name", "users")
 
 
+def q_holt_winters(spark: SparkSession, sf: str) -> DataFrame:
+    """Holt-Winters additive triple-exponential smoothing of daily
+    event revenue (resample.holt_winters_forecast): weekly seasonal
+    ring + level/trend recursion + 14-day forecast, bit-matched by a
+    recursive-CTE oracle carrying the seasonal ring as a DOUBLE[]."""
+    ev = load_table(spark, sf, "events")
+    return resample_ops.holt_winters_forecast(
+        ev, "ts", "value", period=7, horizon=14
+    )
+
+
 def q_emb_covariance(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding covariance matrix (similarity.embedding_covariance):
     64×64 upper triangle from one explode-free-of-joins pass with
@@ -3366,6 +3405,8 @@ def queries() -> dict[str, QueryFn]:
         "graph_kcore": q_graph_kcore,
         "winsorize_prices": q_winsorize_prices,
         "funnel_windowed": q_funnel_windowed,
+        "attribution_position": q_attribution_position,
+        "holt_winters": q_holt_winters,
     }
 
 
@@ -3480,6 +3521,100 @@ def _lsh_topk_oracle(num_planes: int = 6, k: int = 5) -> str:
                CAST(row_number() OVER (PARTITION BY query_id
                     ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
         FROM scored QUALIFY rank <= {k}
+    """
+
+
+def _holt_winters_oracle(
+    m: int = 7,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    gamma: float = 0.2,
+    horizon: int = 14,
+) -> str:
+    """SQL twin of resample.holt_winters_forecast: one recursive CTE
+    walks the daily series row-by-row carrying (suma, sumb, ys2, l, b,
+    ring) — the warmup sums accumulate left-to-right exactly like the
+    operator's Python loop, the seasonal ring is a DOUBLE[] rotated
+    with list ops, and every update expression is written in the
+    operator's exact IEEE shape (computed ``1.0 − α``, no precomputed
+    constants), so the two engines agree bit-for-bit."""
+    a, bt, g = repr(alpha), repr(beta), repr(gamma)
+    mf = repr(float(m))
+    m2 = 2 * m
+    # expression macros (SQL cannot reference same-SELECT aliases, so
+    # l' is repeated inside b'/ring' — identical IEEE result)
+    lnew = f"({a} * (o.y - h.ring[1]) + (1.0 - {a}) * (h.l + h.b))"
+    linit = f"((h.sumb + o.y) / {mf})"
+    binit = f"(((h.sumb + o.y) / {mf} - h.suma / {mf}) / {mf})"
+    return f"""
+        WITH RECURSIVE daily AS MATERIALIZED (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS y
+            FROM events GROUP BY 1
+        ), o AS MATERIALIZED (
+            SELECT day, y, row_number() OVER (ORDER BY day) AS rn
+            FROM daily
+        ), hw(rn, day, y, suma, sumb, ys2, l, b, ring,
+              fitted, seasonal, level_o, trend_o) AS (
+            SELECT o.rn, o.day, o.y, o.y, CAST(0.0 AS DOUBLE),
+                   CAST([] AS DOUBLE[]),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   CAST([] AS DOUBLE[]),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+            FROM o WHERE o.rn = 1
+            UNION ALL
+            SELECT o.rn, o.day, o.y,
+                   CASE WHEN o.rn <= {m} THEN h.suma + o.y
+                        ELSE h.suma END,
+                   CASE WHEN o.rn > {m} AND o.rn <= {m2}
+                        THEN h.sumb + o.y ELSE h.sumb END,
+                   CASE WHEN o.rn > {m} AND o.rn <= {m2}
+                        THEN list_append(h.ys2, o.y) ELSE h.ys2 END,
+                   CASE WHEN o.rn = {m2} THEN {linit}
+                        WHEN o.rn > {m2} THEN {lnew}
+                        ELSE CAST(NULL AS DOUBLE) END,
+                   CASE WHEN o.rn = {m2} THEN {binit}
+                        WHEN o.rn > {m2}
+                        THEN {bt} * ({lnew} - h.l) + (1.0 - {bt}) * h.b
+                        ELSE CAST(NULL AS DOUBLE) END,
+                   CASE WHEN o.rn = {m2} THEN
+                            list_transform(list_append(h.ys2, o.y),
+                                x -> x - (h.sumb + o.y) / {mf})
+                        WHEN o.rn > {m2} THEN
+                            list_append(h.ring[2:],
+                                {g} * (o.y - {lnew})
+                                + (1.0 - {g}) * h.ring[1])
+                        ELSE h.ring END,
+                   CASE WHEN o.rn > {m2}
+                        THEN h.l + h.b + h.ring[1] END,
+                   CASE WHEN o.rn > {m2} THEN h.ring[1] END,
+                   CASE WHEN o.rn > {m2} THEN {lnew} END,
+                   CASE WHEN o.rn > {m2}
+                        THEN {bt} * ({lnew} - h.l) + (1.0 - {bt}) * h.b
+                        END
+            FROM hw h JOIN o ON o.rn = h.rn + 1
+        ), hist AS (
+            SELECT day, y AS observed, level_o AS level,
+                   trend_o AS trend, seasonal, fitted,
+                   FALSE AS is_forecast
+            FROM hw
+        ), last_row AS (
+            SELECT day, l, b, ring FROM hw
+            ORDER BY rn DESC LIMIT 1
+        ), fc AS (
+            SELECT last_row.day + to_days(CAST(h AS INTEGER)) AS day,
+                   CAST(NULL AS DOUBLE) AS observed,
+                   l AS level, b AS trend,
+                   ring[((h - 1) % {m}) + 1] AS seasonal,
+                   l + h * b + ring[((h - 1) % {m}) + 1] AS fitted,
+                   TRUE AS is_forecast
+            FROM last_row,
+                 (SELECT unnest(generate_series(1, {horizon})) AS h)
+        )
+        SELECT * FROM hist
+        UNION ALL
+        SELECT * FROM fc
     """
 
 
@@ -6780,6 +6915,53 @@ def oracle_sql() -> dict[str, str]:
             JOIN s si ON si.pos = p.i
             JOIN s sj ON sj.pos = p.j
         """,
+        "attribution_position": """
+            WITH tagged AS (
+                SELECT user_id, ts, event_id, event_type, value,
+                       CASE WHEN event_type = 'click'
+                            THEN CAST(json_extract_string(props, '$.k')
+                                      AS INT) % 10 END AS campaign,
+                       CAST(sum(CASE WHEN event_type = 'purchase'
+                                     THEN 1 ELSE 0 END)
+                            OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS BIGINT)
+                           AS path
+                FROM events
+            ), convs AS (
+                SELECT user_id, path, value
+                FROM tagged WHERE event_type = 'purchase'
+            ), ranked AS (
+                SELECT user_id, path, campaign,
+                       row_number() OVER w AS position,
+                       count(*) OVER (PARTITION BY user_id, path)
+                           AS path_size
+                FROM tagged
+                WHERE event_type = 'click' AND path > 0
+                WINDOW w AS (PARTITION BY user_id, path
+                             ORDER BY ts, event_id)
+            ), credited AS (
+                SELECT r.campaign,
+                       c.value * (
+                           CASE WHEN r.path_size = 1 THEN 1.0
+                                WHEN r.path_size = 2 THEN 0.5
+                                WHEN r.position = 1 THEN 0.4
+                                WHEN r.position = r.path_size THEN 0.4
+                                ELSE (1.0 - 0.4 - 0.4)
+                                     / CAST(r.path_size - 2 AS DOUBLE)
+                           END
+                       ) AS credit
+                FROM ranked r
+                JOIN convs c
+                  ON c.user_id = r.user_id AND c.path = r.path
+            )
+            SELECT campaign,
+                   count(*) AS n_credits,
+                   CAST(sum(CAST(credit AS DECIMAL(38,12))) AS DOUBLE)
+                       AS credited_value
+            FROM credited GROUP BY campaign
+        """,
         "graph_clustering": """
             WITH ps AS (
                 SELECT DISTINCT l_orderkey, l_suppkey
@@ -6816,6 +6998,9 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN per p ON p.node = d.node
         """,
         "graph_kcore": _kcore_oracle(k=3, rounds=8),
+        "holt_winters": _holt_winters_oracle(
+            m=7, alpha=0.5, beta=0.3, gamma=0.2, horizon=14
+        ),
         "winsorize_prices": """
             WITH b AS (
                 SELECT l_returnflag,

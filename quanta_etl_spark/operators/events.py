@@ -628,3 +628,99 @@ def rate_alerts(
     )
     out = df.withColumn("n_in_window", F.count(F.lit(1)).over(w))
     return out.where(F.col("n_in_window") >= threshold)
+
+
+def attribute_position_based(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    conversion_pred: Column,
+    touch_pred: Column,
+    touch_key: Column,
+    value_col: str,
+    tiebreak_cols: Sequence[str] = (),
+    first_weight: float = 0.4,
+    last_weight: float = 0.4,
+) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: each
+    conversion's value splits across ALL touches on the user's path
+    to it — ``first_weight`` to the first touch, ``last_weight`` to
+    the last, the remainder evenly over the middle (1 touch → 100%,
+    2 touches → 50/50, the standard renormalization). A path is the
+    touches strictly between the previous conversion (exclusive) and
+    this conversion (inclusive-by-order); touches after the user's
+    final conversion attribute nothing.
+
+    Shape: conversion paths are assigned WITHOUT a range join — a
+    reverse-cumulative count of conversions over the user timeline
+    gives every row the id of its next-at-or-after conversion (one
+    window pass), so touches and conversions equi-join on (user,
+    path-id). Ranking within the path is a second pass over the SAME
+    user-key partitioning; consecutive exchanges collapse. Weight
+    arithmetic is expressed as column constants (1.0 − fw − lw), so a
+    SQL oracle computing the same IEEE expression matches bitwise.
+
+    Returns one row per credited touch: (user, path id, touch key,
+    position, path_size, weight, credit).
+    """
+    order_desc = [F.col(ts_col).desc()] + [
+        F.col(c).desc() for c in tiebreak_cols
+    ]
+    w_rev = (
+        Window.partitionBy(user_col)
+        .orderBy(*order_desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tagged = df.withColumn(
+        "__isconv", F.when(conversion_pred, 1).otherwise(0)
+    ).withColumn("__path", F.sum("__isconv").over(w_rev))
+    convs = tagged.where(conversion_pred).select(
+        F.col(user_col).alias("__u"),
+        F.col("__path").alias("__p"),
+        F.col(value_col).alias("__value"),
+    )
+    touches = tagged.where(touch_pred & (F.col("__path") > 0)).select(
+        user_col,
+        "__path",
+        touch_key.alias("touch_key"),
+        *{ts_col, *tiebreak_cols},
+    )
+    w_path = Window.partitionBy(user_col, "__path").orderBy(
+        F.col(ts_col), *[F.col(c) for c in tiebreak_cols]
+    )
+    ranked = touches.select(
+        user_col,
+        "__path",
+        "touch_key",
+        F.row_number().over(w_path).alias("position"),
+        F.count(F.lit(1))
+        .over(w_path.rowsBetween(Window.unboundedPreceding,
+                                 Window.unboundedFollowing))
+        .alias("path_size"),
+    )
+    k = F.col("path_size")
+    rn = F.col("position")
+    fw, lw = F.lit(first_weight), F.lit(last_weight)
+    weight = (
+        F.when(k == 1, F.lit(1.0))
+        .when(k == 2, F.lit(0.5))
+        .when(rn == 1, fw)
+        .when(rn == k, lw)
+        .otherwise(
+            (F.lit(1.0) - fw - lw) / (k - F.lit(2)).cast("double")
+        )
+    )
+    credited = ranked.join(
+        convs,
+        (F.col(user_col) == F.col("__u"))
+        & (F.col("__path") == F.col("__p")),
+    )
+    return credited.select(
+        user_col,
+        F.col("__path").alias("path_id"),
+        "touch_key",
+        "position",
+        "path_size",
+        weight.alias("weight"),
+        (F.col("__value") * weight).alias("credit"),
+    )

@@ -344,3 +344,114 @@ def holt_forecast(
         .applyInPandas(fn, out_schema)
         .select("day", "observed", "level", "trend", "fitted", "is_forecast")
     )
+
+
+def holt_winters_forecast(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    period: int = 7,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    gamma: float = 0.2,
+    horizon: int = 14,
+) -> DataFrame:
+    """Holt-Winters ADDITIVE (triple-exponential) smoothing over the
+    daily total — level + trend + a ``period``-slot seasonal ring —
+    plus an ``horizon``-day forecast. The seasonality-aware step past
+    :func:`holt_forecast` for weekly-cycled series.
+
+    Semantics (fixed, mirrored 1:1 by the SQL oracle): the first TWO
+    seasons are warmup, used only for initialization —
+    l = mean(season2), b = (mean(season2) − mean(season1)) / period,
+    s[i] = y[period+i] − mean(season2); the recursion applies from
+    t = 2·period on (0-indexed), fitted = l + b + s_used before the
+    update, then
+    l' = α(y−s_used) + (1−α)(l+b); b' = β(l'−l) + (1−β)b;
+    s_slot' = γ(y−l') + (1−γ)s_used. Warmup rows emit NULL
+    level/trend/fitted. Forecasts: ŷ_{T+h} = l + h·b + ring[(h−1) mod
+    period]. Series shorter than 2·period + 1 days raise.
+
+    Determinism discipline (same as holt_forecast): daily totals are
+    exact decimal sums, the recursion is scalar IEEE arithmetic in the
+    EXACT expression shapes the oracle uses (warmup means accumulate
+    left-to-right, (1−α) is computed, not precomputed), run once in an
+    applyInPandas over the single-group daily frame. At 100 TB the
+    heavy step is the daily aggregation; the recursion is |days| rows.
+    """
+    import pandas as pd
+
+    m = period
+    daily = df.groupBy(
+        F.date_trunc("day", F.col(ts_col)).alias("day")
+    ).agg(
+        F.sum(F.col(value_col).cast("decimal(30,6)"))
+        .cast("double")
+        .alias("observed")
+    ).withColumn("__g", F.lit(1))
+
+    out_schema = (
+        "day timestamp, observed double, level double, trend double, "
+        "seasonal double, fitted double, is_forecast boolean"
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day")
+        y = [float(v) for v in pdf["observed"]]
+        days = list(pdf["day"])
+        n = len(y)
+        if n < 2 * m + 1:
+            raise ValueError(
+                f"holt_winters needs > {2 * m} daily points, got {n}"
+            )
+        suma = 0.0
+        for v in y[:m]:
+            suma += v
+        sumb = 0.0
+        for v in y[m:2 * m]:
+            sumb += v
+        l = sumb / m
+        b = (sumb / m - suma / m) / m
+        ring = [v - sumb / m for v in y[m:2 * m]]
+        lv = [None] * n
+        tr = [None] * n
+        se = [None] * n
+        fit = [None] * n
+        for t in range(2 * m, n):
+            s_used = ring[0]
+            fit[t] = l + b + s_used
+            l_new = alpha * (y[t] - s_used) + (1 - alpha) * (l + b)
+            b_new = beta * (l_new - l) + (1 - beta) * b
+            s_new = gamma * (y[t] - l_new) + (1 - gamma) * s_used
+            ring = ring[1:] + [s_new]
+            l, b = l_new, b_new
+            lv[t], tr[t], se[t] = l, b, s_used
+        rows = {
+            "day": list(days),
+            "observed": list(y),
+            "level": lv,
+            "trend": tr,
+            "seasonal": se,
+            "fitted": fit,
+            "is_forecast": [False] * n,
+        }
+        step = pd.Timedelta(days=1)
+        for h in range(1, horizon + 1):
+            s_h = ring[(h - 1) % m]
+            rows["day"].append(days[-1] + h * step)
+            rows["observed"].append(None)
+            rows["level"].append(l)
+            rows["trend"].append(b)
+            rows["seasonal"].append(s_h)
+            rows["fitted"].append(l + h * b + s_h)
+            rows["is_forecast"].append(True)
+        return pd.DataFrame(rows)
+
+    return (
+        daily.groupBy("__g")
+        .applyInPandas(fn, out_schema)
+        .select(
+            "day", "observed", "level", "trend", "seasonal", "fitted",
+            "is_forecast",
+        )
+    )

@@ -133,7 +133,7 @@ def test_r7_gate_window_composition():
         "interval_islands", "interval_coverage_gaps", "group_mode",
         "rolling_beta", "dict_encode", "emb_covariance",
         "graph_clustering", "graph_kcore", "winsorize_prices",
-        "funnel_windowed",
+        "funnel_windowed", "attribution_position", "holt_winters",
     }
     never = [n for n in names if n not in gated and n not in r7_new]
     # every never-gated pre-r7 query must be inside the window

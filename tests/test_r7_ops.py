@@ -264,3 +264,122 @@ class TestFunnelWindowed:
             ).collect()
         }
         assert got2 == {"signup": 3, "click": 3, "purchase": 3}
+
+
+class TestPositionAttribution:
+    def test_u_shaped_weights(self, spark):
+        import datetime as dt
+
+        from quanta_etl_spark.operators import events as E4
+
+        base = dt.datetime(2024, 1, 1)
+
+        def t(minutes):
+            return base + dt.timedelta(minutes=minutes)
+
+        rows = [
+            # u1: 4 clicks (campaigns 1,2,3,4) then one 100.0 purchase
+            (1, t(0), "click", 1, None), (1, t(1), "click", 2, None),
+            (1, t(2), "click", 3, None), (1, t(3), "click", 4, None),
+            (1, t(4), "purchase", None, 100.0),
+            # u2: single click -> full credit
+            (2, t(0), "click", 7, None), (2, t(1), "purchase", None, 10.0),
+            # u3: click after the purchase attributes nothing
+            (3, t(0), "purchase", None, 5.0), (3, t(1), "click", 9, None),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "user_id long, ts timestamp, event_type string, "
+            "camp int, value double",
+        ).withColumn("event_id", F.monotonically_increasing_id())
+        out = E4.attribute_position_based(
+            df, "user_id", "ts",
+            conversion_pred=F.col("event_type") == "purchase",
+            touch_pred=F.col("event_type") == "click",
+            touch_key=F.col("camp"),
+            value_col="value",
+            tiebreak_cols=["event_id"],
+        ).collect()
+        got = {(r.user_id, r.touch_key): (r.weight, r.credit) for r in out}
+        assert got[(1, 1)] == (0.4, 40.0)   # first touch
+        assert got[(1, 4)] == (0.4, 40.0)   # last touch
+        w2, c2 = got[(1, 2)]
+        assert abs(w2 - 0.1) < 1e-12 and abs(c2 - 10.0) < 1e-9
+        assert got[(2, 7)] == (1.0, 10.0)   # single touch: 100%
+        assert (3, 9) not in got            # post-conversion touch
+
+    def test_two_touch_renormalizes_to_half(self, spark):
+        import datetime as dt
+
+        from quanta_etl_spark.operators import events as E5
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, base, "click", 1, None),
+            (1, base + dt.timedelta(minutes=1), "click", 2, None),
+            (1, base + dt.timedelta(minutes=2), "purchase", None, 8.0),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "user_id long, ts timestamp, event_type string, "
+            "camp int, value double",
+        ).withColumn("event_id", F.monotonically_increasing_id())
+        out = E5.attribute_position_based(
+            df, "user_id", "ts",
+            conversion_pred=F.col("event_type") == "purchase",
+            touch_pred=F.col("event_type") == "click",
+            touch_key=F.col("camp"),
+            value_col="value",
+            tiebreak_cols=["event_id"],
+        ).collect()
+        assert sorted((r.touch_key, r.weight, r.credit) for r in out) == [
+            (1, 0.5, 4.0), (2, 0.5, 4.0)
+        ]
+
+
+class TestHoltWinters:
+    def test_recovers_pure_seasonal_series(self, spark):
+        """A perfectly periodic series (no trend): after warmup the
+        one-step fitted values converge to the observations, and the
+        forecast repeats the cycle."""
+        import datetime as dt
+
+        from quanta_etl_spark.operators import resample as RS
+
+        cycle = [10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0]
+        rows = []
+        for d in range(35):  # 5 full weeks
+            rows.append(
+                (dt.datetime(2024, 1, 1) + dt.timedelta(days=d),
+                 cycle[d % 7])
+            )
+        df = spark.createDataFrame(rows, "ts timestamp, value double")
+        out = RS.holt_winters_forecast(
+            df, "ts", "value", period=7, horizon=7
+        ).orderBy("day").collect()
+        hist = [r for r in out if not r.is_forecast]
+        fc = [r for r in out if r.is_forecast]
+        assert len(hist) == 35 and len(fc) == 7
+        # warmup rows carry no fit
+        assert all(r.fitted is None for r in hist[:14])
+        # trend of a flat-cycled series ~ 0; fits track the cycle
+        for r in hist[14:]:
+            assert abs(r.fitted - r.observed) < 1e-6, r
+        for i, r in enumerate(fc):
+            assert abs(r.fitted - cycle[i % 7]) < 1e-6, r
+
+    def test_short_series_raises(self, spark):
+        import datetime as dt
+
+        import pytest
+        from py4j.protocol import Py4JJavaError
+
+        from quanta_etl_spark.operators import resample as RS
+
+        rows = [
+            (dt.datetime(2024, 1, 1) + dt.timedelta(days=d), 1.0)
+            for d in range(10)
+        ]
+        df = spark.createDataFrame(rows, "ts timestamp, value double")
+        with pytest.raises(Exception):
+            RS.holt_winters_forecast(df, "ts", "value", period=7).collect()
