@@ -3157,6 +3157,35 @@ def q_funnel_windowed(spark: SparkSession, sf: str) -> DataFrame:
     ).select("step_index", "step_name", "users")
 
 
+def q_active_users_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-day DAU / trailing-7-day WAU / stickiness
+    (events.sliding_active_users): the sliding distinct is computed by
+    a BOUNDED fan-out (each user-day explodes to its 7 window-end
+    days after a first dedup) — never a day×events range join, never
+    window-framed distinct state."""
+    ev = load_table(spark, sf, "events")
+    return event_ops.sliding_active_users(ev, "user_id", "ts", 7)
+
+
+def q_quantile_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile normalization of extended price across return flags
+    (quality.quantile_normalize): within-group percent rank mapped
+    onto the pooled distribution through a 101-point exact percentile
+    grid with linear interpolation — O(grid) broadcast state, one
+    group-key shuffle."""
+    li = load_table(spark, sf, "lineitem")
+    out = quality_ops.quantile_normalize(
+        li, ["l_returnflag"], "l_extendedprice", grid=100
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_extendedprice",
+        "l_extendedprice_qnorm",
+    )
+
+
 def q_holt_winters(spark: SparkSession, sf: str) -> DataFrame:
     """Holt-Winters additive triple-exponential smoothing of daily
     event revenue (resample.holt_winters_forecast): weekly seasonal
@@ -3407,6 +3436,8 @@ def queries() -> dict[str, QueryFn]:
         "funnel_windowed": q_funnel_windowed,
         "attribution_position": q_attribution_position,
         "holt_winters": q_holt_winters,
+        "active_users_sliding": q_active_users_sliding,
+        "quantile_normalize": q_quantile_normalize,
     }
 
 
@@ -6998,6 +7029,46 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN per p ON p.node = d.node
         """,
         "graph_kcore": _kcore_oracle(k=3, rounds=8),
+        "active_users_sliding": """
+            WITH act AS (
+                SELECT DISTINCT user_id AS u,
+                       CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+                FROM events
+            ), ends AS (
+                SELECT DISTINCT u, d + to_days(CAST(o AS INTEGER)) AS e
+                FROM act, (SELECT unnest(generate_series(0, 6)) AS o)
+            ), wau AS (
+                SELECT e, count(*) AS wau FROM ends GROUP BY e
+            ), dau AS (
+                SELECT d AS e, count(*) AS dau FROM act GROUP BY d
+            )
+            SELECT dau.e AS day, dau.dau, wau.wau,
+                   CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE)
+                       AS stickiness
+            FROM dau JOIN wau ON wau.e = dau.e
+        """,
+        "quantile_normalize": """
+            WITH g AS (
+                SELECT quantile_cont(l_extendedprice, [0.0, 0.01, 0.02, 0.03, 0.04, 0.05, 0.06, 0.07, 0.08, 0.09, 0.1, 0.11, 0.12, 0.13, 0.14, 0.15, 0.16, 0.17, 0.18, 0.19, 0.2, 0.21, 0.22, 0.23, 0.24, 0.25, 0.26, 0.27, 0.28, 0.29, 0.3, 0.31, 0.32, 0.33, 0.34, 0.35, 0.36, 0.37, 0.38, 0.39, 0.4, 0.41, 0.42, 0.43, 0.44, 0.45, 0.46, 0.47, 0.48, 0.49, 0.5, 0.51, 0.52, 0.53, 0.54, 0.55, 0.56, 0.57, 0.58, 0.59, 0.6, 0.61, 0.62, 0.63, 0.64, 0.65, 0.66, 0.67, 0.68, 0.69, 0.7, 0.71, 0.72, 0.73, 0.74, 0.75, 0.76, 0.77, 0.78, 0.79, 0.8, 0.81, 0.82, 0.83, 0.84, 0.85, 0.86, 0.87, 0.88, 0.89, 0.9, 0.91, 0.92, 0.93, 0.94, 0.95, 0.96, 0.97, 0.98, 0.99, 1.0]) AS gr
+                FROM lineitem
+            ), r AS (
+                SELECT l_orderkey, l_linenumber, l_returnflag,
+                       l_extendedprice,
+                       percent_rank() OVER (PARTITION BY l_returnflag
+                           ORDER BY l_extendedprice) AS p
+                FROM lineitem
+            )
+            SELECT r.l_orderkey, r.l_linenumber, r.l_returnflag,
+                   r.l_extendedprice,
+                   CASE WHEN CAST(floor(p * 100) AS INT) >= 100
+                        THEN gr[101]
+                        ELSE gr[CAST(floor(p * 100) AS INT) + 1]
+                             + (p * 100 - floor(p * 100))
+                               * (gr[CAST(floor(p * 100) AS INT) + 2]
+                                  - gr[CAST(floor(p * 100) AS INT) + 1])
+                   END AS l_extendedprice_qnorm
+            FROM r, g
+        """,
         "holt_winters": _holt_winters_oracle(
             m=7, alpha=0.5, beta=0.3, gamma=0.2, horizon=14
         ),

@@ -724,3 +724,62 @@ def attribute_position_based(
         weight.alias("weight"),
         (F.col("__value") * weight).alias("credit"),
     )
+
+
+def sliding_active_users(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """Per-day DAU, trailing-``window_days`` active users (WAU/MAU),
+    and the DAU/WAU "stickiness" ratio — the engagement rollup every
+    product dashboard runs.
+
+    Scale shape: a sliding COUNT(DISTINCT) cannot ride a window frame
+    (distinct state is not frame-mergeable), and a day×events range
+    join fans out on data size. Instead each distinct (user, day)
+    activity row fans out to the ``window_days`` window-END days it
+    participates in — a BOUNDED explode (× window length, after the
+    first dedup collapses events to at most users×days rows) followed
+    by one exact distinct aggregation per (end-day, user). Days are
+    emitted only when the day itself had activity (calendar-complete
+    spines come from windows.time_spine).
+
+    Returns (day, dau, wau, stickiness) with stickiness = dau/wau as
+    double.
+    """
+    act = df.select(
+        F.col(user_col).alias("__u"),
+        F.date_trunc("day", F.col(ts_col)).alias("__d"),
+    ).distinct()
+    # fan out each activity day to the window-end days it belongs to
+    ends = act.select(
+        "__u",
+        "__d",
+        F.explode(
+            F.sequence(
+                F.col("__d"),
+                F.col("__d") + F.expr(f"INTERVAL {window_days - 1} DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("__end"),
+    )
+    wau = (
+        ends.select("__u", "__end").distinct()
+        .groupBy("__end")
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )
+    dau = act.groupBy(F.col("__d").alias("__end")).agg(
+        F.count(F.lit(1)).alias("dau")
+    )
+    return (
+        dau.join(wau, "__end")
+        .select(
+            F.col("__end").alias("day"),
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau").cast("double"))
+            .alias("stickiness"),
+        )
+    )

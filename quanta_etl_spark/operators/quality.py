@@ -550,3 +550,68 @@ def winsorize(
         .withColumn(out_col, clipped)
         .drop("__lo", "__hi")
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    grid: int = 100,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Quantile normalization of ``value_col`` across groups: each
+    value maps to the POOLED distribution's quantile at its own
+    within-group percent rank — after normalization every group shares
+    the pooled shape, removing per-group scale/offset drift (the
+    batch-effect corrector of feature pipelines).
+
+    Scale shape: the exact method needs the full pooled sorted vector
+    (unscalable state); this uses the standard fixed-grid variant —
+    ``grid + 1`` exact pooled percentiles (one aggregation, a
+    ~grid-sized broadcast) with linear interpolation between grid
+    points. Per-row work is a window percent_rank (one shuffle on the
+    group key) plus pure projection arithmetic, so the approximation
+    state is O(grid), not O(N). Interpolation error vanishes as the
+    grid refines; grid=100 reproduces every percentile boundary
+    exactly.
+
+    Determinism: the percent rank is computed as the explicit
+    (rank−1)/(n−1) over the group's NON-NULL values — Spark ranks
+    NULLS FIRST while DuckDB ranks them LAST, so a bare percent_rank
+    would diverge on nullable inputs; ranking off an offset-adjusted
+    rank makes NULL rows invisible to the ranking in both engines
+    (they emit NULL and keep their row). Ties share a rank, so no
+    tiebreak column is needed; the interpolation
+    ``g[lo] + frac·(g[lo+1]−g[lo])`` is evaluated in one fixed IEEE
+    shape. Single-value groups rank at 0.0 → the pooled minimum.
+    """
+    out_col = out_col or f"{value_col}_qnorm"
+    fracs = [i / grid for i in range(grid + 1)]
+    ref = df.agg(
+        F.percentile(value_col, F.array(*[F.lit(f) for f in fracs]))
+        .alias("__grid")
+    )
+    v = F.col(value_col)
+    w = Window.partitionBy(*group_cols).orderBy(v.asc_nulls_first())
+    w_grp = Window.partitionBy(*group_cols)
+    rnk = F.rank().over(w)
+    n_null = F.sum(F.when(v.isNull(), 1).otherwise(0)).over(w_grp)
+    n_val = F.count(F.lit(1)).over(w_grp) - n_null
+    p = F.when(v.isNull(), F.lit(None).cast("double")).when(
+        n_val == 1, F.lit(0.0)
+    ).otherwise(
+        (rnk - n_null - F.lit(1)).cast("double")
+        / (n_val - F.lit(1)).cast("double")
+    )
+    with_p = df.withColumn("__p", p).crossJoin(F.broadcast(ref))
+    pos = F.col("__p") * F.lit(grid)
+    lo = F.floor(pos).cast("int")
+    frac = pos - F.floor(pos)
+    glo = F.element_at("__grid", lo + 1)
+    ghi = F.element_at("__grid", lo + 2)
+    mapped = F.when(lo >= grid, F.element_at("__grid", grid + 1)).otherwise(
+        glo + frac * (ghi - glo)
+    )
+    return with_p.withColumn(
+        out_col, F.when(F.col("__p").isNotNull(), mapped)
+    ).drop("__p", "__grid")

@@ -383,3 +383,72 @@ class TestHoltWinters:
         df = spark.createDataFrame(rows, "ts timestamp, value double")
         with pytest.raises(Exception):
             RS.holt_winters_forecast(df, "ts", "value", period=7).collect()
+
+
+class TestSlidingActiveUsers:
+    def test_wau_window_counts(self, spark):
+        import datetime as dt
+
+        from quanta_etl_spark.operators import events as E6
+
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        # u1 active days 0 and 3; u2 active day 3 only (twice: dedup)
+        for d, u in [(0, 1), (3, 1), (3, 2), (3, 2)]:
+            rows.append((u, base + dt.timedelta(days=d, hours=5)))
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        got = {
+            r.day.day: (r.dau, r.wau, r.stickiness)
+            for r in E6.sliding_active_users(df, window_days=7).collect()
+        }
+        # day 1 (Jan 1): dau=1 (u1), wau=1
+        assert got[1] == (1, 1, 1.0)
+        # day 4 (Jan 4): dau=2, wau covers both days -> {u1, u2} = 2
+        assert got[4] == (2, 2, 1.0)
+        # only active days are emitted
+        assert set(got) == {1, 4}
+
+    def test_user_counted_once_per_window(self, spark):
+        import datetime as dt
+
+        from quanta_etl_spark.operators import events as E7
+
+        base = dt.datetime(2024, 1, 1)
+        # u1 active on days 0,1,2 — WAU on day 3 must count them once
+        rows = [(1, base + dt.timedelta(days=d)) for d in range(3)]
+        rows.append((2, base + dt.timedelta(days=3)))
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        got = {
+            r.day.day: (r.dau, r.wau)
+            for r in E7.sliding_active_users(df, window_days=7).collect()
+        }
+        assert got[4] == (1, 2)  # day 4: dau=u2 only; wau={u1,u2}
+
+
+class TestQuantileNormalize:
+    def test_groups_map_to_pooled_shape(self, spark):
+        from quanta_etl_spark.operators import quality as Q2
+
+        # group a: 1..5, group b: 101..105 — after normalization both
+        # groups span the POOLED distribution identically
+        rows = [("a", float(v)) for v in range(1, 6)] + [
+            ("b", float(v)) for v in range(101, 106)
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = Q2.quantile_normalize(df, ["g"], "v", grid=100)
+        a = sorted(r.v_qnorm for r in out.where(F.col("g") == "a").collect())
+        b = sorted(r.v_qnorm for r in out.where(F.col("g") == "b").collect())
+        assert a == b  # identical post-normalization profiles
+        # min maps to pooled min, max to pooled max
+        assert a[0] == 1.0 and a[-1] == 105.0
+
+    def test_null_rows_survive_with_null_output(self, spark):
+        from quanta_etl_spark.operators import quality as Q3
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), ("a", None)], "g string, v double"
+        )
+        out = Q3.quantile_normalize(df, ["g"], "v").collect()
+        assert len(out) == 3
+        nulls = [r for r in out if r.v is None]
+        assert len(nulls) == 1 and nulls[0].v_qnorm is None
