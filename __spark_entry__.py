@@ -3157,6 +3157,74 @@ def q_funnel_windowed(spark: SparkSession, sf: str) -> DataFrame:
     ).select("step_index", "step_name", "users")
 
 
+def q_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): BUILDING-segment orders
+    placed before the cut whose lines ship after it, ranked by
+    outstanding revenue. Both date predicates push into the scans, the
+    customer side broadcasts, and the top-10 is a
+    TakeOrderedAndProject with full tiebreaks — the classic
+    multi-predicate join pipeline."""
+    c = load_table(spark, sf, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(30,6)"
+            )
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+    return agg.orderBy(
+        F.col("revenue").desc(), F.col("o_orderdate").asc(),
+        F.col("l_orderkey").asc(),
+    ).limit(10)
+
+
+def q_returned_items(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): revenue lost to
+    'R'-flagged lines per customer over a quarter, nation attached via
+    a broadcast dim, top-20 by lost revenue with key tiebreak."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-10-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    )
+    n = load_table(spark, sf, "nation")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    agg = joined.groupBy(
+        "c_custkey", "c_name", "c_acctbal", "n_name"
+    ).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(30,6)"
+            )
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+    return agg.orderBy(
+        F.col("revenue").desc(), F.col("c_custkey").asc()
+    ).limit(20)
+
+
 def q_active_users_sliding(spark: SparkSession, sf: str) -> DataFrame:
     """Per-day DAU / trailing-7-day WAU / stickiness
     (events.sliding_active_users): the sliding distinct is computed by
@@ -3438,6 +3506,8 @@ def queries() -> dict[str, QueryFn]:
         "holt_winters": q_holt_winters,
         "active_users_sliding": q_active_users_sliding,
         "quantile_normalize": q_quantile_normalize,
+        "shipping_priority": q_shipping_priority,
+        "returned_items": q_returned_items,
     }
 
 
@@ -7068,6 +7138,35 @@ def oracle_sql() -> dict[str, str]:
                                   - gr[CAST(floor(p * 100) AS INT) + 1])
                    END AS l_extendedprice_qnorm
             FROM r, g
+        """,
+        "shipping_priority": """
+            SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+                   CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                 AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+              AND l.l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+            ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "returned_items": """
+            SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+                   CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                 AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE l.l_returnflag = 'R'
+              AND o.o_orderdate >= TIMESTAMP '1995-07-01'
+              AND o.o_orderdate < TIMESTAMP '1995-10-01'
+            GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
         """,
         "holt_winters": _holt_winters_oracle(
             m=7, alpha=0.5, beta=0.3, gamma=0.2, horizon=14

@@ -135,6 +135,7 @@ def test_r7_gate_window_composition():
         "graph_clustering", "graph_kcore", "winsorize_prices",
         "funnel_windowed", "attribution_position", "holt_winters",
         "active_users_sliding", "quantile_normalize",
+        "shipping_priority", "returned_items",
     }
     never = [n for n in names if n not in gated and n not in r7_new]
     # every never-gated pre-r7 query must be inside the window
