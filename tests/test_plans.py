@@ -425,3 +425,52 @@ def test_multikey_clusters_no_cartesian(spark):
     )
     out = D.multikey_clusters(df, "id", ["email", "phone"])
     assert not P.has_cartesian(out)
+
+
+def test_r7_interval_islands_single_shuffle(spark, sf_dir):
+    """The island aggregation's grouping keys are a superset of the
+    window key, so the exchange is REUSED — one shuffle end-to-end is
+    the scale claim (SCALING.md r7)."""
+    df = E.q_interval_islands(spark, sf_dir)
+    assert P.count_shuffles(df) == 1
+    assert not P.has_cartesian(df)
+
+
+def test_r7_dict_encode_broadcasts_dictionary(spark, sf_dir):
+    df = E.q_dict_encode(spark, sf_dir)
+    assert P.has_broadcast_join(df)
+    assert P.count_shuffles(df) <= 2  # distinct agg (+ dict ranking)
+    assert not P.has_cartesian(df)
+
+
+def test_r7_emb_covariance_no_self_join(spark, sf_dir):
+    """Covariance comes from ONE explode pass — a plan with a
+    vec_id×vec_id join (or cartesian) would be the O(n²d²) shape this
+    operator exists to avoid; the only joins are d-sized broadcasts."""
+    df = E.q_emb_covariance(spark, sf_dir)
+    assert not P.has_cartesian(df)
+    assert P.has_broadcast_join(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+
+
+def test_r7_rolling_beta_pushdown_and_single_shuffle(spark, sf_dir):
+    df = E.q_rolling_beta(spark, sf_dir)
+    assert P.count_shuffles(df) == 1
+    pushed = " ".join(P.pushed_filters(df))
+    assert "l_suppkey" in pushed
+
+
+def test_r7_winsorize_broadcasts_bounds(spark, sf_dir):
+    df = E.q_winsorize_prices(spark, sf_dir)
+    assert P.has_broadcast_join(df)
+    assert not P.has_cartesian(df)
+
+
+def test_r7_tpch_q3_pushdown_and_topk(spark, sf_dir):
+    df = E.q_shipping_priority(spark, sf_dir)
+    pushed = " ".join(P.pushed_filters(df))
+    assert "o_orderdate" in pushed and "l_shipdate" in pushed
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert P.has_broadcast_join(df)
