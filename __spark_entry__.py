@@ -6998,20 +6998,27 @@ def oracle_sql() -> dict[str, str]:
                        CAST(unnest(embedding) AS DOUBLE) AS v
                 FROM embeddings WHERE embedding IS NOT NULL
             ), pr AS (
+                -- per-term round(x*1e12)->int64: exact integer sums,
+                -- engine-portable (the rolling_corr scale discipline)
                 SELECT a.pos AS i, b.pos AS j,
-                       CAST(sum(CAST(a.v * b.v AS DECIMAL(38,18)))
-                            AS DOUBLE) AS sij
+                       sum(CAST(round(a.v * b.v * 1000000000000.0)
+                                AS BIGINT)) AS sij
                 FROM ex a JOIN ex b
                   ON a.vec_id = b.vec_id AND a.pos <= b.pos
                 GROUP BY 1, 2
             ), s AS (
                 SELECT pos,
-                       CAST(sum(CAST(v AS DECIMAL(38,18))) AS DOUBLE) AS sv,
+                       sum(CAST(round(v * 1000000000000.0) AS BIGINT))
+                           AS sv,
                        CAST(count(*) AS DOUBLE) AS n
                 FROM ex GROUP BY pos
             )
             SELECT p.i, p.j,
-                   (p.sij - si.sv * sj.sv / si.n) / (si.n - 1.0) AS cov
+                   (CAST(p.sij AS DOUBLE) / 1000000000000.0
+                    - (CAST(si.sv AS DOUBLE) / 1000000000000.0)
+                      * (CAST(sj.sv AS DOUBLE) / 1000000000000.0)
+                      / si.n)
+                   / (si.n - 1.0) AS cov
             FROM pr p
             JOIN s si ON si.pos = p.i
             JOIN s sj ON sj.pos = p.j

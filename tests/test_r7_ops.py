@@ -452,3 +452,27 @@ class TestQuantileNormalize:
         assert len(out) == 3
         nulls = [r for r in out if r.v is None]
         assert len(nulls) == 1 and nulls[0].v_qnorm is None
+
+
+def test_emb_covariance_arrow_catalyst_bit_parity(spark):
+    """The vectorized Arrow path and the Catalyst generator fallback
+    quantize per term to the same int64s, so their covariance outputs
+    must be BIT-identical (not merely close) — the dedup-module
+    dual-path contract."""
+    import numpy as np
+
+    from quanta_etl_spark.operators import similarity as S2
+
+    rng = np.random.default_rng(11)
+    mat = rng.normal(size=(60, 6))
+    # include exact-half quantization boundaries and negatives
+    mat[0, :] = 0.5e-12 * np.arange(1, 7)
+    rows = [(i, [float(v) for v in mat[i]]) for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "id long, embedding array<double>"
+    ).repartition(7)
+    a = {(r.i, r.j): r.cov
+         for r in S2.embedding_covariance(df, use_arrow=True).collect()}
+    c = {(r.i, r.j): r.cov
+         for r in S2.embedding_covariance(df, use_arrow=False).collect()}
+    assert a == c
