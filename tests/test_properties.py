@@ -260,3 +260,133 @@ def test_pagerank_mass_conserved_without_dangling(spark):
     )
     out = graph_ops.pagerank(edges, iterations=7).collect()
     assert abs(sum(r.rank for r in out) - 1.0) < 1e-12
+
+
+# --- round-7 operator invariants ---
+
+
+def test_merge_intervals_covers_same_point_set(spark):
+    """Islands cover exactly the union of input intervals: every
+    input start is inside some island, islands are disjoint and
+    non-touching, and total island length >= any single interval."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for k in range(4):
+        for _ in range(40):
+            s = rng.randrange(0, 1000)
+            rows.append((k, s, s + rng.randrange(1, 60)))
+    df = spark.createDataFrame(rows, "k long, s long, e long")
+    islands = win_ops.merge_intervals(df, ["k"], "s", "e").collect()
+    per_key: dict = {}
+    for r in islands:
+        per_key.setdefault(r.k, []).append((r.island_start, r.island_end))
+    for k, isl in per_key.items():
+        isl.sort()
+        # disjoint and non-touching (touching would have merged)
+        for (s1, e1), (s2, e2) in zip(isl, isl[1:]):
+            assert e1 < s2, (k, (s1, e1), (s2, e2))
+        # exact cover: union of inputs == union of islands
+        pts = set()
+        for kk, s, e in rows:
+            if kk == k:
+                pts.update(range(s, e))
+        ipts = set()
+        for s, e in isl:
+            ipts.update(range(s, e))
+        assert pts == ipts, k
+    # island count + gaps are consistent duals
+    gaps = win_ops.interval_gaps(df, ["k"], "s", "e").collect()
+    n_gaps: dict = {}
+    for r in gaps:
+        n_gaps[r.k] = n_gaps.get(r.k, 0) + 1
+    for k, isl in per_key.items():
+        assert n_gaps.get(k, 0) == len(isl) - 1
+
+
+def test_winsorize_bounds_interior_and_order(spark):
+    """Winsorize invariants: output lies within [p_lo, p_hi], interior
+    values pass through UNCHANGED, and clipping preserves order.
+    (Exact idempotence does NOT hold under interpolated quantiles —
+    clamped boundary mass shifts the interpolation on a second pass —
+    so it is deliberately not asserted.)"""
+    import random
+
+    from quanta_etl_spark.operators import quality as Q
+
+    rng = random.Random(13)
+    rows = [("g", rng.gauss(0, 100)) for _ in range(500)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    once = Q.winsorize(df, ["g"], "v", lower=0.1, upper=0.9)
+    got = sorted((r.v, r.v_winsorized) for r in once.collect())
+    ws = [w for _, w in got]
+    lo, hi = min(ws), max(ws)
+    n_clipped = 0
+    for v, w in got:
+        assert lo <= w <= hi
+        if lo < v < hi:
+            assert w == v  # interior untouched
+        else:
+            n_clipped += 1
+    assert 0 < n_clipped < len(got)  # both tails actually clipped
+    # order preserving: v1 <= v2 => w1 <= w2
+    for (v1, w1), (v2, w2) in zip(got, got[1:]):
+        assert w1 <= w2
+
+
+def test_quantile_normalize_pooled_identity(spark):
+    """Normalizing a SINGLE group onto its own pooled distribution is
+    the identity at every grid point (rank p maps to the pooled
+    quantile at p, which is the value itself when the pool IS the
+    group) — up to grid interpolation, which is exact when group size
+    matches the grid."""
+    from quanta_etl_spark.operators import quality as Q
+
+    rows = [("g", float(v)) for v in range(101)]  # 0..100, grid=100
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = Q.quantile_normalize(df, ["g"], "v", grid=100).collect()
+    for r in out:
+        assert abs(r.v_qnorm - r.v) < 1e-9, r
+
+
+def test_mode_by_majority_invariant(spark):
+    """Whatever value holds a strict majority in a group IS the mode,
+    under any partitioning."""
+    import random
+
+    from quanta_etl_spark.operators import aggregates as A
+
+    rng = random.Random(3)
+    rows = [("g", "maj")] * 60 + [
+        ("g", f"m{rng.randrange(20)}") for _ in range(40)
+    ]
+    df = spark.createDataFrame(rows, "g string, v string").repartition(11)
+    got = A.mode_by(df, ["g"], "v").collect()
+    assert [(r.g, r.mode_value, r.n) for r in got] == [("g", "maj", 60)]
+
+
+def test_kcore_is_subgraph_fixpoint(spark):
+    """Every node in the reported k-core has degree >= k WITHIN the
+    core (fixpoint property), for a random graph."""
+    import random
+
+    from quanta_etl_spark.operators import graph as G
+
+    rng = random.Random(5)
+    edges = list({
+        (min(a, b), max(a, b))
+        for a, b in (
+            (rng.randrange(30), rng.randrange(30)) for _ in range(120)
+        )
+        if a != b
+    })
+    df = spark.createDataFrame(edges, "src long, dst long")
+    core = {r.node: r.deg for r in G.k_core(df, k=3, max_peels=12).collect()}
+    # recompute degrees inside the reported core
+    for n0, d0 in core.items():
+        d = sum(
+            1 for a, b in edges
+            if (a == n0 and b in core) or (b == n0 and a in core)
+        )
+        assert d == d0 and d >= 3, (n0, d, d0)
