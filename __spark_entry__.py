@@ -3157,6 +3157,98 @@ def q_funnel_windowed(spark: SparkSession, sf: str) -> DataFrame:
     ).select("step_index", "step_name", "users")
 
 
+def q_survival_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """Kaplan-Meier time-to-conversion (events.kaplan_meier): per-user
+    signup → first-purchase duration in exact microseconds,
+    right-censored at the corpus max timestamp; risk sets and event
+    counts are exact integers, survival accumulates in log space with
+    decimal per-term rounding (summation-order independent)."""
+    ev = load_table(spark, sf, "events")
+    ts = F.col("ts").cast("timestamp")
+    su = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(ts).alias("t0"))
+    )
+    pu = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .where(ts >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min(ts).alias("tp"))
+    )
+    mx = ev.agg(F.max(ts).alias("tmax"))
+    subjects = (
+        su.join(pu, "user_id", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            F.coalesce(
+                F.unix_micros(F.col("tp").cast("timestamp")),
+                F.unix_micros(F.col("tmax").cast("timestamp")),
+            ).alias("__end"),
+            F.unix_micros(F.col("t0").cast("timestamp")).alias("__t0"),
+            F.col("tp").isNotNull().alias("ev"),
+        )
+        .select(
+            "user_id",
+            (F.col("__end") - F.col("__t0")).alias("dur"),
+            "ev",
+        )
+    )
+    out = event_ops.kaplan_meier(subjects, "dur", "ev")
+    return out.select(
+        "t",
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "log_survival",
+        "survival",
+    )
+
+
+def q_score_auc(spark: SparkSession, sf: str) -> DataFrame:
+    """Rank-sum (Mann-Whitney) ROC AUC of discount as a
+    returned-line-flag predictor (aggregates.score_auc): exact
+    integer arithmetic with average ranks for the heavily tied score
+    until one final division — a one-row metric over 60k+ rows."""
+    li = load_table(spark, sf, "lineitem")
+    return agg_ops.score_auc(
+        li, "l_discount", F.col("l_returnflag") == "R"
+    )
+
+
+def q_calibration_bins(spark: SparkSession, sf: str) -> DataFrame:
+    """Reliability-diagram deciles (aggregates.calibration_bins):
+    order totalprice into 10 equal-count bins (ntile over a total
+    order with key tiebreak) and report exact-decimal mean score and
+    the urgent-priority rate per bin."""
+    o = load_table(spark, sf, "orders")
+    return agg_ops.calibration_bins(
+        o,
+        "o_totalprice",
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+        bins=10,
+        tiebreak_cols=["o_orderkey"],
+    )
+
+
+def q_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Population Stability Index of extended price, 1995 shipments
+    (baseline) vs 1998 (current) — buckets are the baseline's exact
+    inner deciles via exact_quantile_grid, PSI terms decimal-summed
+    (aggregates.psi_drift)."""
+    li = load_table(spark, sf, "lineitem")
+    base = li.where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    cur = li.where(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    return agg_ops.psi_drift(base, cur, "l_extendedprice", bins=10)
+
+
 def q_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q3 shape (shipping priority): BUILDING-segment orders
     placed before the cut whose lines ship after it, ranked by
@@ -3508,6 +3600,10 @@ def queries() -> dict[str, QueryFn]:
         "quantile_normalize": q_quantile_normalize,
         "shipping_priority": q_shipping_priority,
         "returned_items": q_returned_items,
+        "survival_curve": q_survival_curve,
+        "score_auc": q_score_auc,
+        "calibration_bins": q_calibration_bins,
+        "psi_drift": q_psi_drift,
     }
 
 
@@ -7174,6 +7270,167 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
             ORDER BY revenue DESC, c_custkey ASC
             LIMIT 20
+        """,
+        "survival_curve": """
+            WITH su AS (
+                SELECT user_id, min(ts) AS t0 FROM events
+                WHERE event_type = 'signup' GROUP BY user_id
+            ), pu AS (
+                SELECT e.user_id, min(e.ts) AS tp
+                FROM events e JOIN su USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts >= su.t0
+                GROUP BY e.user_id
+            ), mx AS (
+                SELECT max(ts) AS tmax FROM events
+            ), subj AS (
+                SELECT su.user_id,
+                       COALESCE(epoch_us(pu.tp), epoch_us(mx.tmax))
+                           - epoch_us(su.t0) AS dur,
+                       pu.tp IS NOT NULL AS ev
+                FROM su LEFT JOIN pu USING (user_id) CROSS JOIN mx
+            ), per AS (
+                SELECT dur AS t, count(*) AS c_all,
+                       CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END)
+                            AS BIGINT) AS d
+                FROM subj GROUP BY dur
+            ), cum AS (
+                SELECT t, c_all, d,
+                       CAST((SELECT count(*) FROM subj)
+                            - COALESCE(sum(c_all) OVER (ORDER BY t
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+                FROM per
+            ), logd AS (
+                SELECT t, n_risk, d,
+                       CASE WHEN d > 0 AND n_risk > d
+                            THEN CAST(ln(CAST(n_risk - d AS DOUBLE)
+                                         / CAST(n_risk AS DOUBLE))
+                                      AS DECIMAL(28,12))
+                            ELSE CAST(0 AS DECIMAL(28,12)) END AS term,
+                       CASE WHEN n_risk = d THEN 1 ELSE 0 END AS z
+                FROM cum
+            ), curve AS (
+                SELECT t, n_risk, d,
+                       CASE WHEN CAST(sum(z) OVER w AS BIGINT) = 0
+                            THEN CAST(sum(term) OVER w AS DOUBLE)
+                       END AS log_survival
+                FROM logd
+                WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW)
+            )
+            SELECT t, n_risk, d AS n_events, log_survival,
+                   COALESCE(exp(log_survival), 0.0) AS survival
+            FROM curve WHERE d > 0
+        """,
+        "score_auc": """
+            WITH rows AS (
+                SELECT l_discount AS s,
+                       CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+                FROM lineitem WHERE l_discount IS NOT NULL
+            ), per AS (
+                SELECT s, count(*) AS c,
+                       CAST(sum(y) AS BIGINT) AS p
+                FROM rows GROUP BY s
+            ), r AS (
+                SELECT s, c, p,
+                       CAST(COALESCE(sum(c) OVER (ORDER BY s
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS BIGINT) AS bef
+                FROM per
+            ), agg AS (
+                SELECT CAST(sum(p * (2 * (bef + 1) + (c - 1)))
+                            AS BIGINT) AS rs2,
+                       CAST(sum(p) AS BIGINT) AS np,
+                       CAST(sum(c - p) AS BIGINT) AS nn
+                FROM r
+            )
+            SELECT CASE WHEN np > 0 AND nn > 0 THEN
+                       (CAST(rs2 AS DOUBLE) / 2.0
+                        - CAST(np * (np + 1) AS DOUBLE) / 2.0)
+                       / CAST(np * nn AS DOUBLE)
+                   END AS auc,
+                   np AS n_pos, nn AS n_neg
+            FROM agg
+        """,
+        "calibration_bins": """
+            WITH rows AS (
+                SELECT o_totalprice AS s,
+                       CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END AS y,
+                       o_orderkey AS k
+                FROM orders WHERE o_totalprice IS NOT NULL
+            ), b AS (
+                SELECT s, y,
+                       CAST(ntile(10) OVER (ORDER BY s, k) AS INT) AS bin
+                FROM rows
+            )
+            SELECT bin, count(*) AS n,
+                   CAST(sum(CAST(s AS DECIMAL(30,6))) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS mean_score,
+                   CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                       AS frac_positive
+            FROM b GROUP BY bin
+        """,
+        "psi_drift": """
+            WITH base AS (
+                SELECT l_extendedprice AS v FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-01-01'
+                  AND l_extendedprice IS NOT NULL
+            ), cur AS (
+                SELECT l_extendedprice AS v FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+                  AND l_shipdate < TIMESTAMP '1999-01-01'
+                  AND l_extendedprice IS NOT NULL
+            ), g AS (
+                SELECT quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS gr FROM base
+            ), nb AS (
+                SELECT CAST(length(list_filter(g.gr, x -> b.v > x))
+                            AS INT) AS bucket,
+                       count(*) AS n_base
+                FROM base b, g GROUP BY 1
+            ), nc AS (
+                SELECT CAST(length(list_filter(g.gr, x -> c.v > x))
+                            AS INT) AS bucket,
+                       count(*) AS n_current
+                FROM cur c, g GROUP BY 1
+            ), j AS (
+                SELECT COALESCE(nb.bucket, nc.bucket) AS bucket,
+                       COALESCE(n_base, 0) AS n_base,
+                       COALESCE(n_current, 0) AS n_current
+                FROM nb FULL JOIN nc ON nb.bucket = nc.bucket
+            ), t AS (
+                SELECT bucket, n_base, n_current,
+                       CAST(sum(n_base) OVER () AS BIGINT) AS tb,
+                       CAST(sum(n_current) OVER () AS BIGINT) AS tc
+                FROM j
+            ), per AS (
+                SELECT bucket, n_base, n_current,
+                       CAST(n_base AS DOUBLE) / CAST(tb AS DOUBLE)
+                           AS frac_base,
+                       CAST(n_current AS DOUBLE) / CAST(tc AS DOUBLE)
+                           AS frac_current,
+                       CASE WHEN n_base > 0 AND n_current > 0 THEN
+                           (CAST(n_base AS DOUBLE) / CAST(tb AS DOUBLE)
+                            - CAST(n_current AS DOUBLE)
+                              / CAST(tc AS DOUBLE))
+                           * ln((CAST(n_base AS DOUBLE)
+                                 / CAST(tb AS DOUBLE))
+                                / (CAST(n_current AS DOUBLE)
+                                   / CAST(tc AS DOUBLE)))
+                       END AS psi_term
+                FROM t
+            )
+            SELECT bucket, n_base, n_current, frac_base, frac_current,
+                   psi_term
+            FROM per
+            UNION ALL
+            SELECT -1, CAST(sum(n_base) AS BIGINT),
+                   CAST(sum(n_current) AS BIGINT),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   CAST(sum(CAST(psi_term AS DECIMAL(28,12)))
+                        AS DOUBLE)
+            FROM per
         """,
         "holt_winters": _holt_winters_oracle(
             m=7, alpha=0.5, beta=0.3, gamma=0.2, horizon=14

@@ -699,3 +699,199 @@ def mode_by(
             *group_cols, F.col(value_col).alias("mode_value"), "n"
         )
     )
+
+
+def score_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str | Column,
+) -> DataFrame:
+    """ROC AUC of a score against a binary label via the rank-sum
+    (Mann-Whitney U) identity — the threshold-free ranking metric of
+    every model-eval pipeline, computed exactly without materializing
+    a single ROC point.
+
+    AUC = (Σ avg-ranks(positives) − P(P+1)/2) / (P·N). Tied scores get
+    the AVERAGE rank, computed from integers only: for a distinct
+    score with ``c`` rows starting at min-rank ``r``, avg = r +
+    (c−1)/2 — so the whole computation is exact integer arithmetic
+    until one final division (engine-portable by construction; no
+    float accumulation anywhere).
+
+    Shape: rows collapse to one row per DISTINCT score first (hash
+    agg, map-side combine); the rank cumsum runs over the distinct
+    frame only. Returns one row (auc, n_pos, n_neg). NULL scores or
+    labels are excluded. AUC is NULL when either class is empty.
+    """
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    rows = df.where(
+        F.col(score_col).isNotNull() & lab.isNotNull()
+    ).select(
+        F.col(score_col).alias("__s"),
+        lab.cast("boolean").cast("int").alias("__y"),
+    )
+    per_s = rows.groupBy("__s").agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.sum("__y").alias("__p"),
+    )
+    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_s.withColumn(
+        "__before", F.coalesce(F.sum("__c").over(w), F.lit(0))
+    )
+    # positives at this score contribute p * (minrank + (c-1)/2),
+    # with minrank = before + 1; keep 2x everything to stay integral
+    two_rank_sum = F.sum(
+        F.col("__p") * (2 * (F.col("__before") + 1) + (F.col("__c") - 1))
+    ).alias("__2rs")
+    agg = ranked.agg(
+        two_rank_sum,
+        F.sum("__p").alias("n_pos"),
+        F.sum(F.col("__c") - F.col("__p")).alias("n_neg"),
+    )
+    p, n = F.col("n_pos"), F.col("n_neg")
+    auc = F.when(
+        (p > 0) & (n > 0),
+        (
+            F.col("__2rs").cast("double") / F.lit(2.0)
+            - (p * (p + 1)).cast("double") / F.lit(2.0)
+        )
+        / (p * n).cast("double"),
+    )
+    return agg.select(
+        auc.alias("auc"),
+        p.cast("long").alias("n_pos"),
+        n.cast("long").alias("n_neg"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str | Column,
+    bins: int = 10,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Reliability-diagram bins: rank rows into ``bins`` equal-count
+    score buckets (ntile over a TOTAL order — tiebreaks make the
+    assignment engine-deterministic) and report each bucket's size,
+    exact-decimal mean score, and positive rate — calibration drift
+    at a glance.
+
+    One window shuffle (the global ntile sort — at real scale swap
+    ntile for bucketing on precomputed score quantiles) plus one
+    map-side-combinable aggregation. Returns (bin, n, mean_score,
+    frac_positive) with exact decimal score sums and integer counts.
+    """
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    rows = df.where(
+        F.col(score_col).isNotNull() & lab.isNotNull()
+    ).select(
+        F.col(score_col).alias("__s"),
+        lab.cast("boolean").cast("int").alias("__y"),
+        *[F.col(c) for c in tiebreak_cols],
+    )
+    w = Window.orderBy(
+        F.col("__s"), *[F.col(c) for c in tiebreak_cols]
+    )
+    binned = rows.withColumn("bin", F.ntile(bins).over(w))
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.col("__s").cast("decimal(30,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_score"),
+            (
+                F.sum("__y").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("frac_positive"),
+        )
+        .orderBy("bin")
+    )
+
+
+def psi_drift(
+    base: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between a baseline and a current
+    sample of one numeric column — the standard model-input drift
+    alarm (PSI < 0.1 stable, 0.1–0.25 moderate, > 0.25 shifted).
+
+    Buckets are the BASELINE's exact inner quantiles (via
+    ``quality.exact_quantile_grid`` — distinct-counts selection, not
+    the O(distinct×fracs) Percentile agg), broadcast as one array;
+    each side buckets by counting boundaries below the value (an
+    ``aggregate`` fold over the tiny bounds array — pure comparisons,
+    no float arithmetic). Per-bucket PSI terms (pa−pb)·ln(pa/pb) use
+    exact-integer-ratio doubles and sum through per-term
+    decimal(28,12) rounding, so the total is independent of summation
+    order. Empty buckets on either side contribute NULL terms and are
+    excluded from the total (documented caveat; use fewer bins if a
+    side is tiny).
+
+    Returns per-bucket rows PLUS a total row (bucket = -1):
+    (bucket, n_base, n_current, frac_base, frac_current, psi_term).
+    """
+    from quanta_etl_spark.operators.quality import exact_quantile_grid
+
+    fracs = [i / bins for i in range(1, bins)]
+    bounds = exact_quantile_grid(base, value_col, fracs)
+
+    def bucketed(df: DataFrame, name: str) -> DataFrame:
+        v = F.col(value_col)
+        b = df.where(v.isNotNull()).crossJoin(F.broadcast(bounds))
+        bucket = F.aggregate(
+            "__grid",
+            F.lit(0),
+            lambda acc, bound: acc
+            + F.when(v > bound, 1).otherwise(0),
+        )
+        return (
+            b.withColumn("bucket", bucket)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    nb = bucketed(base, "n_base")
+    nc = bucketed(current, "n_current")
+    tot_b = F.sum("n_base").over(Window.partitionBy())
+    tot_c = F.sum("n_current").over(Window.partitionBy())
+    j = (
+        nb.join(nc, "bucket", "full")
+        .select(
+            "bucket",
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            F.coalesce("n_current", F.lit(0)).alias("n_current"),
+        )
+        .withColumn("__tb", tot_b)
+        .withColumn("__tc", tot_c)
+    )
+    pa = F.col("n_base").cast("double") / F.col("__tb").cast("double")
+    pb = F.col("n_current").cast("double") / F.col("__tc").cast("double")
+    term = F.when(
+        (F.col("n_base") > 0) & (F.col("n_current") > 0),
+        (pa - pb) * F.log(pa / pb),
+    )
+    per = j.select(
+        "bucket",
+        "n_base",
+        "n_current",
+        pa.alias("frac_base"),
+        pb.alias("frac_current"),
+        term.alias("psi_term"),
+    )
+    total = per.agg(
+        F.lit(-1).alias("bucket"),
+        F.sum("n_base").alias("n_base"),
+        F.sum("n_current").alias("n_current"),
+        F.lit(None).cast("double").alias("frac_base"),
+        F.lit(None).cast("double").alias("frac_current"),
+        F.sum(F.col("psi_term").cast("decimal(28,12)"))
+        .cast("double")
+        .alias("psi_term"),
+    )
+    return per.unionByName(total)

@@ -783,3 +783,86 @@ def sliding_active_users(
             .alias("stickiness"),
         )
     )
+
+
+def kaplan_meier(
+    subjects: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan-Meier survival curve over right-censored durations: one
+    row per distinct EVENT time t with the risk-set size, event count,
+    and the product-limit survival estimate S(t) = Π_{s≤t}
+    (1 − d_s/n_s) — the time-to-event summary behind churn /
+    conversion-lag analysis. ``subjects`` has one row per subject:
+    ``duration_col`` (numeric time-to-event-or-censoring) and
+    ``event_col`` (true = event observed, false = censored).
+
+    Shape: subjects collapse to one row per (duration, any-event)
+    grain immediately (hash agg, map-side combinable), so every
+    window below runs over DISTINCT TIMES, not subjects. n_risk(t) =
+    N − (subjects strictly before t) via one cumulative count;
+    survival accumulates in LOG space with per-term
+    decimal(28,12) rounding — ln((n−d)/n) is an exact-integer-ratio
+    double (engine-portable), the decimal cumsum is associative (no
+    float-ordering dependence between engines' window-sum
+    implementations), and one exp at the end restores S(t).
+
+    Returns (t, n_risk, n_events, log_survival, survival), event
+    times only, ascending.
+    """
+    per_t = (
+        subjects.groupBy(F.col(duration_col).alias("t"))
+        .agg(
+            F.count(F.lit(1)).alias("__c_all"),
+            F.sum(
+                F.when(F.col(event_col).cast("boolean"), 1).otherwise(0)
+            ).alias("n_events"),
+        )
+    )
+    w_all = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    # total N enters as a broadcast 1-row aggregate — no driver
+    # round-trip, fully lazy (the TF-IDF corpus-size idiom).
+    n_total = subjects.agg(F.count(F.lit(1)).alias("__N"))
+    # single-partition windows over the DISTINCT-times frame only —
+    # curve cardinality, not data cardinality (range-partition a
+    # two-phase cumsum beyond ~1e7 distinct times)
+    curve = per_t.crossJoin(F.broadcast(n_total)).withColumn(
+        "n_risk",
+        F.col("__N") - F.coalesce(F.sum("__c_all").over(w_all), F.lit(0)),
+    )
+    # a time where the whole remaining risk set has events zeroes the
+    # product permanently: ln(0) = −inf has no decimal form, so track
+    # it as a flag instead of a term (survival 0, log_survival NULL)
+    term = F.when(
+        (F.col("n_events") > 0) & (F.col("n_risk") > F.col("n_events")),
+        F.log(
+            (F.col("n_risk") - F.col("n_events")).cast("double")
+            / F.col("n_risk").cast("double")
+        ).cast("decimal(28,12)"),
+    ).otherwise(F.lit(0).cast("decimal(28,12)"))
+    zeroed = F.sum(
+        F.when(F.col("n_risk") == F.col("n_events"), 1).otherwise(0)
+    ).over(w_cum)
+    curve = curve.withColumn(
+        "log_survival",
+        F.when(zeroed == 0, F.sum(term).over(w_cum).cast("double")),
+    )
+    return (
+        curve.where(F.col("n_events") > 0)
+        .select(
+            "t",
+            "n_risk",
+            "n_events",
+            "log_survival",
+            F.coalesce(F.exp("log_survival"), F.lit(0.0)).alias(
+                "survival"
+            ),
+        )
+        .orderBy("t")
+    )

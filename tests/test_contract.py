@@ -136,6 +136,8 @@ def test_r7_gate_window_composition():
         "funnel_windowed", "attribution_position", "holt_winters",
         "active_users_sliding", "quantile_normalize",
         "shipping_priority", "returned_items",
+        "survival_curve", "score_auc", "calibration_bins",
+        "psi_drift",
     }
     never = [n for n in names if n not in gated and n not in r7_new]
     # every never-gated pre-r7 query must be inside the window

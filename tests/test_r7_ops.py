@@ -476,3 +476,105 @@ def test_emb_covariance_arrow_catalyst_bit_parity(spark):
     c = {(r.i, r.j): r.cov
          for r in S2.embedding_covariance(df, use_arrow=False).collect()}
     assert a == c
+
+
+class TestKaplanMeier:
+    def test_textbook_curve(self, spark):
+        from quanta_etl_spark.operators import events as E8
+
+        subs = spark.createDataFrame(
+            [(6, True), (6, True), (6, False), (7, True), (10, False),
+             (13, True), (16, False), (22, True), (23, True)],
+            "dur long, ev boolean",
+        )
+        got = E8.kaplan_meier(subs, "dur", "ev").collect()
+        # classic Kleinbaum example: S(6)=7/9, S(7)=S(6)*5/6, ...
+        want = {6: 7 / 9, 7: 7 / 9 * 5 / 6, 13: 7 / 9 * 5 / 6 * 3 / 4,
+                22: 7 / 9 * 5 / 6 * 3 / 4 * 1 / 2, 23: 0.0}
+        for r in got:
+            assert abs(r.survival - want[r.t]) < 1e-9, r
+        # wiped-out final risk set: survival 0, log undefined
+        last = [r for r in got if r.t == 23][0]
+        assert last.survival == 0.0 and last.log_survival is None
+        # censored-only times never appear
+        assert {r.t for r in got} == set(want)
+
+    def test_no_censoring_matches_empirical(self, spark):
+        from quanta_etl_spark.operators import events as E9
+
+        subs = spark.createDataFrame(
+            [(t, True) for t in [1, 2, 2, 3, 5]], "dur long, ev boolean"
+        )
+        got = {r.t: r.survival for r in
+               E9.kaplan_meier(subs, "dur", "ev").collect()}
+        # without censoring KM equals the empirical survivor function
+        assert abs(got[1] - 4 / 5) < 1e-12
+        assert abs(got[2] - 2 / 5) < 1e-12
+        assert abs(got[3] - 1 / 5) < 1e-12
+        assert got[5] == 0.0
+
+
+class TestScoreAuc:
+    def test_perfect_reversed_and_tied(self, spark):
+        from quanta_etl_spark.operators import aggregates as A2
+
+        perfect = spark.createDataFrame(
+            [(0.1, 0), (0.2, 0), (0.8, 1), (0.9, 1)], "s double, y int"
+        )
+        assert A2.score_auc(perfect, "s", "y").collect()[0].auc == 1.0
+        reverse = spark.createDataFrame(
+            [(0.9, 0), (0.8, 0), (0.2, 1), (0.1, 1)], "s double, y int"
+        )
+        assert A2.score_auc(reverse, "s", "y").collect()[0].auc == 0.0
+        tied = spark.createDataFrame(
+            [(0.5, 0), (0.5, 1)] * 5, "s double, y int"
+        )
+        assert A2.score_auc(tied, "s", "y").collect()[0].auc == 0.5
+
+    def test_matches_pair_counting(self, spark):
+        import random
+
+        from quanta_etl_spark.operators import aggregates as A3
+
+        rng = random.Random(17)
+        rows = [(round(rng.random(), 2), rng.randrange(2)) for _ in range(80)]
+        df = spark.createDataFrame(rows, "s double, y int")
+        got = A3.score_auc(df, "s", "y").collect()[0]
+        pos = [s for s, y in rows if y == 1]
+        neg = [s for s, y in rows if y == 0]
+        wins = sum(
+            1.0 if p > q else (0.5 if p == q else 0.0)
+            for p in pos for q in neg
+        )
+        assert abs(got.auc - wins / (len(pos) * len(neg))) < 1e-12
+        # single-class input -> NULL, not a crash or a fake 0.5
+        one = spark.createDataFrame([(0.3, 1), (0.7, 1)], "s double, y int")
+        assert A3.score_auc(one, "s", "y").collect()[0].auc is None
+
+
+class TestPsiDrift:
+    def test_identical_distributions_zero(self, spark):
+        from quanta_etl_spark.operators import aggregates as A4
+
+        base = spark.createDataFrame(
+            [(float(v),) for v in range(500)], "v double"
+        )
+        total = A4.psi_drift(base, base, "v", bins=10).where(
+            F.col("bucket") == -1
+        ).collect()[0]
+        assert total.psi_term == 0.0
+        assert total.n_base == total.n_current == 500
+
+    def test_shift_raises_psi(self, spark):
+        from quanta_etl_spark.operators import aggregates as A5
+
+        base = spark.createDataFrame(
+            [(float(v),) for v in range(500)], "v double"
+        )
+        cur = spark.createDataFrame(
+            [(float(v) + 150,) for v in range(500)], "v double"
+        )
+        total = A5.psi_drift(base, cur, "v", bins=10).where(
+            F.col("bucket") == -1
+        ).collect()[0]
+        assert total.psi_term > 0.25  # a 30% shift is a "shifted" alarm
