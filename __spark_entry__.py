@@ -3157,6 +3157,58 @@ def q_funnel_windowed(spark: SparkSession, sf: str) -> DataFrame:
     ).select("step_index", "step_name", "users")
 
 
+def q_revenue_acf(spark: SparkSession, sf: str) -> DataFrame:
+    """Autocorrelation function of daily event revenue, lags 0-7
+    (resample.cross_correlation with x ≡ y): calendar-sized lag
+    self-join, power sums per-term decimal(38,6)-rounded so every
+    decimal→double conversion is single-step exact."""
+    ev = load_table(spark, sf, "events")
+    return resample_ops.cross_correlation(
+        ev, "ts", F.col("value"), F.col("value"), max_lag=7
+    )
+
+
+def q_click_purchase_xcorr(spark: SparkSession, sf: str) -> DataFrame:
+    """Lead-lag discovery (resample.cross_correlation): daily click
+    VOLUME against purchase REVENUE shifted 0-5 days forward — 'do
+    clicks lead purchases'."""
+    ev = load_table(spark, sf, "events")
+    clicks = F.when(F.col("event_type") == "click", 1.0).otherwise(0.0)
+    purch = F.when(
+        F.col("event_type") == "purchase", F.col("value")
+    ).otherwise(0.0)
+    return resample_ops.cross_correlation(
+        ev, "ts", clicks, purch, max_lag=5
+    )
+
+
+def q_outlier_ensemble(spark: SparkSession, sf: str) -> DataFrame:
+    """Three-detector outlier vote per return flag (quality.
+    outlier_ensemble): Tukey IQR + MAD modified z-score + extreme
+    percentiles — all order-statistic based (no moment sums, no
+    decimal→double hazard), two group-sized aggregations broadcast
+    back."""
+    li = load_table(spark, sf, "lineitem")
+    out = quality_ops.outlier_ensemble(
+        li.select("l_orderkey", "l_linenumber", "l_returnflag",
+                  "l_extendedprice"),
+        ["l_returnflag"],
+        "l_extendedprice",
+        id_cols=["l_orderkey", "l_linenumber"],
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "value",
+        "flag_iqr",
+        "flag_mad",
+        "flag_extreme",
+        F.col("votes").cast("int").alias("votes"),
+        "is_outlier",
+    )
+
+
 def q_survival_curve(spark: SparkSession, sf: str) -> DataFrame:
     """Kaplan-Meier time-to-conversion (events.kaplan_meier): per-user
     signup → first-purchase duration in exact microseconds,
@@ -3604,6 +3656,9 @@ def queries() -> dict[str, QueryFn]:
         "score_auc": q_score_auc,
         "calibration_bins": q_calibration_bins,
         "psi_drift": q_psi_drift,
+        "revenue_acf": q_revenue_acf,
+        "click_purchase_xcorr": q_click_purchase_xcorr,
+        "outlier_ensemble": q_outlier_ensemble,
     }
 
 
@@ -7431,6 +7486,138 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(psi_term AS DECIMAL(28,12)))
                         AS DOUBLE)
             FROM per
+        """,
+        "revenue_acf": """
+            WITH d AS MATERIALIZED (
+                SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS dd,
+                       CAST(sum(CAST(value AS DECIMAL(30,6)))
+                            AS DOUBLE) / 10000.0 AS x,
+                       CAST(sum(CAST(value AS DECIMAL(30,6)))
+                            AS DOUBLE) / 10000.0 AS y
+                FROM events GROUP BY 1
+            ), lags AS (
+                SELECT unnest(generate_series(0, 7)) AS lag
+            ), paired AS (
+                SELECT l.lag, a.x AS xx, b.y AS yy
+                FROM d a CROSS JOIN lags l
+                JOIN d b ON b.dd = a.dd + l.lag * INTERVAL 1 DAY
+            ), agg AS (
+                SELECT lag, count(*) AS n,
+                       CAST(sum(CAST(round(xx * 1000000.0) AS BIGINT))
+                            AS DOUBLE) / 1000000.0 AS sx,
+                       CAST(sum(CAST(round(yy * 1000000.0) AS BIGINT))
+                            AS DOUBLE) / 1000000.0 AS sy,
+                       CAST(sum(CAST(round(xx * yy * 1000000.0)
+                                     AS BIGINT))
+                            AS DOUBLE) / 1000000.0 AS sxy,
+                       CAST(sum(CAST(round(xx * xx * 1000000.0)
+                                     AS BIGINT))
+                            AS DOUBLE) / 1000000.0 AS sxx,
+                       CAST(sum(CAST(round(yy * yy * 1000000.0)
+                                     AS BIGINT))
+                            AS DOUBLE) / 1000000.0 AS syy
+                FROM paired GROUP BY lag
+            ), c AS (
+                SELECT lag, n,
+                       CAST(n AS DOUBLE) AS nd, sx, sy, sxy, sxx, syy
+                FROM agg
+            )
+            SELECT CAST(lag AS INT) AS lag, n,
+                   CASE WHEN n >= 3
+                             AND sxx / nd - (sx / nd) * (sx / nd) > 0
+                             AND syy / nd - (sy / nd) * (sy / nd) > 0
+                        THEN (sxy / nd - (sx / nd) * (sy / nd))
+                             / sqrt((sxx / nd - (sx / nd) * (sx / nd))
+                                    * (syy / nd - (sy / nd) * (sy / nd)))
+                   END AS corr
+            FROM c
+        """,
+        "click_purchase_xcorr": """
+            WITH d AS MATERIALIZED (
+                SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS dd,
+                       CAST(sum(CAST(CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END AS DECIMAL(30,6)))
+                            AS DOUBLE) / 10000.0 AS x,
+                       CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS DECIMAL(30,6)))
+                            AS DOUBLE) / 10000.0 AS y
+                FROM events GROUP BY 1
+            ), lags AS (
+                SELECT unnest(generate_series(0, 5)) AS lag
+            ), paired AS (
+                SELECT l.lag, a.x AS xx, b.y AS yy
+                FROM d a CROSS JOIN lags l
+                JOIN d b ON b.dd = a.dd + l.lag * INTERVAL 1 DAY
+            ), agg AS (
+                SELECT lag, count(*) AS n,
+                       CAST(sum(CAST(round(xx * 1000000.0) AS BIGINT))
+                            AS DOUBLE) / 1000000.0 AS sx,
+                       CAST(sum(CAST(round(yy * 1000000.0) AS BIGINT))
+                            AS DOUBLE) / 1000000.0 AS sy,
+                       CAST(sum(CAST(round(xx * yy * 1000000.0)
+                                     AS BIGINT))
+                            AS DOUBLE) / 1000000.0 AS sxy,
+                       CAST(sum(CAST(round(xx * xx * 1000000.0)
+                                     AS BIGINT))
+                            AS DOUBLE) / 1000000.0 AS sxx,
+                       CAST(sum(CAST(round(yy * yy * 1000000.0)
+                                     AS BIGINT))
+                            AS DOUBLE) / 1000000.0 AS syy
+                FROM paired GROUP BY lag
+            ), c AS (
+                SELECT lag, n,
+                       CAST(n AS DOUBLE) AS nd, sx, sy, sxy, sxx, syy
+                FROM agg
+            )
+            SELECT CAST(lag AS INT) AS lag, n,
+                   CASE WHEN n >= 3
+                             AND sxx / nd - (sx / nd) * (sx / nd) > 0
+                             AND syy / nd - (sy / nd) * (sy / nd) > 0
+                        THEN (sxy / nd - (sx / nd) * (sy / nd))
+                             / sqrt((sxx / nd - (sx / nd) * (sx / nd))
+                                    * (syy / nd - (sy / nd) * (sy / nd)))
+                   END AS corr
+            FROM c
+        """,
+        "outlier_ensemble": """
+            WITH s1 AS (
+                SELECT l_returnflag,
+                       quantile_cont(l_extendedprice, 0.25) AS q1,
+                       quantile_cont(l_extendedprice, 0.75) AS q3,
+                       quantile_cont(l_extendedprice, 0.5) AS med,
+                       quantile_cont(l_extendedprice, 0.005) AS plo,
+                       quantile_cont(l_extendedprice, 0.995) AS phi
+                FROM lineitem GROUP BY 1
+            ), wm AS (
+                SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+                       l.l_extendedprice AS v,
+                       s1.q1, s1.q3, s1.med, s1.plo, s1.phi
+                FROM lineitem l JOIN s1 USING (l_returnflag)
+            ), mad AS (
+                SELECT l_returnflag,
+                       quantile_cont(abs(v - med), 0.5) AS madv
+                FROM wm GROUP BY 1
+            ), f AS (
+                SELECT wm.l_orderkey, wm.l_linenumber, wm.l_returnflag,
+                       wm.v,
+                       (wm.v < wm.q1 - 1.5 * (wm.q3 - wm.q1))
+                       OR (wm.v > wm.q3 + 1.5 * (wm.q3 - wm.q1))
+                           AS flag_iqr,
+                       CASE WHEN mad.madv > 0
+                            THEN 0.6745 * abs(wm.v - wm.med) / mad.madv
+                                 > 3.5
+                            ELSE FALSE END AS flag_mad,
+                       (wm.v < wm.plo) OR (wm.v > wm.phi) AS flag_extreme
+                FROM wm JOIN mad USING (l_returnflag)
+            ), v AS (
+                SELECT l_orderkey, l_linenumber, l_returnflag,
+                       v AS value, flag_iqr, flag_mad, flag_extreme,
+                       CAST(flag_iqr AS INT) + CAST(flag_mad AS INT)
+                           + CAST(flag_extreme AS INT) AS votes
+                FROM f
+            )
+            SELECT l_orderkey, l_linenumber, l_returnflag, value,
+                   flag_iqr, flag_mad, flag_extreme, votes,
+                   votes >= 2 AS is_outlier
+            FROM v WHERE votes >= 1
         """,
         "holt_winters": _holt_winters_oracle(
             m=7, alpha=0.5, beta=0.3, gamma=0.2, horizon=14

@@ -695,3 +695,87 @@ def quantile_normalize(
     return with_p.withColumn(
         out_col, F.when(F.col("__p").isNotNull(), mapped)
     ).drop("__p", "__grid")
+
+
+def outlier_ensemble(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    iqr_k: float = 1.5,
+    mad_k: float = 3.5,
+    p_extreme: float = 0.005,
+    min_votes: int = 2,
+    id_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Ensemble outlier detection: three independent QUANTILE-BASED
+    detectors vote per row — IQR fences (Tukey), modified z-score on
+    the MAD, and extreme-percentile membership — and a row is an
+    outlier when ≥ ``min_votes`` agree. Ensembling damps each
+    detector's failure mode (IQR over-fires on skew, MAD dies when
+    >50% of a group is identical, raw percentiles fire on exactly
+    p_extreme of everything).
+
+    All three detectors derive from order statistics — medians,
+    quartiles, extreme percentiles — NEVER from moment sums, so
+    there is no large-sum decimal→double portability hazard and no
+    skew sensitivity; flags are pure comparisons. Two aggregation
+    passes (quartiles+median, then MAD = median of |x−med|), both
+    group-sized, broadcast back; rows stream through projections
+    otherwise.
+
+    Returns flagged rows only (votes ≥ 1): (ids..., groups...,
+    value, flag_iqr, flag_mad, flag_extreme, votes, is_outlier) —
+    ``id_cols`` pass through for row identity.
+    """
+    v = F.col(value_col)
+    g = list(group_cols)
+    stats1 = df.groupBy(*g).agg(
+        F.percentile(value_col, F.lit(0.25)).alias("__q1"),
+        F.percentile(value_col, F.lit(0.75)).alias("__q3"),
+        F.percentile(value_col, F.lit(0.5)).alias("__med"),
+        F.percentile(value_col, F.lit(p_extreme)).alias("__plo"),
+        F.percentile(value_col, F.lit(1 - p_extreme)).alias("__phi"),
+    )
+    with_med = df.join(F.broadcast(stats1), g)
+    mad = (
+        with_med.groupBy(*g)
+        .agg(
+            F.percentile(F.abs(v - F.col("__med")), F.lit(0.5)).alias(
+                "__mad"
+            )
+        )
+    )
+    j = with_med.join(F.broadcast(mad), g)
+    iqr = F.col("__q3") - F.col("__q1")
+    flag_iqr = (v < F.col("__q1") - F.lit(iqr_k) * iqr) | (
+        v > F.col("__q3") + F.lit(iqr_k) * iqr
+    )
+    # modified z-score: 0.6745·|x−med|/MAD (Iglewicz-Hoaglin); a zero
+    # MAD (majority-identical group) disables this detector rather
+    # than flagging everything
+    flag_mad = F.when(
+        F.col("__mad") > 0,
+        F.lit(0.6745) * F.abs(v - F.col("__med")) / F.col("__mad")
+        > F.lit(mad_k),
+    ).otherwise(F.lit(False))
+    flag_ext = (v < F.col("__plo")) | (v > F.col("__phi"))
+    votes = (
+        flag_iqr.cast("int") + flag_mad.cast("int") + flag_ext.cast("int")
+    )
+    return (
+        j.withColumn("flag_iqr", flag_iqr)
+        .withColumn("flag_mad", flag_mad)
+        .withColumn("flag_extreme", flag_ext)
+        .withColumn("votes", votes)
+        .where(F.col("votes") >= 1)
+        .select(
+            *id_cols,
+            *g,
+            v.alias("value"),
+            "flag_iqr",
+            "flag_mad",
+            "flag_extreme",
+            "votes",
+            (F.col("votes") >= min_votes).alias("is_outlier"),
+        )
+    )

@@ -455,3 +455,98 @@ def holt_winters_forecast(
             "is_forecast",
         )
     )
+
+
+def cross_correlation(
+    df: DataFrame,
+    ts_col: str,
+    x_col: Column | str,
+    y_col: Column | str,
+    max_lag: int = 7,
+    period: str = "day",
+    prescale: float = 1e4,
+    term_scale: float = 1e6,
+) -> DataFrame:
+    """Lead-lag cross-correlation of two daily-aggregated series:
+    corr(x_t, y_{t+k}) for k = 0..``max_lag`` — "does x lead y" — and
+    with ``x_col is y_col`` the autocorrelation function (ACF). The
+    dependence-structure diagnostic behind seasonality and
+    signal-lag discovery on the minute-bar model's daily rollups.
+
+    Shape: both series aggregate to the ``period`` grain with exact
+    decimal sums (map-side combinable); the lag pairing is ONE small
+    self-join of the period frame against itself shifted k periods for
+    each lag (period-frame × lags rows — calendar-sized, never
+    data-sized). Pearson corr comes from exact power sums: periods
+    pre-divide by ``prescale`` (one identical IEEE division per
+    engine; correlation is scale-invariant), then every term
+    quantizes through the EXPLICIT ``round(v·term_scale) → int64``
+    step and sums as exact integers. The explicit round is the only
+    engine-portable quantizer here: both engines multiply in double
+    FIRST and round the same product, whereas ``CAST(x AS
+    DECIMAL(38,6))`` rounds Spark's exact binary expansion but
+    DuckDB's pre-multiplied double — measured to split on the
+    boundary-prone low-entropy products this operator produces
+    (counts/1e4 squared land exactly on x.5e-6). Each sum de-scales
+    with one exact int64→double conversion + division before the
+    closed-form correlation algebra.
+
+    Returns (lag, n, corr); lags with < 3 overlapping periods or zero
+    variance on either side report NULL corr.
+    """
+    x = F.col(x_col) if isinstance(x_col, str) else x_col
+    y = F.col(y_col) if isinstance(y_col, str) else y_col
+    daily = (
+        df.groupBy(F.date_trunc(period, F.col(ts_col)).alias("__d"))
+        .agg(
+            (
+                F.sum(x.cast("decimal(30,6)")).cast("double")
+                / F.lit(prescale)
+            ).alias("__x"),
+            (
+                F.sum(y.cast("decimal(30,6)")).cast("double")
+                / F.lit(prescale)
+            ).alias("__y"),
+        )
+        .localCheckpoint(eager=False)  # consumed by every lag join
+    )
+    lags = daily.sparkSession.range(0, max_lag + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    shifted = daily.select(
+        F.col("__d").alias("__d2"), F.col("__y").alias("__y2")
+    )
+    paired = (
+        daily.crossJoin(F.broadcast(lags))
+        .join(
+            shifted,
+            F.col("__d2")
+            == F.col("__d")
+            + F.col("lag")
+            * F.expr(f"INTERVAL 1 {period.upper()}"),
+        )
+    )
+    xx = F.col("__x")
+    yy = F.col("__y2")
+    ts_lit = F.lit(term_scale)
+
+    def q(col):
+        return F.round(col * ts_lit).cast("long")
+
+    agg = paired.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(q(xx)).cast("double") / ts_lit).alias("__sx"),
+        (F.sum(q(yy)).cast("double") / ts_lit).alias("__sy"),
+        (F.sum(q(xx * yy)).cast("double") / ts_lit).alias("__sxy"),
+        (F.sum(q(xx * xx)).cast("double") / ts_lit).alias("__sxx"),
+        (F.sum(q(yy * yy)).cast("double") / ts_lit).alias("__syy"),
+    )
+    nd = F.col("n").cast("double")
+    cov = F.col("__sxy") / nd - (F.col("__sx") / nd) * (F.col("__sy") / nd)
+    varx = F.col("__sxx") / nd - (F.col("__sx") / nd) * (F.col("__sx") / nd)
+    vary = F.col("__syy") / nd - (F.col("__sy") / nd) * (F.col("__sy") / nd)
+    corr = F.when(
+        (F.col("n") >= 3) & (varx > 0) & (vary > 0),
+        cov / F.sqrt(varx * vary),
+    )
+    return agg.select("lag", "n", corr.alias("corr")).orderBy("lag")

@@ -137,7 +137,8 @@ def test_r7_gate_window_composition():
         "active_users_sliding", "quantile_normalize",
         "shipping_priority", "returned_items",
         "survival_curve", "score_auc", "calibration_bins",
-        "psi_drift",
+        "psi_drift", "revenue_acf", "click_purchase_xcorr",
+        "outlier_ensemble",
     }
     never = [n for n in names if n not in gated and n not in r7_new]
     # every never-gated pre-r7 query must be inside the window

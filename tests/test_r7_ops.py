@@ -578,3 +578,80 @@ class TestPsiDrift:
             F.col("bucket") == -1
         ).collect()[0]
         assert total.psi_term > 0.25  # a 30% shift is a "shifted" alarm
+
+
+class TestCrossCorrelation:
+    def test_acf_of_exact_ar_series(self, spark):
+        import datetime as dt
+        import math
+
+        from quanta_etl_spark.operators import resample as RS2
+
+        # deterministic weekly-cycled series: ACF must peak at lag 7
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        for d in range(28):
+            v = [100.0, 80.0, 60.0, 40.0, 60.0, 80.0, 90.0][d % 7]
+            rows.append((base + dt.timedelta(days=d, hours=3), v))
+        df = spark.createDataFrame(rows, "ts timestamp, value double")
+        out = {r.lag: (r.n, r.corr) for r in RS2.cross_correlation(
+            df, "ts", "value", "value", max_lag=7
+        ).collect()}
+        assert out[0][1] == 1.0 or abs(out[0][1] - 1.0) < 1e-9
+        assert abs(out[7][1] - 1.0) < 1e-9   # perfect weekly cycle
+        assert out[7][0] == 21               # 28 days, lag 7 -> 21 pairs
+        assert out[1][1] < 0.9               # off-cycle lags decorrelate
+
+    def test_cross_lead_detection(self, spark):
+        import datetime as dt
+
+        from quanta_etl_spark.operators import resample as RS3
+
+        # y is x shifted 2 days: xcorr must peak at lag 2
+        base = dt.datetime(2024, 1, 1)
+        xs = [float((d * 37) % 11) for d in range(20)]
+        rows = []
+        for d in range(20):
+            rows.append((base + dt.timedelta(days=d), xs[d], 0.0))
+        for d in range(18):
+            rows.append(
+                (base + dt.timedelta(days=d + 2), 0.0, xs[d])
+            )
+        df = spark.createDataFrame(rows, "ts timestamp, x double, y double")
+        from pyspark.sql import functions as F2
+
+        out = {r.lag: r.corr for r in RS3.cross_correlation(
+            df, "ts", F2.col("x"), F2.col("y"), max_lag=4
+        ).collect()}
+        best = max((v, k) for k, v in out.items() if v is not None)
+        assert best[1] == 2 and best[0] > 0.99
+
+
+class TestOutlierEnsemble:
+    def test_votes_and_detectors(self, spark):
+        from quanta_etl_spark.operators import quality as Q4
+
+        rows = [(i, "g", 100.0 + (i % 7)) for i in range(200)]
+        rows += [(900, "g", 100000.0), (901, "g", -50000.0)]
+        df = spark.createDataFrame(rows, "id long, g string, v double")
+        out = Q4.outlier_ensemble(
+            df, ["g"], "v", id_cols=["id"]
+        ).collect()
+        flagged = {r.id: r for r in out}
+        assert flagged[900].is_outlier and flagged[900].votes == 3
+        assert flagged[901].is_outlier
+        # the bulk never appears (votes >= 1 filter)
+        assert all(r.id >= 900 or r.votes >= 1 for r in out)
+        assert len(out) < 30
+
+    def test_zero_mad_disables_mad_detector(self, spark):
+        from quanta_etl_spark.operators import quality as Q5
+
+        # >50% identical values -> MAD = 0 -> detector off, not
+        # everything-flagged; IQR/extreme still catch the spike
+        rows = [(i, "g", 5.0) for i in range(100)] + [(999, "g", 500.0)]
+        df = spark.createDataFrame(rows, "id long, g string, v double")
+        out = Q5.outlier_ensemble(df, ["g"], "v", id_cols=["id"]).collect()
+        ids = {r.id for r in out}
+        assert ids == {999}
+        assert not [r for r in out if r.id == 999][0].flag_mad
