@@ -722,6 +722,11 @@ def score_auc(
     agg, map-side combine); the rank cumsum runs over the distinct
     frame only. Returns one row (auc, n_pos, n_neg). NULL scores or
     labels are excluded. AUC is NULL when either class is empty.
+
+    Input range: the doubled rank-sum is bounded by ~2·P·N ≤ N², so
+    int64 exactness holds to N ≈ 2·10⁹ scored rows — beyond that,
+    swap the two integer products for decimal(38,0) sums (the oracle's
+    HUGEINT path would otherwise silently diverge from wrapped longs).
     """
     lab = F.col(label_col) if isinstance(label_col, str) else label_col
     rows = df.where(

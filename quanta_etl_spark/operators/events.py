@@ -69,10 +69,12 @@ def funnel_user_steps(
         prev_cols = [f"t_{j}" for j in range(i)]
         ok = F.col("__ts") >= F.col(f"t_{i - 1}")
         if max_span_seconds is not None:
+            # make_interval, not an INTERVAL f-string: float reprs in
+            # scientific notation (1e-05, 1e16) are unparseable there
             ok = ok & (
                 F.col("__ts")
                 <= F.col("t_0")
-                + F.expr(f"INTERVAL {max_span_seconds} SECONDS")
+                + F.make_interval(secs=F.lit(float(max_span_seconds)))
             )
         out = (
             out.join(nxt, user_col, "left")
@@ -651,6 +653,11 @@ def attribute_position_based(
     this conversion (inclusive-by-order); touches after the user's
     final conversion attribute nothing.
 
+    ``first_weight + last_weight`` must be ≤ 1 (validated — an
+    over-unity pair would give middle touches negative credit); a
+    2-touch path renormalizes the two weights proportionally
+    (defaults 0.4/0.4 → 0.5/0.5, the standard convention).
+
     Shape: conversion paths are assigned WITHOUT a range join — a
     reverse-cumulative count of conversions over the user timeline
     gives every row the id of its next-at-or-after conversion (one
@@ -663,6 +670,12 @@ def attribute_position_based(
     Returns one row per credited touch: (user, path id, touch key,
     position, path_size, weight, credit).
     """
+    if first_weight < 0 or last_weight < 0 or first_weight + last_weight > 1:
+        raise ValueError(
+            "need first_weight >= 0, last_weight >= 0 and their sum <= 1 "
+            f"(got {first_weight} + {last_weight}): an over-unity pair "
+            "would hand middle touches negative credit"
+        )
     order_desc = [F.col(ts_col).desc()] + [
         F.col(c).desc() for c in tiebreak_cols
     ]
@@ -679,11 +692,12 @@ def attribute_position_based(
         F.col("__path").alias("__p"),
         F.col(value_col).alias("__value"),
     )
+    passthrough = [ts_col] + [c for c in tiebreak_cols if c != ts_col]
     touches = tagged.where(touch_pred & (F.col("__path") > 0)).select(
         user_col,
         "__path",
         touch_key.alias("touch_key"),
-        *{ts_col, *tiebreak_cols},
+        *passthrough,
     )
     w_path = Window.partitionBy(user_col, "__path").orderBy(
         F.col(ts_col), *[F.col(c) for c in tiebreak_cols]
@@ -703,7 +717,8 @@ def attribute_position_based(
     fw, lw = F.lit(first_weight), F.lit(last_weight)
     weight = (
         F.when(k == 1, F.lit(1.0))
-        .when(k == 2, F.lit(0.5))
+        .when((k == 2) & (rn == 1), fw / (fw + lw))
+        .when(k == 2, lw / (fw + lw))
         .when(rn == 1, fw)
         .when(rn == k, lw)
         .otherwise(

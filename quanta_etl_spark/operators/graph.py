@@ -307,6 +307,34 @@ def pagerank(
     return ranks
 
 
+def _canonical_undirected(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Canonical undirected simple edge set (a < b): least/greatest
+    orientation, self-loops dropped, duplicates collapsed — the shared
+    first step of every undirected-graph operator here (one fix to
+    edge canonicalization lands everywhere)."""
+    return (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _both_directions(e: DataFrame) -> DataFrame:
+    return e.select("a", "b").union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+
+
+def _degrees(e: DataFrame) -> DataFrame:
+    """(node, deg) over a canonical undirected edge set."""
+    return _both_directions(e).groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+
+
 def triangle_counts(
     edges: DataFrame,
     src: str = "src",
@@ -331,21 +359,9 @@ def triangle_counts(
     # several downstream joins; checkpoint once so the upstream scan +
     # distinct doesn't re-execute per consumer (same discipline as
     # pagerank's loop invariants).
-    e = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("a"),
-            F.greatest(F.col(src), F.col(dst)).alias("b"),
-        )
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    both = e.select("a", "b").union(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    )
-    deg = both.groupBy(F.col("a").alias("node")).agg(
-        F.count(F.lit(1)).alias("deg")
-    ).localCheckpoint(eager=False)
+    e = _canonical_undirected(edges, src, dst).localCheckpoint(eager=False)
+    both = _both_directions(e)
+    deg = _degrees(e).localCheckpoint(eager=False)
     # Orient every edge lower-rank → higher-rank by (deg, id).
     ranked = (
         both.join(deg.withColumnRenamed("node", "a"), "a")
@@ -543,20 +559,7 @@ def clustering_coefficient(
     Returns (node, deg, triangles, clustering_coeff).
     """
     tri = triangle_counts(edges, src, dst)
-    e = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("a"),
-            F.greatest(F.col(src), F.col(dst)).alias("b"),
-        )
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-    )
-    both = e.select("a", "b").union(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    )
-    deg = both.groupBy(F.col("a").alias("node")).agg(
-        F.count(F.lit(1)).alias("deg")
-    )
+    deg = _degrees(_canonical_undirected(edges, src, dst))
     d = F.col("deg").cast("double")
     coeff = F.when(
         F.col("deg") >= 2,
@@ -597,28 +600,12 @@ def k_core(
     Returns (node, deg) for nodes in the surviving core (deg >= k
     within the peeled edge set).
     """
-    e = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("a"),
-            F.greatest(F.col(src), F.col(dst)).alias("b"),
-        )
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    e = _canonical_undirected(edges, src, dst).localCheckpoint(eager=True)
     n_edges = e.count()
     for _ in range(max_peels):
         if n_edges == 0:
             break
-        both = e.select("a", "b").union(
-            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        )
-        keep = (
-            both.groupBy(F.col("a").alias("node"))
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .where(F.col("deg") >= k)
-            .select("node")
-        )
+        keep = _degrees(e).where(F.col("deg") >= k).select("node")
         e = (
             e.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
@@ -629,11 +616,4 @@ def k_core(
         if n2 == n_edges:
             break  # stable: further peels are no-ops
         n_edges = n2
-    both = e.select("a", "b").union(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    )
-    return (
-        both.groupBy(F.col("a").alias("node"))
-        .agg(F.count(F.lit(1)).alias("deg"))
-        .where(F.col("deg") >= k)
-    )
+    return _degrees(e).where(F.col("deg") >= k)

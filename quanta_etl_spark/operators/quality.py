@@ -527,10 +527,13 @@ def winsorize(
 
     Exact interpolated percentiles (``F.percentile``, the same
     continuous-quantile definition as SQL ``quantile_cont``), computed
-    per group in ONE aggregation and broadcast-joined back — the data
-    shuffles once for the group percentile agg and never again (the
-    join side is group-count-sized). Clipping itself is a pure
-    projection: comparisons and boundary assignment introduce no new
+    per group in ONE aggregation and broadcast-joined back with a LEFT
+    join — the data shuffles once for the group percentile agg and
+    never again (the join side is group-count-sized), and the operator
+    is row-preserving: rows whose group key is NULL (which non-null-
+    safe join equality can never match) pass through UNCLIPPED instead
+    of being dropped. Clipping itself is a pure projection:
+    comparisons and boundary assignment introduce no new
     floating-point arithmetic, so results are engine-deterministic.
     NULL values pass through unclipped.
     """
@@ -546,7 +549,7 @@ def winsorize(
         .otherwise(v)
     )
     return (
-        df.join(F.broadcast(bounds), list(group_cols))
+        df.join(F.broadcast(bounds), list(group_cols), "left")
         .withColumn(out_col, clipped)
         .drop("__lo", "__hi")
     )
@@ -725,7 +728,10 @@ def outlier_ensemble(
 
     Returns flagged rows only (votes ≥ 1): (ids..., groups...,
     value, flag_iqr, flag_mad, flag_extreme, votes, is_outlier) —
-    ``id_cols`` pass through for row identity.
+    ``id_cols`` pass through for row identity. Stats join back with
+    LEFT joins, so rows whose group key is NULL (no reference
+    distribution to judge against) are simply never flagged rather
+    than silently dropped pre-filter.
     """
     v = F.col(value_col)
     g = list(group_cols)
@@ -736,7 +742,7 @@ def outlier_ensemble(
         F.percentile(value_col, F.lit(p_extreme)).alias("__plo"),
         F.percentile(value_col, F.lit(1 - p_extreme)).alias("__phi"),
     )
-    with_med = df.join(F.broadcast(stats1), g)
+    with_med = df.join(F.broadcast(stats1), g, "left")
     mad = (
         with_med.groupBy(*g)
         .agg(
@@ -745,7 +751,7 @@ def outlier_ensemble(
             )
         )
     )
-    j = with_med.join(F.broadcast(mad), g)
+    j = with_med.join(F.broadcast(mad), g, "left")
     iqr = F.col("__q3") - F.col("__q1")
     flag_iqr = (v < F.col("__q1") - F.lit(iqr_k) * iqr) | (
         v > F.col("__q3") + F.lit(iqr_k) * iqr

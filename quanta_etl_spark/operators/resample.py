@@ -372,6 +372,13 @@ def holt_winters_forecast(
     level/trend/fitted. Forecasts: ŷ_{T+h} = l + h·b + ring[(h−1) mod
     period]. Series shorter than 2·period + 1 days raise.
 
+    The seasonal ring is POSITIONAL over observed periods, so the
+    series must be calendar-contiguous — a missing day would rotate
+    the weekly phase for the rest of the series while both engines
+    agree on the silently-wrong result; the recursion therefore
+    REFUSES gapped input (densify upstream with windows.time_spine +
+    zero/interpolated fill if the series can skip days).
+
     Determinism discipline (same as holt_forecast): daily totals are
     exact decimal sums, the recursion is scalar IEEE arithmetic in the
     EXACT expression shapes the oracle uses (warmup means accumulate
@@ -404,6 +411,14 @@ def holt_winters_forecast(
             raise ValueError(
                 f"holt_winters needs > {2 * m} daily points, got {n}"
             )
+        for a, b in zip(days, days[1:]):
+            if (b - a) != pd.Timedelta(days=1):
+                raise ValueError(
+                    "holt_winters needs a calendar-contiguous daily "
+                    f"series (gap between {a} and {b}); densify with "
+                    "time_spine + fill first — a silent gap would "
+                    "rotate the seasonal ring's phase"
+                )
         suma = 0.0
         for v in y[:m]:
             suma += v

@@ -558,14 +558,24 @@ def compact_parquet(
                 total += f.getLen()
         return total
 
-    def _toplevel_flat_files() -> list:
-        # Flat-era residue at the table root: data/marker FILES that are
-        # not MVCC bookkeeping (``v<N>._claim`` tombstones stay).
+    def _toplevel_flat_entries() -> list:
+        # Flat-era residue at the table root: data/marker FILES plus
+        # non-MVCC DIRECTORIES (a hive-partitioned flat table keeps its
+        # data in key=value subdirectories — sweeping only files would
+        # leave the whole old dataset behind). MVCC bookkeeping stays:
+        # committed ``v<N>`` dirs, ``_staging_*`` (another writer may be
+        # mid-commit), and ``v<N>._claim`` tombstones.
+        import re as _re
+
+        keep_dir = _re.compile(r"^(v\d{10}|_staging_.*)$")
         out = []
         for st in fs.listStatus(bp):
             name = st.getPath().getName()
-            if st.isFile() and not name.endswith(_CLAIM_SUFFIX):
-                out.append(st.getPath())
+            if st.isFile():
+                if not name.endswith(_CLAIM_SUFFIX):
+                    out.append((st.getPath(), False))
+            elif not keep_dir.match(name):
+                out.append((st.getPath(), True))
         return out
 
     committed = list_versions(spark, path)
@@ -578,22 +588,25 @@ def compact_parquet(
         )
         # Migration-crash recovery: a first-compaction interrupted
         # between its v1 commit and its flat-file sweep leaves old
-        # top-level part-files next to the v-dirs; finish the sweep.
-        for f in _toplevel_flat_files():
-            fs.delete(f, False)
+        # top-level part-files (or hive partition dirs) next to the
+        # v-dirs; finish the sweep.
+        for p, recursive in _toplevel_flat_entries():
+            fs.delete(p, recursive)
         return n
 
     # Plain flat directory: migrate to the MVCC layout. Snapshot the
     # flat file list BEFORE writing (the commit adds files under
     # ``v0000000001`` that must survive the sweep).
     src = spark.read.parquet(path)
-    flat_files = _toplevel_flat_files()
+    flat_entries = _toplevel_flat_entries()
     n = max(1, math.ceil(_disk_bytes(base) / target_partition_bytes))
     # Single data pass: the source files are only deleted after the
-    # version directory is fully committed.
+    # version directory is fully committed. Hive partition columns of
+    # a partitioned flat dir are inferred by the read and land as
+    # regular columns in v1 (the compaction re-layouts by design).
     write_versioned_parquet(src.repartition(n), path)
-    for f in flat_files:
-        fs.delete(f, False)
+    for p, recursive in flat_entries:
+        fs.delete(p, recursive)
     return n
 
 

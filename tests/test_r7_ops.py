@@ -655,3 +655,99 @@ class TestOutlierEnsemble:
         ids = {r.id for r in out}
         assert ids == {999}
         assert not [r for r in out if r.id == 999][0].flag_mad
+
+
+class TestReviewFixesR7:
+    def test_winsorize_null_group_rows_pass_through(self, spark):
+        """Review r7: NULL-group rows must survive (unclipped), not
+        vanish through an inner bounds join."""
+        from quanta_etl_spark.operators import quality as Q6
+
+        rows = [("g", float(v)) for v in range(10)] + [(None, 4.2)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = Q6.winsorize(df, ["g"], "v", lower=0.1, upper=0.9).collect()
+        assert len(out) == 11
+        nulls = [r for r in out if r.g is None]
+        assert len(nulls) == 1 and nulls[0].v_winsorized == 4.2
+
+    def test_attribution_weight_validation_and_renormalization(self, spark):
+        import datetime as dt
+
+        import pytest
+
+        from quanta_etl_spark.operators import events as E10
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, base, "click", 1, None),
+            (1, base + dt.timedelta(minutes=1), "click", 2, None),
+            (1, base + dt.timedelta(minutes=2), "purchase", None, 10.0),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "user_id long, ts timestamp, event_type string, "
+            "camp int, value double",
+        ).withColumn("event_id", F.monotonically_increasing_id())
+        kw = dict(
+            conversion_pred=F.col("event_type") == "purchase",
+            touch_pred=F.col("event_type") == "click",
+            touch_key=F.col("camp"),
+            value_col="value",
+            tiebreak_cols=["event_id"],
+        )
+        # over-unity pair rejected (middle credit would go negative)
+        with pytest.raises(ValueError, match="sum <= 1"):
+            E10.attribute_position_based(
+                df, "user_id", "ts",
+                first_weight=0.6, last_weight=0.6, **kw,
+            )
+        # asymmetric 2-touch renormalizes proportionally, not 50/50
+        out = E10.attribute_position_based(
+            df, "user_id", "ts", first_weight=0.6, last_weight=0.2, **kw
+        ).collect()
+        got = {r.touch_key: r.weight for r in out}
+        assert abs(got[1] - 0.75) < 1e-12 and abs(got[2] - 0.25) < 1e-12
+
+    def test_holt_winters_rejects_gapped_series(self, spark):
+        import datetime as dt
+
+        import pytest
+
+        from quanta_etl_spark.operators import resample as RS4
+
+        rows = [
+            (dt.datetime(2024, 1, 1) + dt.timedelta(days=d), 1.0 + d % 7)
+            for d in range(20)
+            if d != 9  # one missing calendar day
+        ]
+        df = spark.createDataFrame(rows, "ts timestamp, value double")
+        with pytest.raises(Exception, match="contiguous"):
+            RS4.holt_winters_forecast(
+                df, "ts", "value", period=7, horizon=3
+            ).collect()
+
+    def test_funnel_budget_accepts_scientific_notation_floats(self, spark):
+        import datetime as dt
+
+        from quanta_etl_spark.operators import events as E11
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [(1, base, "a"), (1, base + dt.timedelta(seconds=1), "b")]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_type string"
+        )
+        # 1e-05 seconds: the old INTERVAL f-string was unparseable here
+        got = {
+            r.step_name: r.users
+            for r in E11.funnel_report(
+                df, ["a", "b"], max_span_seconds=1e-05
+            ).collect()
+        }
+        assert got == {"a": 1, "b": 0}
+        got2 = {
+            r.step_name: r.users
+            for r in E11.funnel_report(
+                df, ["a", "b"], max_span_seconds=1e05
+            ).collect()
+        }
+        assert got2 == {"a": 1, "b": 1}

@@ -654,3 +654,33 @@ def test_versioned_truly_concurrent_writers_both_commit(spark, tmp_path):
         if st.getPath().getName().startswith("_staging_")
     ]
     assert stray == []
+
+
+def test_compact_parquet_migrates_hive_partitioned_flat_dir(spark, tmp_path):
+    """Review r7: a hive-partitioned flat directory keeps its data in
+    key=value SUBDIRECTORIES — the migration sweep must remove those
+    too (a files-only sweep would permanently double storage), while
+    never touching v-dirs, _staging_*, or claim tombstones."""
+    out = str(tmp_path / "hive")
+    df = spark.createDataFrame(
+        [(i, ["x", "y"][i % 2], float(i)) for i in range(100)],
+        "id long, part string, v double",
+    )
+    df.write.partitionBy("part").parquet(out)
+    import pathlib
+
+    assert (pathlib.Path(out) / "part=x").is_dir()
+    n = readers.compact_parquet(spark, out, target_partition_bytes=1 << 30)
+    assert n == 1
+    assert readers.list_versions(spark, out) == [1]
+    # old partition dirs swept; only MVCC entries remain at the root
+    leftover = {
+        p.name
+        for p in pathlib.Path(out).iterdir()
+        if not p.name.endswith(".crc")  # local-FS checksum shadows
+    }
+    assert leftover == {"v0000000001", "v0000000001._claim"}, leftover
+    back = readers.read_versioned_parquet(spark, out)
+    assert back.count() == 100
+    # the inferred partition column survives as a regular column
+    assert back.where(F.col("part") == "x").count() == 50
