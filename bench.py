@@ -62,23 +62,55 @@ def main() -> None:
     # timed runs: this host is multi-tenant and per-run throughput swings
     # 2-3×; min-over-repetitions estimates the query's real cost rather
     # than the neighbors' load.
+    # Outlier hygiene (VERDICT r7 #2 — the phantom market_share 5.92s):
+    # when the two samples disagree by > 2×, or the candidate sf0.1 time
+    # exceeds the SAME query's committed sf1 time (a physical
+    # impossibility modulo noise — 10× the data can't be faster), take a
+    # third sample before recording.
     # One failing query must never zero out the whole perf signal
     # (round 4: a single AnalysisException aborted the run with rc 1 and
     # no timings at all) — record the error, keep timing the rest, and
     # always emit the summary JSON line.
+    ref_sf1: dict[str, float] = {}
+    if sf == 0.1:
+        try:
+            with open(os.path.join(REPO, "BENCH_LOCAL_sf1.json")) as f:
+                ref_sf1 = json.load(f).get("queries", {})
+        except (FileNotFoundError, json.JSONDecodeError):
+            pass
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    sanity_violations: dict[str, dict[str, float]] = {}
     for name, fn in qs.items():
         try:
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = float("inf")
-            for _ in range(2):
+
+            def _sample() -> float:
                 _drop_leftover_persists()
                 t0 = time.perf_counter()
-                df = fn(spark, sf_dir)
-                df.write.mode("overwrite").format("noop").save()
-                best = min(best, time.perf_counter() - t0)
+                fn(spark, sf_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                return time.perf_counter() - t0
+
+            samples = [_sample(), _sample()]
+            noisy = max(samples) > 2.0 * min(samples)
+            t1 = ref_sf1.get(name)
+            if noisy or (t1 is not None and min(samples) > t1):
+                samples.append(_sample())
+            best = min(samples)
             timings[name] = round(best, 4)
+            if t1 is not None and best > t1:
+                # still slower than its own 10×-data time after the
+                # re-run: record it loudly instead of silently shipping
+                # a noise spike as the round's number
+                sanity_violations[name] = {"sf0.1": round(best, 4), "sf1": t1}
+                print(
+                    f"[bench] {name}: SANITY sf0.1 {best:.2f}s > sf1 "
+                    f"{t1:.2f}s after {len(samples)} samples",
+                    file=sys.stderr, flush=True,
+                )
             print(
                 f"[bench] {name}: {timings[name]:.2f}s", file=sys.stderr, flush=True
             )
@@ -100,6 +132,8 @@ def main() -> None:
     }
     if errors:
         full["errors"] = errors
+    if sanity_violations:
+        full["sanity_violations"] = sanity_violations
     # Full per-query record → repo file (the driver's stdout capture
     # keeps only the last ~2000 chars; round 3's 74-query JSON line blew
     # that budget and was recorded as parsed:null despite rc 0).

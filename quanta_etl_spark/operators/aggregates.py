@@ -311,6 +311,7 @@ def ols_regress(
     y_col: str,
     x_col: str,
     by: Sequence[str],
+    strict: bool = False,
 ) -> DataFrame:
     """Per-group simple linear regression (y on x) via the moment
     aggregates: slope = cov_pop(x,y)/var_pop(x), intercept =
@@ -338,6 +339,12 @@ def ols_regress(
     option: (18,6)×(18,6) → decimal(37,12) is the widest product that
     stays inside the 38-digit cap, which is what makes the power sums
     exact.
+
+    ``strict=True`` (VERDICT r7 #5) turns that silent exclusion into
+    an execution-time error: the excluded rows are counted (one extra
+    scan) and the returned plan raises if any exist, so a caller
+    fitting large-notional data gets an explicit signal instead of a
+    quietly smaller sample.
     """
     x = F.col(x_col).try_cast("decimal(18,6)")
     y = F.col(y_col).try_cast("decimal(18,6)")
@@ -367,13 +374,23 @@ def ols_regress(
     r2 = F.when(
         (varx > 0) & (vary > 0), (cov * cov) / (varx * vary)
     )
-    return agg.select(
+    out = agg.select(
         *by,
         F.col("n"),
         slope.alias("slope"),
         intercept.alias("intercept"),
         r2.alias("r2"),
     )
+    if strict:
+        from .util import attach_exclusion_guard
+
+        excluded = df.where(
+            F.col(x_col).isNotNull()
+            & F.col(y_col).isNotNull()
+            & (x.isNull() | y.isNull())
+        )
+        out = attach_exclusion_guard(out, excluded, "ols_regress")
+    return out
 
 
 def chi_square(
@@ -775,6 +792,7 @@ def calibration_bins(
     label_col: str | Column,
     bins: int = 10,
     tiebreak_cols: Sequence[str] = (),
+    allow_nondeterministic_ties: bool = False,
 ) -> DataFrame:
     """Reliability-diagram bins: rank rows into ``bins`` equal-count
     score buckets (ntile over a TOTAL order — tiebreaks make the
@@ -786,7 +804,20 @@ def calibration_bins(
     ntile for bucketing on precomputed score quantiles) plus one
     map-side-combinable aggregation. Returns (bin, n, mean_score,
     frac_positive) with exact decimal score sums and integer counts.
+
+    Determinism contract (ADVICE r7): ntile needs a TOTAL order, so an
+    empty ``tiebreak_cols`` is only deterministic when scores are
+    duplicate-free; pass tiebreak columns (a unique id) for real data.
+    With no tiebreaks the call raises unless
+    ``allow_nondeterministic_ties=True`` acknowledges the risk.
     """
+    if not tiebreak_cols and not allow_nondeterministic_ties:
+        raise ValueError(
+            "calibration_bins: empty tiebreak_cols makes ntile bin "
+            "assignment nondeterministic for tied scores; pass a unique "
+            "tiebreak column, or set allow_nondeterministic_ties=True "
+            "if scores are known duplicate-free"
+        )
     lab = F.col(label_col) if isinstance(label_col, str) else label_col
     rows = df.where(
         F.col(score_col).isNotNull() & lab.isNotNull()

@@ -676,6 +676,15 @@ def attribute_position_based(
             f"(got {first_weight} + {last_weight}): an over-unity pair "
             "would hand middle touches negative credit"
         )
+    if first_weight + last_weight == 0:
+        # The 2-touch renormalization fw/(fw+lw) would evaluate 0/0 →
+        # NaN weight/credit on every 2-touch path (ADVICE r7). A pure
+        # linear split is a different model — ask for it explicitly.
+        raise ValueError(
+            "first_weight + last_weight must be > 0: with both end "
+            "weights zero the 2-touch renormalization is 0/0; use a "
+            "linear-attribution model instead of position-based"
+        )
     order_desc = [F.col(ts_col).desc()] + [
         F.col(c).desc() for c in tiebreak_cols
     ]

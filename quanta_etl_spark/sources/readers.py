@@ -559,22 +559,30 @@ def compact_parquet(
         return total
 
     def _toplevel_flat_entries() -> list:
-        # Flat-era residue at the table root: data/marker FILES plus
-        # non-MVCC DIRECTORIES (a hive-partitioned flat table keeps its
-        # data in key=value subdirectories — sweeping only files would
-        # leave the whole old dataset behind). MVCC bookkeeping stays:
-        # committed ``v<N>`` dirs, ``_staging_*`` (another writer may be
-        # mid-commit), and ``v<N>._claim`` tombstones.
+        # Flat-era residue at the table root, identified POSITIVELY
+        # (ADVICE r7): only artifacts a Spark flat-parquet write actually
+        # produces are swept — ``part-*``/``*.parquet`` data files,
+        # ``_SUCCESS``/``_committed_*``/``_started_*`` job markers,
+        # ``.*.crc`` checksums, and hive ``key=value`` partition dirs
+        # (a partitioned flat table keeps its data there — sweeping only
+        # files would leave the whole old dataset behind). Anything else
+        # at the root (user READMEs, foreign ``_metadata`` sidecars,
+        # unrelated subdirectories) is left untouched; MVCC bookkeeping
+        # (``v<N>`` dirs, ``_staging_*``, ``*._claim`` tombstones) never
+        # matches the flat patterns.
         import re as _re
 
-        keep_dir = _re.compile(r"^(v\d{10}|_staging_.*)$")
+        flat_file = _re.compile(
+            r"^(part-.*|.*\.parquet|_SUCCESS|_committed_.*|_started_.*|\..*\.crc)$"
+        )
+        hive_dir = _re.compile(r"^[^=]+=.*$")
         out = []
         for st in fs.listStatus(bp):
             name = st.getPath().getName()
             if st.isFile():
-                if not name.endswith(_CLAIM_SUFFIX):
+                if flat_file.match(name) and not name.endswith(_CLAIM_SUFFIX):
                     out.append((st.getPath(), False))
-            elif not keep_dir.match(name):
+            elif hive_dir.match(name):
                 out.append((st.getPath(), True))
         return out
 
@@ -596,9 +604,23 @@ def compact_parquet(
 
     # Plain flat directory: migrate to the MVCC layout. Snapshot the
     # flat file list BEFORE writing (the commit adds files under
-    # ``v0000000001`` that must survive the sweep).
-    src = spark.read.parquet(path)
+    # ``v0000000001`` that must survive the sweep). Read only the
+    # recognized DATA paths explicitly (part-*/*.parquet files, hive
+    # key=value dirs) so a foreign sidecar at the root (README, notes)
+    # neither breaks the parquet read nor gets swept (ADVICE r7).
     flat_entries = _toplevel_flat_entries()
+    data_paths = [
+        str(p.toString())
+        for p, is_dir in flat_entries
+        if is_dir
+        or p.getName().endswith(".parquet")
+        or p.getName().startswith("part-")
+    ]
+    if not data_paths:
+        raise FileNotFoundError(
+            f"compact_parquet: no parquet data found under {base}"
+        )
+    src = spark.read.option("basePath", base).parquet(*data_paths)
     n = max(1, math.ceil(_disk_bytes(base) / target_partition_bytes))
     # Single data pass: the source files are only deleted after the
     # version directory is fully committed. Hive partition columns of

@@ -112,38 +112,35 @@ def test_all_oracles_emit_gate_safe_duckdb_types(sf_dir):
     assert not bad, f"gate-unsafe DuckDB oracle output types: {bad}"
 
 
-def test_r7_gate_window_composition():
-    """The driver gates the FIRST 50 queries() entries; the r7 window
-    must be exactly: 28 never-driver-gated r6 queries, then the two
-    red CORRECTNESS_r06 rows (HUGEINT oracles fixed this round), then
-    20 stalest r4-era rows.  Counted, not assumed (r5/r6 lesson)."""
+def test_r8_gate_window_composition():
+    """The driver gates the FIRST 50 queries() entries; the r8 window
+    must be exactly (VERDICT r7 #1): the 23 r7-new queries that have
+    never held a driver row, then 27 of the 50 queries last
+    driver-gated in r5 (alphabetical), with the remaining 23 r5-stale
+    rows immediately after the cap so they lead the r9 window.
+    Counted from the CORRECTNESS history, not assumed (r5/r6 lesson)."""
     import json
     import os
 
     names = list(E.queries().keys())
     window = names[:50]
-    gated = set()
-    for r in range(1, 7):
+    rounds: dict[str, list[int]] = {}
+    for r in range(1, 8):
         p = f"/root/repo/CORRECTNESS_r0{r}.json"
         if os.path.exists(p):
-            gated |= set(json.load(open(p)))
-    # r7-NEW queries are deliberately outside the window (the 28-query
-    # r6 rotation debt has priority; these head the r8 rotation)
-    r7_new = {
-        "interval_islands", "interval_coverage_gaps", "group_mode",
-        "rolling_beta", "dict_encode", "emb_covariance",
-        "graph_clustering", "graph_kcore", "winsorize_prices",
-        "funnel_windowed", "attribution_position", "holt_winters",
-        "active_users_sliding", "quantile_normalize",
-        "shipping_priority", "returned_items",
-        "survival_curve", "score_auc", "calibration_bins",
-        "psi_drift", "revenue_acf", "click_purchase_xcorr",
-        "outlier_ensemble",
-    }
-    never = [n for n in names if n not in gated and n not in r7_new]
-    # every never-gated pre-r7 query must be inside the window
-    assert set(never) <= set(window), sorted(set(never) - set(window))
-    # and the r7 additions must sit at the END, after every gated row
-    assert all(n in names[175:] for n in r7_new)
-    # the two r6-red rows must be in the window for fresh green rows
-    assert "profile_columns" in window and "referential_check" in window
+            for k in json.load(open(p)):
+                rounds.setdefault(k, []).append(r)
+    never = [n for n in names if n not in rounds]
+    # positions 1-23: exactly the never-driver-gated queries, no others
+    assert window[: len(never)] == never
+    assert len(never) == 23, never
+    stale5 = sorted(n for n in names if n in rounds and max(rounds[n]) == 5)
+    assert len(stale5) == 50
+    # positions 24-50: the alphabetically-first 27 of the r5 cohort
+    assert window[23:50] == stale5[:27]
+    # the remaining 23 r5-stale rows sit right after the cap (r9 lead)
+    assert names[50:73] == stale5[27:]
+    # nothing newer than r5-stale occupies a window slot
+    assert all(
+        n in never or (n in rounds and max(rounds[n]) == 5) for n in window
+    )

@@ -262,3 +262,57 @@ def test_interval_overlap_integer_bins_exact_at_epoch_magnitude(spark):
         )
     ).count()
     assert cells == 1
+
+
+def test_range_join_integer_bins_exact_at_epoch_magnitude(spark):
+    """VERDICT r7 #4: range_join's banded path now mirrors the
+    interval_overlap integer-bin rewrite — exact long floor division
+    (probe AND interval side) and a true end-exclusive upper bin
+    (upper−1), replacing the 1e-9 epsilon that was a double no-op at
+    epoch magnitudes. Banded must equal naive at ~1.5e15, and a
+    bin-aligned interval must occupy exactly len/width cells."""
+    w = 3_600_000_000  # 1h bins in epoch micros
+    base = 416_667 * w  # bin-aligned, ~1.5e15
+    left = spark.createDataFrame(
+        [(1, base), (2, base + w - 1), (3, base + w), (4, base + 2 * w)],
+        "qid long, v long",
+    )
+    right = spark.createDataFrame(
+        [("a", base, base + w),          # exactly one bin wide, aligned
+         ("b", base + w, base + 3 * w)], # two bins wide, aligned
+        "band string, lo long, hi long",
+    )
+    naive = J.range_join(left, right, None, "v", "lo", "hi")
+    banded = J.range_join(left, right, None, "v", "lo", "hi", bin_width=w)
+    want = {(1, "a"), (2, "a"), (3, "b"), (4, "b")}
+    assert {(r.qid, r.band) for r in naive.collect()} == want
+    assert {(r.qid, r.band) for r in banded.collect()} == want
+    # the boundary-aligned one-bin interval generates exactly ONE cell
+    # (end-exclusive upper bin on integer arithmetic, not epsilon)
+    cells = right.where(F.col("band") == "a").select(
+        F.explode(
+            F.sequence(
+                ((F.col("lo") - F.pmod("lo", F.lit(w))) / w).cast("long"),
+                (
+                    ((F.col("hi") - 1) - F.pmod(F.col("hi") - 1, F.lit(w)))
+                    / w
+                ).cast("long"),
+            )
+        )
+    ).count()
+    assert cells == 1
+
+
+def test_range_join_empty_and_inverted_intervals(spark):
+    """An empty [x,x) or inverted interval matches nothing — and must
+    not explode a descending bin sequence on the banded path."""
+    left = spark.createDataFrame([(1, 5.0)], "qid long, v double")
+    right = spark.createDataFrame(
+        [("empty", 5.0, 5.0), ("inv", 100.0, 0.0), ("ok", 4.0, 6.0)],
+        "band string, lo double, hi double",
+    )
+    for bw in (None, 7.0):
+        out = J.range_join(
+            left, right, None, "v", "lo", "hi", bin_width=bw
+        ).collect()
+        assert [(r.qid, r.band) for r in out] == [(1, "ok")]

@@ -751,3 +751,163 @@ class TestReviewFixesR7:
             ).collect()
         }
         assert got2 == {"a": 1, "b": 1}
+
+
+class TestAdviceFixesR8:
+    """Regression tests for the five ADVICE r7 findings."""
+
+    def test_xcorr_zero_overlap_lag_reports_null_not_vanishes(self, spark):
+        """A lag with zero overlapping periods must appear as
+        (lag, 0, NULL) — previously the inner join dropped it."""
+        import datetime as dt
+
+        from quanta_etl_spark.operators import resample as RS
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (base + dt.timedelta(days=d), float((d * 13) % 5) * 1000.0)
+            for d in range(5)
+        ]
+        df = spark.createDataFrame(rows, "ts timestamp, value double")
+        out = {
+            r.lag: (r.n, r.corr)
+            for r in RS.cross_correlation(
+                df, "ts", "value", "value", max_lag=6
+            ).collect()
+        }
+        assert sorted(out) == [0, 1, 2, 3, 4, 5, 6]
+        assert out[5] == (0, None) and out[6] == (0, None)
+        # lags 3/4 overlap in 2/1 periods: n kept, corr NULL (< 3)
+        assert out[3] == (2, None) and out[4] == (1, None)
+        assert out[0][0] == 5 and abs(out[0][1] - 1.0) < 1e-12
+
+    def test_attribution_rejects_zero_end_weights(self, spark):
+        """fw + lw == 0 made the 2-touch renormalization 0/0 -> NaN."""
+        import datetime as dt
+
+        import pytest
+
+        from quanta_etl_spark.operators import events as E
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, base, "click", 1, None),
+            (1, base + dt.timedelta(minutes=1), "click", 2, None),
+            (1, base + dt.timedelta(minutes=2), "purchase", None, 10.0),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "user_id long, ts timestamp, event_type string, "
+            "camp int, value double",
+        ).withColumn("event_id", F.monotonically_increasing_id())
+        with pytest.raises(ValueError, match="must be > 0"):
+            E.attribute_position_based(
+                df, "user_id", "ts",
+                conversion_pred=F.col("event_type") == "purchase",
+                touch_pred=F.col("event_type") == "click",
+                touch_key=F.col("camp"),
+                value_col="value",
+                tiebreak_cols=["event_id"],
+                first_weight=0.0, last_weight=0.0,
+            )
+
+    def test_holt_winters_rejects_null_day(self, spark):
+        """A calendar-contiguous day whose values are all NULL must
+        raise, not silently poison the recursion with NaN."""
+        import datetime as dt
+
+        import pytest
+
+        from quanta_etl_spark.operators import resample as RS
+
+        rows = [
+            (
+                dt.datetime(2024, 1, 1) + dt.timedelta(days=d),
+                None if d == 9 else 1.0 + d % 7,
+            )
+            for d in range(20)
+        ]
+        df = spark.createDataFrame(rows, "ts timestamp, value double")
+        with pytest.raises(Exception, match="NULL/NaN"):
+            RS.holt_winters_forecast(
+                df, "ts", "value", period=7, horizon=3
+            ).collect()
+
+    def test_calibration_bins_requires_tiebreaks_or_optin(self, spark):
+        import pytest
+
+        rows = [(float(i % 10), i % 2 == 0, i) for i in range(100)]
+        df = spark.createDataFrame(rows, "s double, y boolean, id long")
+        with pytest.raises(ValueError, match="nondeterministic"):
+            agg_ops.calibration_bins(df, "s", "y", bins=5)
+        # explicit opt-in still runs (duplicate-free-score callers)
+        out = agg_ops.calibration_bins(
+            df, "s", "y", bins=5, allow_nondeterministic_ties=True
+        ).collect()
+        assert [r.n for r in out] == [20, 20, 20, 20, 20]
+        # and the deterministic spelling is unchanged
+        out2 = agg_ops.calibration_bins(
+            df, "s", "y", bins=5, tiebreak_cols=["id"]
+        ).collect()
+        assert [r.n for r in out2] == [20, 20, 20, 20, 20]
+
+
+class TestStrictExclusionAccounting:
+    """VERDICT r7 #5: the decimal stat paths silently drop rows whose
+    values overflow decimal(18,6) (|x| >= 1e12); strict=True must turn
+    that into an execution-time error with an explicit count."""
+
+    def _frames(self, spark):
+        rows = [("g", float(i), float(2 * i)) for i in range(1, 25)]
+        clean = spark.createDataFrame(rows, "g string, x double, y double")
+        dirty = clean.union(
+            spark.createDataFrame(
+                [("g", 1e13, 2e13)], "g string, x double, y double"
+            )
+        )
+        return clean, dirty
+
+    def test_ols_regress_strict(self, spark):
+        import pytest
+
+        clean, dirty = self._frames(spark)
+        # default: silent exclusion, n reflects the smaller sample
+        r = agg_ops.ols_regress(dirty, "y", "x", ["g"]).collect()[0]
+        assert r.n == 24 and abs(r.slope - 2.0) < 1e-9
+        # strict: clean passes, dirty raises with the explicit signal
+        ok = agg_ops.ols_regress(clean, "y", "x", ["g"], strict=True)
+        assert ok.collect()[0].n == 24
+        with pytest.raises(Exception, match="1 row.*excluded"):
+            agg_ops.ols_regress(
+                dirty, "y", "x", ["g"], strict=True
+            ).collect()
+
+    def test_rolling_corr_strict(self, spark):
+        import pytest
+
+        clean, dirty = self._frames(spark)
+        ok = win_ops.rolling_corr(
+            clean, ["g"], "x", "x", "y", window_rows=5, strict=True
+        )
+        assert ok.count() == 24
+        with pytest.raises(Exception, match="rolling_corr.*excluded"):
+            win_ops.rolling_corr(
+                dirty, ["g"], "x", "x", "y", window_rows=5, strict=True
+            ).collect()
+        # non-strict on the same input: runs, row silently excluded
+        assert win_ops.rolling_corr(
+            dirty, ["g"], "x", "x", "y", window_rows=5
+        ).count() == 25
+
+    def test_rolling_regress_strict(self, spark):
+        import pytest
+
+        clean, dirty = self._frames(spark)
+        ok = win_ops.rolling_regress(
+            clean, ["g"], "x", "x", "y", window_rows=5, strict=True
+        )
+        assert ok.count() == 24
+        with pytest.raises(Exception, match="rolling_regress.*excluded"):
+            win_ops.rolling_regress(
+                dirty, ["g"], "x", "x", "y", window_rows=5, strict=True
+            ).collect()

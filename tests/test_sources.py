@@ -684,3 +684,37 @@ def test_compact_parquet_migrates_hive_partitioned_flat_dir(spark, tmp_path):
     assert back.count() == 100
     # the inferred partition column survives as a regular column
     assert back.where(F.col("part") == "x").count() == 50
+
+
+def test_compact_parquet_preserves_foreign_sidecars(spark, tmp_path):
+    """ADVICE r7: the recovery sweep must only delete recognized
+    flat-table artifacts — a user README, a foreign _metadata file,
+    or an unrelated subdirectory at the table root survives both the
+    flat->MVCC migration and subsequent versioned compactions."""
+    import pathlib
+
+    out = str(tmp_path / "sidecars")
+    spark.range(0, 100).repartition(4).write.parquet(out)
+    root = pathlib.Path(out)
+    (root / "README.txt").write_text("do not delete")
+    (root / "_metadata_notes").write_text("foreign sidecar")
+    (root / "extras").mkdir()
+    (root / "extras" / "keep.json").write_text("{}")
+
+    # migration sweep: flat part-files go, foreign entries stay
+    readers.compact_parquet(spark, out, target_partition_bytes=1 << 30)
+    assert readers.list_versions(spark, out) == [1]
+    assert list(root.glob("*.parquet")) == []
+    assert not (root / "_SUCCESS").exists()
+    assert (root / "README.txt").read_text() == "do not delete"
+    assert (root / "_metadata_notes").exists()
+    assert (root / "extras" / "keep.json").exists()
+
+    # versioned-branch sweep (runs on EVERY compaction): still safe
+    readers.compact_parquet(spark, out, target_partition_bytes=1 << 30)
+    assert readers.list_versions(spark, out) == [1, 2]
+    assert (root / "README.txt").exists()
+    assert (root / "_metadata_notes").exists()
+    assert (root / "extras" / "keep.json").exists()
+    back = readers.read_versioned_parquet(spark, out)
+    assert back.count() == 100
