@@ -333,3 +333,57 @@ def test_ols_overflow_row_fully_excluded(spark):
     assert out["slope"] == pytest.approx(2.0)
     assert out["intercept"] == pytest.approx(1.0)
     assert out["r2"] == pytest.approx(1.0)
+
+
+# ---------- graph hot-hub (power-law) skew pins (VERDICT r7 #7) ----------
+
+class TestGraphHotHub:
+    """Scale-independent pins behind tools/graph_skew_stress.py: a
+    power-law hub (one node with thousands of incident edges — the
+    100-TB web/citation-graph shape) must produce exact results, with
+    the hub's per-round shuffle cost bounded by map-side decimal
+    partial aggregation, not a replan. The sf1-scale wall-times live
+    in NOTES.md."""
+
+    HUB_DEG = 5000
+
+    def _star(self, spark):
+        # leaves l1..lN each point at the single hub node
+        return spark.range(self.HUB_DEG).select(
+            F.concat(F.lit("l"), F.col("id")).alias("src"),
+            F.lit("hub").alias("dst"),
+        )
+
+    def test_pagerank_star_closed_form(self, spark):
+        e = self._star(spark)
+        n = self.HUB_DEG + 1
+        d = 0.85
+        ranks = {r.node: r.rank for r in G.pagerank(e, iterations=5).collect()}
+        # leaves have no in-edges: rank = (1-d)/N from round 1 onward
+        leaf = (1.0 - d) / n
+        assert ranks["l0"] == pytest.approx(leaf, rel=1e-12)
+        # hub (dangling: holds rank, leaks mass) stabilizes at
+        # (1-d)/N + d * HUB_DEG * leaf from round 2 onward
+        want_hub = (1.0 - d) / n + d * self.HUB_DEG * leaf
+        assert ranks["hub"] == pytest.approx(want_hub, rel=1e-9)
+        assert max(ranks, key=ranks.get) == "hub"
+
+    def test_kcore_star_peels_to_empty(self, spark):
+        # hub degree 5000 but every leaf has degree 1: the first k=2
+        # peel removes all leaves, which removes every edge — the hub's
+        # huge degree must not keep a vacuous core alive
+        out = G.k_core(self._star(spark), k=2, max_peels=8).collect()
+        assert out == []
+
+    def test_kcore_hub_with_core_survives(self, spark):
+        # K4 clique + the 5000-leaf star on one clique member: the
+        # 3-core is exactly the clique, hub degree notwithstanding
+        k4 = [(f"n{a}", f"n{b}") for a in range(4) for b in range(a + 1, 4)]
+        star = self._star(spark).withColumn(
+            "dst", F.lit("n0")
+        )  # all leaves hit clique member n0
+        e = spark.createDataFrame(k4, "src string, dst string").unionByName(
+            star
+        )
+        core = {r.node for r in G.k_core(e, k=3, max_peels=8).collect()}
+        assert core == {"n0", "n1", "n2", "n3"}
