@@ -20,7 +20,11 @@ lessons from round 2 (ADVICE r2):
   that selects nothing verifies nothing (the r2 ``agg_percentiles``
   cutoff bug).
 
-Usage:  python tools/check_oracle.py [sf_dir] [query ...]
+Usage:  python tools/check_oracle.py [--json OUT.json] [sf_dir] [query ...]
+
+``--json`` writes the per-query verdicts to a committable artifact
+(VERDICT r7 #3: ``SWEEP_rN.json``) so stale driver-gate rows can be
+audited without re-executing the sweep.
 """
 
 from __future__ import annotations
@@ -109,8 +113,14 @@ def duckdb_result(con, sql: str) -> tuple[list[dict], list[str], list[str]]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out: str | None = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entry_mod
     from quanta_etl_spark.session import get_spark
@@ -130,6 +140,13 @@ def main() -> int:
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures: list[str] = []
+    record: dict[str, dict] = {}
+
+    def fail(name: str, err: str) -> None:
+        failures.append(name)
+        record[name] = {"status": "fail", "err": err}
+        print(f"FAIL  {name}: {err}")
+
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -137,47 +154,41 @@ def main() -> int:
             df = fn(spark, sf_dir)
             unsafe = gate_unsafe_columns(df)
             if unsafe:
-                failures.append(name)
-                print(f"FAIL  {name}: gate-unsafe output types {unsafe}")
+                fail(name, f"gate-unsafe output types {unsafe}")
                 continue
             s_rows, s_cols = spark_result(df)
         except Exception as e:
-            failures.append(name)
-            print(f"FAIL  {name}: spark error: {e}")
+            fail(name, f"spark error: {e}")
             continue
         if name not in oracles:
+            record[name] = {"status": "weak", "rows": len(s_rows)}
             print(f"weak  {name}: rows={len(s_rows)} (no oracle; rows-only check)")
             continue
         try:
             d_rows, d_cols, d_unsafe = duckdb_result(con, oracles[name])
         except Exception as e:
-            failures.append(name)
-            print(f"FAIL  {name}: duckdb error: {e}")
+            fail(name, f"duckdb error: {e}")
             continue
         if d_unsafe:
-            failures.append(name)
-            print(
-                f"FAIL  {name}: gate-unsafe DuckDB oracle types {d_unsafe}"
+            fail(
+                name,
+                f"gate-unsafe DuckDB oracle types {d_unsafe}"
                 " (HUGEINT/DECIMAL → float64/str under the driver's pandas"
-                " fetch; CAST the column in the oracle SQL)"
+                " fetch; CAST the column in the oracle SQL)",
             )
             continue
         if sorted(s_cols) != sorted(d_cols):
-            failures.append(name)
-            print(f"FAIL  {name}: columns {sorted(s_cols)} != {sorted(d_cols)}")
+            fail(name, f"columns {sorted(s_cols)} != {sorted(d_cols)}")
             continue
         sh, sn = canonicalize(s_rows, s_cols)
         dh, dn = canonicalize(d_rows, d_cols)
         if sn == 0 and dn == 0:
-            failures.append(name)
-            print(f"FAIL  {name}: 0 rows on both sides — vacuous, verifies nothing")
+            fail(name, "0 rows on both sides — vacuous, verifies nothing")
             continue
         if sn != dn:
-            failures.append(name)
-            print(f"FAIL  {name}: rowcount spark={sn} duckdb={dn}")
+            fail(name, f"rowcount spark={sn} duckdb={dn}")
         elif sh != dh:
-            failures.append(name)
-            print(f"FAIL  {name}: hash mismatch ({sn} rows)")
+            fail(name, f"hash mismatch ({sn} rows)")
             for i, (a, b) in enumerate(
                 zip(
                     sorted("|".join(_canon_value(r[c]) for c in sorted(s_cols)) for r in s_rows),
@@ -188,8 +199,23 @@ def main() -> int:
                     print(f"      first diff row {i}:\n      spark : {a}\n      duckdb: {b}")
                     break
         else:
+            record[name] = {"status": "ok", "rows": sn, "hash": sh[:12]}
             print(f"ok    {name}: {sn} rows, hash {sh[:12]}")
     spark.stop()
+    if json_out:
+        import json as _json
+
+        summary = {
+            "sf_dir": sf_dir,
+            "n_queries": len(record),
+            "n_ok": sum(1 for v in record.values() if v["status"] == "ok"),
+            "n_weak": sum(1 for v in record.values() if v["status"] == "weak"),
+            "n_fail": len(failures),
+            "results": record,
+        }
+        with open(json_out, "w") as f:
+            _json.dump(summary, f, indent=1)
+        print(f"wrote {json_out}")
     print(f"\n{len(failures)} failure(s)" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
