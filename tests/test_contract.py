@@ -112,35 +112,100 @@ def test_all_oracles_emit_gate_safe_duckdb_types(sf_dir):
     assert not bad, f"gate-unsafe DuckDB oracle output types: {bad}"
 
 
-def test_r8_gate_window_composition():
-    """The driver gates the FIRST 50 queries() entries; the r8 window
-    must be exactly (VERDICT r7 #1): the 23 r7-new queries that have
-    never held a driver row, then 27 of the 50 queries last
-    driver-gated in r5 (alphabetical), with the remaining 23 r5-stale
-    rows immediately after the cap so they lead the r9 window.
-    Counted from the CORRECTNESS history, not assumed (r5/r6 lesson)."""
+def test_r9_gate_window_composition():
+    """The driver gates the FIRST 50 queries() entries; the r9 window
+    must be exactly (VERDICT r8 #1): the 23 queries last driver-gated
+    in r5 (the final r5-stale rows, alphabetical), then the 27 queries
+    last driver-gated in r4 (now the stalest driver cohort,
+    alphabetical). Past the cap, cohorts queue in staleness order
+    (r6, r7, r8), each alphabetical, so the rotation stays fully
+    amortized. Counted from the CORRECTNESS history, not assumed
+    (r5/r6 lesson)."""
     import json
     import os
 
     names = list(E.queries().keys())
-    window = names[:50]
     rounds: dict[str, list[int]] = {}
-    for r in range(1, 8):
+    for r in range(1, 9):
         p = f"/root/repo/CORRECTNESS_r0{r}.json"
         if os.path.exists(p):
             for k in json.load(open(p)):
                 rounds.setdefault(k, []).append(r)
-    never = [n for n in names if n not in rounds]
-    # positions 1-23: exactly the never-driver-gated queries, no others
-    assert window[: len(never)] == never
-    assert len(never) == 23, never
-    stale5 = sorted(n for n in names if n in rounds and max(rounds[n]) == 5)
-    assert len(stale5) == 50
-    # positions 24-50: the alphabetically-first 27 of the r5 cohort
-    assert window[23:50] == stale5[:27]
-    # the remaining 23 r5-stale rows sit right after the cap (r9 lead)
-    assert names[50:73] == stale5[27:]
-    # nothing newer than r5-stale occupies a window slot
-    assert all(
-        n in never or (n in rounds and max(rounds[n]) == 5) for n in window
-    )
+    # every registered query has held a driver row by now
+    assert not [n for n in names if n not in rounds]
+    cohort = {
+        r: sorted(n for n in names if max(rounds[n]) == r)
+        for r in (4, 5, 6, 7, 8)
+    }
+    assert len(cohort[5]) == 23 and len(cohort[4]) == 27
+    # positions 1-23: the 23 r5-stale rows, alphabetical
+    assert names[:23] == cohort[5]
+    # positions 24-50: the 27 r4-era rows (stalest driver cohort)
+    assert names[23:50] == cohort[4]
+    # past the cap: r6, then r7, then r8 cohorts, each alphabetical
+    assert names[50 : 50 + len(cohort[6])] == cohort[6]
+    off = 50 + len(cohort[6])
+    assert names[off : off + len(cohort[7])] == cohort[7]
+    assert names[off + len(cohort[7]) :] == cohort[8]
+
+
+def test_bench_summary_line_always_fits_capture_window():
+    """BENCH_r08.json shipped parsed:null because the stdout line
+    (45 inline sanity_violations dicts) outgrew the driver's tail
+    capture (VERDICT r8 wrong #1). The summary line must stay under
+    budget and parse for ANY input — including a worst-case record
+    with every query in sanity_violations — and must carry counts,
+    not the unbounded dicts themselves."""
+    import json
+
+    import bench
+
+    queries = {f"very_long_query_name_{i:03d}": 1.2345 for i in range(198)}
+    full = {
+        "metric": "total_query_seconds",
+        "value": 244.43,
+        "unit": "sec",
+        "queries": queries,
+        "sf": 0.1,
+        "n_queries": 198,
+        "n_failed": 2,
+        "queries_file": "BENCH_LOCAL.json",
+        "errors": {f"err_query_{i}": "X" * 500 for i in range(25)},
+        "sanity_violations": {
+            n: {"sf0.1": 9.99, "sf1": 1.11} for n in queries
+        },
+        "overhead_dominated": sorted(queries)[:60],
+    }
+    line = bench.make_summary_line(full)
+    assert len(line) <= bench.LINE_BUDGET
+    parsed = json.loads(line)
+    assert parsed["value"] == 244.43
+    assert parsed["n_queries"] == 198
+    assert parsed["n_failed"] == 2
+    assert parsed["n_sanity_violations"] == 198
+    assert parsed["n_overhead_dominated"] == 60
+    assert parsed["queries_file"] == "BENCH_LOCAL.json"
+    # unbounded payloads never appear inline
+    assert "sanity_violations" not in parsed
+    assert "overhead_dominated" not in parsed
+    assert len(parsed["errors"]) <= 20
+    # the inlined queries subset + truncation count stay consistent
+    assert parsed["queries_truncated"] + len(parsed["queries"]) == 198
+
+
+def test_bench_overhead_dominated_flag():
+    """A query whose sf0.001 time is >= 0.8× its sf0.1 time is fixed-
+    overhead-bound (VERDICT r8 #5): ~100× less data should be far
+    faster; when it isn't, the timing measures session setup, and the
+    per-query perf gate must be able to exclude the row honestly."""
+    import bench
+
+    # streaming micro-batch style: 5.7s at sf0.001 vs 6.4s at sf0.1
+    assert bench.is_overhead_dominated(5.7, 6.4)
+    # data-bound query: 0.05s at sf0.001 vs 2.8s at sf0.1
+    assert not bench.is_overhead_dominated(0.05, 2.8)
+    # boundary: exactly 0.8× counts as overhead-dominated
+    assert bench.is_overhead_dominated(0.8, 1.0)
+    # no sf0.001 record → never flagged (no evidence, no claim)
+    assert not bench.is_overhead_dominated(None, 2.0)
+    assert not bench.is_overhead_dominated(1.0, 0.0)
