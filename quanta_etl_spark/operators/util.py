@@ -13,17 +13,20 @@ def attach_exclusion_guard(
     stat paths).
 
     ``excluded`` must be a frame whose rows are exactly the excluded
-    input rows; it is counted and the 1-row count broadcast-joined
-    onto ``result`` behind an ``assert_true`` column, so the check
-    rides the same job (no eager action here, and the result plan is
-    untouched when the guard isn't attached). Cost: one extra scan of
-    the guarded input — strict is an opt-in integrity mode.
+    input rows; it is counted (a global aggregate — always exactly one
+    row, even over an empty input) and the count row is checked behind
+    an ``assert_true`` filter, then reduced to ZERO rows and unioned
+    onto ``result``. The union forces Spark to execute the guard
+    branch regardless of how many rows ``result`` produces — an
+    earlier broadcast-join formulation short-circuited on an empty
+    ``result`` plan and the assertion never evaluated (ADVICE r8).
+    No eager action here, and the result plan is untouched when the
+    guard isn't attached. Cost: one extra scan of the guarded input —
+    strict is an opt-in integrity mode.
     """
     from pyspark.sql import functions as F
 
-    guard = excluded.agg(F.count(F.lit(1)).alias("__nexcl")).select(
-        F.col("__nexcl"), F.lit(1).alias("__gj")
-    )
+    guard = excluded.agg(F.count(F.lit(1)).alias("__nexcl"))
     # The assertion lives in a FILTER predicate (assert_true returns
     # NULL when the condition holds, raises otherwise): a filter can't
     # be column-pruned away, whereas an unused assert_true column in a
@@ -40,13 +43,19 @@ def attach_exclusion_guard(
             ),
         ),
     ).isNull()
-    cols = result.columns
-    return (
-        result.withColumn("__gj", F.lit(1))
-        .join(F.broadcast(guard), "__gj")
-        .where(check)
-        .select(*cols)
+    # After the assert passes, __nexcl == 0 necessarily holds, so the
+    # second predicate drops the count row and the union contributes
+    # nothing. When __nexcl > 0 the conjunction cannot resolve without
+    # evaluating the assert (its companion is true), so the raise fires
+    # under either predicate evaluation order.
+    empty_when_ok = guard.where(check).where(F.col("__nexcl") != 0)
+    zero_rows = empty_when_ok.select(
+        *[
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in result.schema.fields
+        ]
     )
+    return result.unionByName(zero_rows)
 
 
 def spread(df: DataFrame) -> DataFrame:

@@ -613,7 +613,18 @@ def rolling_corr(
     the correlation — the ols_regress hazard from ADVICE r6).
     ``strict=True`` raises at execution time instead when any
     overflow-excluded row exists (VERDICT r7 #5; one extra scan).
+    ``strict`` applies to the decimal path only: combining it with
+    ``scale`` raises ``ValueError`` immediately — the int64 fast path
+    has no overflow-exclusion semantics to guard, and silently
+    ignoring the flag would defeat its explicit-signal intent
+    (ADVICE r8).
     """
+    if strict and scale is not None:
+        raise ValueError(
+            "rolling_corr: strict=True is only defined for the decimal "
+            "path (scale=None); the int64 fast path excludes no rows, "
+            "so there is nothing for strict to guard"
+        )
     w = (
         Window.partitionBy(*key_cols)
         .orderBy(F.col(order_col), *[F.col(c) for c in tiebreak_cols])
@@ -857,8 +868,16 @@ def rolling_regress(
     range and overflow-row handling are identical to
     ``rolling_corr``'s (|x|,|y| < 1e12; overflowed rows leave n and
     every sum together; ``strict=True`` raises at execution time when
-    any such row exists). One window shuffle on the key.
+    any such row exists, and combining ``strict=True`` with ``scale``
+    raises ``ValueError`` immediately — ADVICE r8). One window shuffle
+    on the key.
     """
+    if strict and scale is not None:
+        raise ValueError(
+            "rolling_regress: strict=True is only defined for the "
+            "decimal path (scale=None); the int64 fast path excludes "
+            "no rows, so there is nothing for strict to guard"
+        )
     w = (
         Window.partitionBy(*key_cols)
         .orderBy(F.col(order_col), *[F.col(c) for c in tiebreak_cols])

@@ -540,7 +540,17 @@ def compact_parquet(
     (recovery below). MIGRATION NOTE: afterwards the table must be read
     via ``read_versioned_parquet`` (or ``<path>/v0000000001``) — a bare
     ``spark.read.parquet(path)`` no longer resolves, by design: hot
-    tables belong on the versioned layout."""
+    tables belong on the versioned layout.
+
+    Recognized-name contract (ADVICE r7/r8): only artifacts a Spark
+    flat-parquet write produces are treated as table data —
+    ``part-*`` / ``*.parquet`` files and hive ``key=value`` partition
+    dirs (markers ``_SUCCESS`` / ``_committed_*`` / ``_started_*`` /
+    ``.*.crc`` are swept with them). Anything else at the root —
+    READMEs, foreign ``_metadata`` sidecars, data files from non-Spark
+    writers with other names — is left untouched AND excluded from the
+    versioned view; the migration emits a ``UserWarning`` naming such
+    entries so a partial migration is never silent."""
     import math
 
     base = path.rstrip("/")
@@ -576,15 +586,20 @@ def compact_parquet(
             r"^(part-.*|.*\.parquet|_SUCCESS|_committed_.*|_started_.*|\..*\.crc)$"
         )
         hive_dir = _re.compile(r"^[^=]+=.*$")
-        out = []
+        mvcc = _re.compile(r"^(v\d{10}|_staging_.*)$")
+        out, unrecognized = [], []
         for st in fs.listStatus(bp):
             name = st.getPath().getName()
             if st.isFile():
                 if flat_file.match(name) and not name.endswith(_CLAIM_SUFFIX):
                     out.append((st.getPath(), False))
+                elif not name.endswith(_CLAIM_SUFFIX):
+                    unrecognized.append(name)
             elif hive_dir.match(name):
                 out.append((st.getPath(), True))
-        return out
+            elif not mvcc.match(name):
+                unrecognized.append(name + "/")
+        return out, sorted(unrecognized)
 
     committed = list_versions(spark, path)
     if committed:
@@ -598,7 +613,8 @@ def compact_parquet(
         # between its v1 commit and its flat-file sweep leaves old
         # top-level part-files (or hive partition dirs) next to the
         # v-dirs; finish the sweep.
-        for p, recursive in _toplevel_flat_entries():
+        leftovers, _ = _toplevel_flat_entries()
+        for p, recursive in leftovers:
             fs.delete(p, recursive)
         return n
 
@@ -608,7 +624,7 @@ def compact_parquet(
     # recognized DATA paths explicitly (part-*/*.parquet files, hive
     # key=value dirs) so a foreign sidecar at the root (README, notes)
     # neither breaks the parquet read nor gets swept (ADVICE r7).
-    flat_entries = _toplevel_flat_entries()
+    flat_entries, unrecognized = _toplevel_flat_entries()
     data_paths = [
         str(p.toString())
         for p, is_dir in flat_entries
@@ -619,6 +635,24 @@ def compact_parquet(
     if not data_paths:
         raise FileNotFoundError(
             f"compact_parquet: no parquet data found under {base}"
+        )
+    if unrecognized:
+        # ADVICE r8: a flat dir written by a NON-Spark writer can hold
+        # data files outside the recognized-name contract (part-*,
+        # *.parquet, hive key=value dirs). They are left in place, but
+        # a silent partial migration would drop their rows from the
+        # versioned view with no signal — so name them loudly. Rename
+        # real data to *.parquet (or read+rewrite it with Spark first)
+        # before compacting if those files belong in the table.
+        import warnings
+
+        warnings.warn(
+            f"compact_parquet: migrating {base} to the MVCC layout, but "
+            f"{len(unrecognized)} top-level entr{'y' if len(unrecognized) == 1 else 'ies'} "
+            f"did not match the recognized flat-parquet names and will "
+            f"NOT be part of (or swept from) the versioned table: "
+            f"{unrecognized[:10]}",
+            stacklevel=2,
         )
     src = spark.read.option("basePath", base).parquet(*data_paths)
     n = max(1, math.ceil(_disk_bytes(base) / target_partition_bytes))

@@ -911,3 +911,50 @@ class TestStrictExclusionAccounting:
             win_ops.rolling_regress(
                 dirty, ["g"], "x", "x", "y", window_rows=5, strict=True
             ).collect()
+
+    def test_strict_with_scale_raises_immediately(self, spark):
+        """ADVICE r8: strict=True was silently ignored when scale was
+        set — the int64 fast path has no exclusion semantics, so the
+        combination must be rejected loudly, not no-op'd."""
+        import pytest
+
+        clean, _ = self._frames(spark)
+        for fn in (win_ops.rolling_corr, win_ops.rolling_regress):
+            with pytest.raises(ValueError, match="strict=True is only"):
+                fn(
+                    clean, ["g"], "x", "x", "y",
+                    window_rows=5, scale=100, strict=True,
+                )
+        # scale without strict still works (fast path unaffected)
+        assert (
+            win_ops.rolling_corr(
+                clean, ["g"], "x", "x", "y", window_rows=5, scale=100
+            ).count()
+            == 24
+        )
+
+    def test_exclusion_guard_fires_on_empty_result(self, spark):
+        """ADVICE r8: the broadcast-join guard formulation
+        short-circuited when the guarded result plan produced zero
+        rows — the excluded-row assertion never evaluated. The union
+        formulation must raise even then."""
+        import pytest
+        from pyspark.sql import functions as F
+
+        from quanta_etl_spark.operators.util import attach_exclusion_guard
+
+        base = spark.range(10).select(
+            F.col("id"), (F.col("id") * 2).alias("v")
+        )
+        empty_result = base.where(F.lit(False))
+        excluded = base.where(F.col("id") < 3)  # 3 "excluded" rows
+        with pytest.raises(Exception, match="3 row.*excluded"):
+            attach_exclusion_guard(
+                empty_result, excluded, "empty_op"
+            ).collect()
+        # and a clean empty result stays empty (guard adds no rows)
+        ok = attach_exclusion_guard(
+            empty_result, base.where(F.lit(False)), "empty_op"
+        )
+        assert ok.collect() == []
+        assert ok.columns == ["id", "v"]

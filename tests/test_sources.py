@@ -718,3 +718,50 @@ def test_compact_parquet_preserves_foreign_sidecars(spark, tmp_path):
     assert (root / "extras" / "keep.json").exists()
     back = readers.read_versioned_parquet(spark, out)
     assert back.count() == 100
+
+
+def test_compact_parquet_migration_warns_on_unrecognized_entries(
+    spark, tmp_path
+):
+    """ADVICE r8: foreign entries survive the migration untouched, but
+    they are also EXCLUDED from the versioned view — a flat dir whose
+    data files came from a non-Spark writer (names outside the
+    recognized contract) would silently lose rows. The migration must
+    warn, naming the unmatched entries."""
+    import pathlib
+    import warnings
+
+    out = str(tmp_path / "foreign")
+    spark.range(0, 50).repartition(2).write.parquet(out)
+    root = pathlib.Path(out)
+    (root / "data_0001.bin").write_bytes(b"\x00" * 16)  # foreign "data"
+    (root / "notes").mkdir()
+    (root / "notes" / "x.txt").write_text("x")
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        readers.compact_parquet(spark, out, target_partition_bytes=1 << 30)
+    msgs = [str(w.message) for w in caught if w.category is UserWarning]
+    assert any(
+        "did not match the recognized flat-parquet names" in m
+        and "data_0001.bin" in m
+        and "notes/" in m
+        for m in msgs
+    ), msgs
+    # foreign entries still untouched; table migrated and readable
+    assert (root / "data_0001.bin").exists()
+    assert readers.read_versioned_parquet(spark, out).count() == 50
+
+    # a CLEAN flat dir migrates with no warning at all
+    clean = str(tmp_path / "clean")
+    spark.range(0, 10).write.parquet(clean)
+    with warnings.catch_warnings(record=True) as caught2:
+        warnings.simplefilter("always")
+        readers.compact_parquet(
+            spark, clean, target_partition_bytes=1 << 30
+        )
+    assert not [
+        w for w in caught2
+        if w.category is UserWarning
+        and "recognized flat-parquet" in str(w.message)
+    ]

@@ -6,8 +6,9 @@ hazard is a power-law hub: one node with 10⁴-10⁵ incident edges — the
 shape of real web/citation/co-purchase graphs — concentrating one
 reducer's input in every per-round shuffle.
 
-Builds the sf1 part→supplier edge list (~2.4M distinct edges from 6M
-lineitem rows) plus ONE synthetic hub supplier connected to ``HUB``
+Builds the sf1 part→supplier edge list (5.91M distinct edges from 6M
+lineitem rows — the measured count in NOTES.md's r8 record) plus ONE
+synthetic hub supplier connected to ``HUB``
 parts (default 50,000 — every part at sf1 has an edge to it), then
 times:
 
