@@ -744,3 +744,183 @@ def test_windowed_distinct_users_approx_tolerance_sf01(spark):
         abs(got[d] - exact[d]) / exact[d] for d in exact
     )
     assert worst <= 0.05, f"worst relative error {worst:.3f} > 5%"
+
+
+class TestStreamHotKeySkew:
+    """VERDICT r8 #6: batch dedup (r6) and graph (r8) carry hot-key
+    stress records; this pins the STREAMING state path's
+    scale-independent behaviors under a bot user owning half of all
+    events. The sf1 evidence run is tools/stream_skew_stress.py."""
+
+    BOT = 999_999
+
+    @pytest.fixture()
+    def skewed_dir(self, spark, tmp_path):
+        """Three time-ordered chunks over 6 hours: 3 normal users with
+        one event/minute each, plus a bot emitting 10 events/minute —
+        half the traffic concentrated on one grouping key."""
+        from pyspark.sql.types import LongType
+
+        schema = StructType(
+            [
+                StructField("user_id", LongType()),
+                StructField("event_id", LongType()),
+                StructField("ts", TimestampType()),
+                StructField("event_type", StringType()),
+            ]
+        )
+        base = dt.datetime(2024, 3, 1, 0, 0)
+        rows = []
+        eid = 0
+        for minute in range(6 * 60):
+            t = base + dt.timedelta(minutes=minute)
+            for u in (1, 2, 3):
+                eid += 1
+                rows.append(
+                    (u, eid, t, "click" if minute % 2 == 0 else "purchase")
+                )
+            for k in range(10):  # the bot
+                eid += 1
+                rows.append(
+                    (
+                        self.BOT,
+                        eid,
+                        t + dt.timedelta(seconds=k),
+                        "click" if k % 2 == 0 else "purchase",
+                    )
+                )
+        d = tmp_path / "skew"
+        d.mkdir()
+        for i in range(3):  # 2h per chunk, written in time order
+            chunk = [
+                r for r in rows
+                if i * 120 <= (r[2] - base).total_seconds() // 60 < (i + 1) * 120
+            ]
+            spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
+                str(d / f"c{i}")
+            )
+        return f"{d}/c*/part-*.parquet", schema, rows
+
+    @staticmethod
+    def _state(q):
+        return (q.lastProgress or {}).get("stateOperators", [])
+
+    def test_exact_distinct_users_state_bounded_under_hot_key(
+        self, spark, skewed_dir
+    ):
+        """The bot's 600-events-per-hour collapse to ONE dedup-state
+        entry per (window, user): exact counts survive the hot key and
+        dedup state is bounded by distinct pairs, not event volume."""
+        glob, schema, rows = skewed_dir
+        stream = ingest.read_stream(
+            spark, glob, schema, max_files_per_trigger=1
+        )
+        agg = ingest.windowed_distinct_users(stream, window="1 hour")
+        q = ingest.write_stream_memory(agg, "hot_wdu")
+        q.awaitTermination(120)
+        out = {
+            r["win"]["start"]: r["distinct_users"]
+            for r in spark.table("hot_wdu").collect()
+        }
+        # watermark (1h delay) finalizes at least the first 4 hours
+        assert len(out) >= 4
+        # every emitted window: 3 users + bot = 4, despite the bot's
+        # 10×-per-minute event share
+        assert set(out.values()) == {4}
+        # dedup state never exceeds the distinct (window, user) pairs
+        # of the whole run (6 windows × 4 users) — NOT the ~4.7k rows
+        dedup = [
+            op for op in self._state(q)
+            if "dedupe" in op.get("operatorName", "").lower()
+        ]
+        assert dedup, self._state(q)
+        assert dedup[0]["numRowsTotal"] <= 6 * 4
+
+    def test_approx_state_is_per_window_not_per_user(
+        self, spark, skewed_dir
+    ):
+        """HLL state rows == open windows (sketches), independent of
+        both user cardinality and the hot key's event share."""
+        glob, schema, rows = skewed_dir
+        stream = ingest.read_stream(
+            spark, glob, schema, max_files_per_trigger=1
+        )
+        agg = ingest.windowed_distinct_users_approx(
+            stream, window="1 hour", rsd=0.01
+        )
+        q = ingest.write_stream_memory(agg, "hot_wda")
+        q.awaitTermination(120)
+        got = {
+            r["win"]["start"]: r["distinct_users_approx"]
+            for r in spark.table("hot_wda").collect()
+        }
+        assert len(got) >= 4
+        # 4 true distinct per window; rsd=1% on n=4 is exact in practice
+        assert set(got.values()) == {4}
+        aggstate = [
+            op for op in self._state(q)
+            if "dedupe" not in op.get("operatorName", "").lower()
+        ]
+        assert aggstate
+        # one state row per un-evicted window — never per user/event
+        assert aggstate[0]["numRowsTotal"] <= 6
+
+    def test_interval_join_output_parity_and_eviction_under_hot_key(
+        self, spark, skewed_dir
+    ):
+        """Bot click×purchase amplification is the join's SEMANTICS:
+        streaming output must equal the batch interval join row-for-row
+        count, and join state must be watermark-evicted (rows removed
+        as event time advances), not retained for the bot's history."""
+        glob, schema, rows = skewed_dir
+        left = ingest.read_stream(
+            spark, glob, schema, max_files_per_trigger=1
+        )
+        right = ingest.read_stream(
+            spark, glob, schema, max_files_per_trigger=1
+        )
+        clicks = left.where(F.col("event_type") == "click").select(
+            "user_id", "event_id", "ts"
+        )
+        purchases = right.where(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("r_user_id"),
+            F.col("event_id").alias("r_event_id"),
+            F.col("ts").alias("r_ts"),
+        )
+        joined = ingest.interval_join_streams(
+            clicks, purchases, "user_id", "ts", "r_ts",
+            lower="0 seconds", upper="10 minutes",
+            watermark="30 minutes",
+        )
+        q = ingest.write_stream_memory(joined, "hot_ssj")
+        q.awaitTermination(180)
+        got = spark.table("hot_ssj").count()
+
+        batch = spark.read.schema(schema).parquet(glob)
+        bc = batch.where(F.col("event_type") == "click").select(
+            "user_id", "event_id", "ts"
+        )
+        bp = batch.where(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("r_user_id"),
+            F.col("ts").alias("r_ts"),
+        )
+        exp = bc.join(
+            bp,
+            (F.col("user_id") == F.col("r_user_id"))
+            & (F.col("r_ts") >= F.col("ts"))
+            & (
+                F.col("r_ts")
+                <= F.col("ts") + F.expr("INTERVAL 10 MINUTE")
+            ),
+        ).count()
+        assert got == exp
+        # state was evicted across batches: rows removed, and end-state
+        # is far below the total rows buffered over the run
+        ops = self._state(q)
+        assert ops
+        total_removed = sum(op.get("numRowsRemoved", 0) for op in ops)
+        assert total_removed > 0, ops
+        n_input = len(
+            [r for r in rows if r[3] in ("click", "purchase")]
+        )
+        assert sum(op["numRowsTotal"] for op in ops) < n_input
