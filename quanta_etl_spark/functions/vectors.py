@@ -35,7 +35,11 @@ def l2_norm(a: Column | str) -> Column:
 
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity; NULL (not an ANSI divide-by-zero error) when
+    either vector has zero norm — one all-zero embedding in a 100-TB
+    corpus must not abort the whole job. Callers rank/threshold on the
+    result, and NULL drops out of both ``>=`` filters and top-k windows."""
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def l2_normalize(a: Column | str) -> Column:

@@ -460,15 +460,17 @@ def gini_coefficient(
     )
     w = Window.partitionBy(*by).orderBy("__x")
     ranked = totals.withColumn("__i", F.row_number().over(w))
+    # a zero-total group (all-zero values) has no defined concentration:
+    # try_divide yields NULL gini instead of an ANSI divide-by-zero abort
     return ranked.groupBy(*by).agg(
         (
-            F.lit(2.0)
-            * F.sum(
-                (F.col("__i") * F.col("__x")).cast("decimal(38,6)")
-            ).cast("double")
-            / (
+            F.try_divide(
+                F.lit(2.0)
+                * F.sum(
+                    (F.col("__i") * F.col("__x")).cast("decimal(38,6)")
+                ).cast("double"),
                 F.count(F.lit(1)).cast("double")
-                * F.sum("__x").cast("double")
+                * F.sum("__x").cast("double"),
             )
             - (F.count(F.lit(1)) + 1).cast("double")
             / F.count(F.lit(1)).cast("double")
@@ -494,9 +496,12 @@ def hhi_concentration(
         F.sum(F.col(value_col).cast("decimal(30,6)")).alias("__x")
     )
     w = Window.partitionBy(*by)
+    # zero-total group → NULL shares (undefined), not a job abort
     shares = totals.withColumn(
         "__share",
-        F.col("__x").cast("double") / F.sum("__x").over(w).cast("double"),
+        F.try_divide(
+            F.col("__x").cast("double"), F.sum("__x").over(w).cast("double")
+        ),
     )
     return shares.groupBy(*by).agg(
         F.sum(F.col("__share") * F.col("__share")).alias("hhi"),

@@ -56,6 +56,10 @@ def _scored(
 
 
 def _topk(scored: DataFrame, k: int, exclude_self: bool = True) -> DataFrame:
+    # zero-norm vectors score NULL cosine (undefined similarity) —
+    # exclude them from the neighbor ranking rather than emitting
+    # NULL-scored rows when fewer than k real candidates exist
+    scored = scored.where(F.col("cosine").isNotNull())
     if exclude_self:
         scored = scored.where(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(
@@ -361,12 +365,18 @@ def label_cohesion(
         .cast("double")
         .alias("nc"),
     )
-    cos = F.col("dot") / (F.sqrt(F.col("nv")) * F.sqrt(F.col("nc")))
+    # zero-norm members (nv=0) and zero centroids (nc=0) have no
+    # defined cosine: NULL via try_divide, excluded from the mean
+    # (sum skips NULLs; divide by the non-NULL count). A label whose
+    # members are ALL zero-norm reports NULL cohesion, not a job abort.
+    cos = F.try_divide(
+        F.col("dot"), F.sqrt(F.col("nv")) * F.sqrt(F.col("nc"))
+    )
     return member.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vectors"),
-        (
-            F.sum(cos.cast("decimal(38,18)")).cast("double")
-            / F.count(F.lit(1))
+        F.try_divide(
+            F.sum(cos.cast("decimal(38,18)")).cast("double"),
+            F.count(cos),
         ).alias("cohesion"),
     )
 
@@ -427,10 +437,17 @@ def centroid_confusion(
         F.col(id_col).alias("vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vv"),
     ).where(F.size("vv") > 0)
-    scored = vecs.crossJoin(F.broadcast(cent_arr))
-    cos = cosine_similarity(F.col("vv"), F.col("cv"))
+    # zero-norm vectors / zero centroids score NULL cosine (try_divide
+    # inside cosine_similarity); drop those pairs BEFORE ranking so a
+    # zero-norm vector is excluded (as documented) instead of silently
+    # assigned to the alphabetically-first label by the tiebreak
+    scored = (
+        vecs.crossJoin(F.broadcast(cent_arr))
+        .withColumn("__cos", cosine_similarity(F.col("vv"), F.col("cv")))
+        .where(F.col("__cos").isNotNull())
+    )
     w = Window.partitionBy("vid").orderBy(
-        cos.desc(), F.col("clabel").asc()
+        F.col("__cos").desc(), F.col("clabel").asc()
     )
     assigned = (
         scored.withColumn("__rn", F.row_number().over(w))
@@ -584,5 +601,8 @@ def embedding_covariance(
     sij = F.col("__sij").cast("double") / s
     s_i = F.col("__si").cast("double") / s
     s_j = F.col("__sj").cast("double") / s
-    cov = (sij - s_i * s_j / n) / (n - F.lit(1.0))
+    # sample covariance is undefined for n=1: try_divide yields NULL
+    # cov rows instead of an ANSI divide-by-zero job abort (n >= 1 by
+    # construction — the sums frame only has rows if vectors exist)
+    cov = F.try_divide(sij - s_i * s_j / n, n - F.lit(1.0))
     return joined.select("i", "j", cov.alias("cov")).orderBy("i", "j")

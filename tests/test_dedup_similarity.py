@@ -319,3 +319,59 @@ def test_multikey_clusters_transitive(spark):
     assert out[1]["cluster_size"] == 3
     assert out[4]["cluster_id"] == 4 and out[4]["cluster_size"] == 1
     assert out[5]["cluster_id"] == 5
+
+
+class TestZeroNormGuards:
+    """Zero-norm embeddings must degrade to NULL-cosine exclusion, never
+    an ANSI divide-by-zero job abort — one all-zero vector in a 100-TB
+    corpus cannot be allowed to kill the whole pass (r9 probe finding)."""
+
+    def _vecs(self, spark):
+        return spark.createDataFrame(
+            [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0]), (4, [1.0, 1.0])],
+            "vec_id long, embedding array<double>",
+        )
+
+    def test_bruteforce_topk_survives_zero_vector(self, spark):
+        df = self._vecs(spark)
+        rows = S.cosine_topk_bruteforce(df, df, k=2).collect()
+        # the zero vector neither emits neighbors nor appears as one
+        assert all(r.query_id != 1 and r.neighbor_id != 1 for r in rows)
+        # real vectors still rank their real neighbors
+        got = {(r.query_id, r.rank): r.neighbor_id for r in rows}
+        assert got[(2, 1)] == 4  # cos(2,4)=0.707 > cos(2,3)=0
+
+    def test_lsh_topk_survives_zero_vector(self, spark):
+        df = self._vecs(spark)
+        rows = S.cosine_topk_lsh(df, df, k=2).collect()
+        assert all(r.query_id != 1 and r.neighbor_id != 1 for r in rows)
+
+    def test_label_cohesion_zero_members_null_not_abort(self, spark):
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.0], "a"), (2, [1.0, 0.0], "a"), (3, [0.0, 0.0], "b")],
+            "vec_id long, embedding array<double>, label string",
+        )
+        out = {r.label: r for r in S.label_cohesion(df).collect()}
+        # label a: zero-norm member excluded from the mean, not diluting it
+        assert out["a"].n_vectors == 2
+        assert out["a"].cohesion == pytest.approx(1.0)
+        # label b: ALL members zero-norm -> undefined cohesion, NULL
+        assert out["b"].cohesion is None
+
+    def test_centroid_confusion_zero_vector_excluded(self, spark):
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.0], "a"), (2, [1.0, 0.0], "a"), (3, [0.0, 1.0], "b")],
+            "vec_id long, embedding array<double>, label string",
+        )
+        out = S.centroid_confusion(df).collect()
+        # 2 assignable vectors (the zero vector is excluded, as documented)
+        assert sum(r.n for r in out) == 2
+
+    def test_embedding_covariance_single_row_null_not_abort(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0])], "vec_id long, embedding array<double>"
+        )
+        rows = S.embedding_covariance(df).collect()
+        # sample covariance undefined at n=1: NULL cells, job completes
+        assert len(rows) == 3  # upper triangle of 2x2
+        assert all(r.cov is None for r in rows)

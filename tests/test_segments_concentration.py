@@ -127,3 +127,27 @@ def test_dow_seasonality(spark):
     assert out[1]["n"] == 2 and out[1]["mean_value"] == 20.0
     assert out[2]["mean_value"] == 20.0
     assert out[1]["seasonal_index"] == pytest.approx(1.0)
+
+
+# ---------- zero-total concentration guards (r9 probe) ----------
+
+def test_gini_zero_total_group_null_not_abort(spark):
+    """An all-zero-value group has no defined concentration: NULL gini,
+    never an ANSI divide-by-zero job abort; sibling groups unaffected."""
+    df = spark.createDataFrame(
+        [("z", "u1", 0.0), ("z", "u2", 0.0), ("g", "u1", 1.0), ("g", "u2", 3.0)],
+        "k string, u string, v double",
+    )
+    out = {r["k"]: r for r in A.gini_coefficient(df, "v", ["u"], ["k"]).collect()}
+    assert out["z"]["gini"] is None
+    assert out["g"]["gini"] == pytest.approx(0.25, abs=1e-12)
+
+
+def test_hhi_zero_total_group_null_not_abort(spark):
+    df = spark.createDataFrame(
+        [("z", "u1", 0.0), ("z", "u2", 0.0), ("g", "u1", 1.0), ("g", "u2", 1.0)],
+        "k string, u string, v double",
+    )
+    out = {r["k"]: r for r in A.hhi_concentration(df, "v", ["u"], ["k"]).collect()}
+    assert out["z"]["hhi"] is None
+    assert out["g"]["hhi"] == pytest.approx(0.5, abs=1e-12)
