@@ -252,19 +252,25 @@ def contribution(
     # by truncating scale; DuckDB picks its own), while double division
     # of two exactly-agreed operands is IEEE-identical everywhere.
     total_w = Window.partitionBy()
+    # try_divide: a zero grand/parent total (net-zero measures like
+    # P&L adjustments) makes shares undefined — NULL, not a job abort
     out = agg.withColumn(
         "group_value", F.col("__v").cast("double")
     ).withColumn(
         "pct_of_total",
-        F.col("__v").cast("double")
-        / F.sum("__v").over(total_w).cast("double"),
+        F.try_divide(
+            F.col("__v").cast("double"),
+            F.sum("__v").over(total_w).cast("double"),
+        ),
     )
     if within:
         sub_w = Window.partitionBy(*within)
         out = out.withColumn(
             "pct_of_parent",
-            F.col("__v").cast("double")
-            / F.sum("__v").over(sub_w).cast("double"),
+            F.try_divide(
+                F.col("__v").cast("double"),
+                F.sum("__v").over(sub_w).cast("double"),
+            ),
         )
     return out.drop("__v")
 

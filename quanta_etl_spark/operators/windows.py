@@ -476,15 +476,23 @@ def max_drawdown(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     run_max = F.max(value_col).over(w)
-    dd = 1.0 - F.col(value_col) / run_max
+    # try_divide: a zero running peak (value history at/below 0) has no
+    # defined drawdown fraction — NULL, not an ANSI divide-by-zero abort
+    dd = 1.0 - F.try_divide(F.col(value_col), run_max)
     # min over struct(-dd, ts, tiebreaks..., peak, value) = argmax dd,
-    # earliest row on ties
-    pick = F.struct(
-        (-dd).alias("neg_dd"),
-        F.col(ts_col).alias("ts"),
-        *[F.col(c) for c in tiebreak_cols],
-        run_max.alias("peak"),
-        F.col(value_col).alias("val"),
+    # earliest row on ties. Rows with undefined dd (zero peak, NULL
+    # value) must be EXCLUDED from the argmax, not allowed to win it:
+    # a struct whose neg_dd field is NULL sorts BEFORE every real
+    # struct under min, so gate the whole struct to NULL (min skips it).
+    pick = F.when(
+        dd.isNotNull(),
+        F.struct(
+            (-dd).alias("neg_dd"),
+            F.col(ts_col).alias("ts"),
+            *[F.col(c) for c in tiebreak_cols],
+            run_max.alias("peak"),
+            F.col(value_col).alias("val"),
+        ),
     )
     return (
         df.withColumn("__pick", pick)

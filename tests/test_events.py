@@ -219,6 +219,39 @@ class TestMaxDrawdown:
         ).collect()
         assert out[0].max_drawdown == 0.0
 
+    def test_zero_peak_rows_excluded_not_abort(self, spark):
+        """A zero running peak (series starting at 0) has no defined
+        drawdown fraction: those rows are excluded from the argmax and
+        never ANSI-abort the job (r9 division-hazard sweep)."""
+        rows = [
+            (1, _ts(0), 1, "x", 0.0),     # run_max = 0 -> undefined dd
+            (2, _ts(1), 1, "x", 100.0),
+            (3, _ts(2), 1, "x", 40.0),    # real dd = 0.6
+        ]
+        out = win_ops.max_drawdown(
+            _events(spark, rows), "user_id", "ts", "value",
+            tiebreak_cols=["event_id"],
+        ).collect()
+        assert len(out) == 1
+        assert abs(out[0].max_drawdown - 0.6) < 1e-12
+        assert out[0].peak_value == 100.0 and out[0].trough_value == 40.0
+
+    def test_null_values_cannot_win_argmax(self, spark):
+        """NULL values previously produced a NULL neg_dd struct field,
+        which sorts FIRST under min and silently won the argmax; they
+        must be ignored."""
+        rows = [
+            (1, _ts(0), 1, "x", 100.0),
+            (2, _ts(1), 1, "x", None),
+            (3, _ts(2), 1, "x", 75.0),
+        ]
+        out = win_ops.max_drawdown(
+            _events(spark, rows), "user_id", "ts", "value",
+            tiebreak_cols=["event_id"],
+        ).collect()
+        assert abs(out[0].max_drawdown - 0.25) < 1e-12
+        assert out[0].trough_value == 75.0
+
 
 class TestAnomalyZscore:
     def test_flags_spike_not_baseline(self, spark):
@@ -349,6 +382,19 @@ class TestContribution:
         assert abs(rows[("a", "x")].pct_of_parent - 0.25) < 1e-12
         assert rows[("b", "x")].pct_of_parent == 1.0
         assert rows[("b", "x")].group_value == 60.0
+
+    def test_zero_total_null_not_abort(self, spark):
+        """A net-zero grand total (e.g. P&L adjustments) makes shares
+        undefined: NULL pct columns, never an ANSI divide-by-zero abort."""
+        from quanta_etl_spark.operators import aggregates as agg_ops2
+        df = spark.createDataFrame(
+            [("a", "x", 10.0), ("a", "y", -10.0)],
+            "g string, s string, v double",
+        )
+        out = agg_ops2.contribution(df, "v", ["g", "s"], within=["g"]).collect()
+        assert all(r.pct_of_total is None for r in out)
+        assert all(r.pct_of_parent is None for r in out)
+        assert {r.group_value for r in out} == {10.0, -10.0}
 
 
 class TestWeightedMedian:
