@@ -917,8 +917,16 @@ def psi_drift(
         .withColumn("__tb", tot_b)
         .withColumn("__tc", tot_c)
     )
-    pa = F.col("n_base").cast("double") / F.col("__tb").cast("double")
-    pb = F.col("n_current").cast("double") / F.col("__tc").cast("double")
+    # try_divide: an empty side (all-NULL or zero-row base/current)
+    # zeroes its total — fracs are undefined (NULL), not a job abort.
+    # Inside the term guard n_base/n_current > 0 implies the totals
+    # are > 0, so the PSI term itself never sees a zero denominator.
+    pa = F.try_divide(
+        F.col("n_base").cast("double"), F.col("__tb").cast("double")
+    )
+    pb = F.try_divide(
+        F.col("n_current").cast("double"), F.col("__tc").cast("double")
+    )
     term = F.when(
         (F.col("n_base") > 0) & (F.col("n_current") > 0),
         (pa - pb) * F.log(pa / pb),

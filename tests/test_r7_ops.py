@@ -579,6 +579,21 @@ class TestPsiDrift:
         ).collect()[0]
         assert total.psi_term > 0.25  # a 30% shift is a "shifted" alarm
 
+    def test_empty_current_side_null_fracs_not_abort(self, spark):
+        """An empty current side (e.g. a day with no data yet) must
+        yield NULL frac_current, not an ANSI 0/0 job abort (r9 sweep)."""
+        from quanta_etl_spark.operators import aggregates as A6
+
+        base = spark.createDataFrame(
+            [(float(v),) for v in range(100)], "v double"
+        )
+        cur = spark.createDataFrame([], "v double")
+        rows = A6.psi_drift(base, cur, "v", bins=5).collect()
+        per = [r for r in rows if r.bucket != -1]
+        assert per and all(r.frac_current is None for r in per)
+        assert all(r.n_current == 0 for r in per)
+        assert all(r.frac_base is not None for r in per)
+
 
 class TestCrossCorrelation:
     def test_acf_of_exact_ar_series(self, spark):
