@@ -79,8 +79,10 @@ def weighted_index(
     One aggregation, map-side combinable."""
     w = F.col(weight) if isinstance(weight, str) else weight
     bucket = time_bucket(ts, interval).alias("bucket_ts")
+    # try_divide: a bucket whose weights sum to zero has no defined
+    # index value -- NULL, not an ANSI divide-by-zero job abort
     return df.groupBy(bucket, *group_cols).agg(
-        (F.sum(F.col(price) * w) / F.sum(w)).alias(out)
+        F.try_divide(F.sum(F.col(price) * w), F.sum(w)).alias(out)
     )
 
 
@@ -158,7 +160,9 @@ def period_growth(
         cur.alias("value"),
         prev.alias("prev_value"),
         (cur - prev).alias("abs_change"),
-        ((cur - prev) / prev).alias("pct_change"),
+        # growth from a zero base is undefined: NULL pct_change (the
+        # abs_change column still carries the move), never a job abort
+        F.try_divide(cur - prev, prev).alias("pct_change"),
     )
 
 
@@ -190,7 +194,8 @@ def dow_seasonality(
         "dow",
         "n",
         mean.alias("mean_value"),
-        (mean / overall).alias("seasonal_index"),
+        # a zero overall mean (net-zero measure) has no defined index
+        F.try_divide(mean, overall).alias("seasonal_index"),
     )
 
 

@@ -151,3 +151,44 @@ def test_hhi_zero_total_group_null_not_abort(spark):
     out = {r["k"]: r for r in A.hhi_concentration(df, "v", ["u"], ["k"]).collect()}
     assert out["z"]["hhi"] is None
     assert out["g"]["hhi"] == pytest.approx(0.5, abs=1e-12)
+
+
+# ---------- resample division guards (r9 sweep) ----------
+
+def test_weighted_index_zero_weight_bucket_null_not_abort(spark):
+    from quanta_etl_spark.operators import resample as R2
+    df = spark.createDataFrame(
+        [("2024-03-10 10:00:01", 5.0, 0.0), ("2024-03-10 10:00:02", 7.0, 0.0),
+         ("2024-03-10 11:00:01", 10.0, 2.0), ("2024-03-10 11:00:02", 20.0, 2.0)],
+        "d string, price double, w double",
+    ).withColumn("ts", F.to_timestamp("d"))
+    out = {r["bucket_ts"].hour: r for r in R2.weighted_index(
+        df, "ts", "price", "w", interval="1 hour"
+    ).collect()}
+    assert out[10]["index_value"] is None          # zero-weight bucket
+    assert out[11]["index_value"] == pytest.approx(15.0)
+
+
+def test_period_growth_zero_base_null_not_abort(spark):
+    from quanta_etl_spark.operators import resample as R2
+    df = spark.createDataFrame(
+        [("2024-01-05", 0.0), ("2024-02-05", 50.0), ("2024-03-05", 75.0)],
+        "d string, v double",
+    ).withColumn("ts", F.to_timestamp("d"))
+    out = {r["period"].month: r for r in R2.period_growth(
+        df, "ts", "v", interval="month"
+    ).collect()}
+    assert out[2]["pct_change"] is None            # growth from zero base
+    assert out[2]["abs_change"] == pytest.approx(50.0)
+    assert out[3]["pct_change"] == pytest.approx(0.5)
+
+
+def test_dow_seasonality_zero_overall_null_not_abort(spark):
+    from quanta_etl_spark.operators import resample as R2
+    df = spark.createDataFrame(
+        [("2024-03-10", 10.0), ("2024-03-11", -10.0)],
+        "d string, v double",
+    ).withColumn("ts", F.to_timestamp("d"))
+    out = R2.dow_seasonality(df, "ts", "v").collect()
+    assert all(r["seasonal_index"] is None for r in out)
+    assert {r["mean_value"] for r in out} == {10.0, -10.0}
