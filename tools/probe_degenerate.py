@@ -405,6 +405,41 @@ def _():
             "g string, unit string, v double")
     return A.gini_coefficient(df, "v", ["unit"], ["g"])
 
+@probe("drawdown_zero_peak")
+def _():
+    from quanta_etl_spark.operators import windows as W
+    df = mk([("x", TS, 0.0), ("x", TS + dt.timedelta(days=1), 100.0),
+             ("x", TS + dt.timedelta(days=2), 40.0)],
+            "k string, ts timestamp, v double")
+    return W.max_drawdown(df, "k", "ts", "v")
+
+@probe("contribution_net_zero_total")
+def _():
+    df = mk([("a", 10.0), ("b", -10.0)], "g string, v double")
+    return A.contribution(df, "v", ["g"])
+
+@probe("psi_empty_current")
+def _():
+    base = mk([(float(i),) for i in range(100)], "v double")
+    cur = mk([], "v double")
+    return A.psi_drift(base, cur, "v", bins=5)
+
+@probe("weighted_index_zero_weights")
+def _():
+    df = mk([(TS, 5.0, 0.0), (TS, 7.0, 0.0)], "ts timestamp, p double, w double")
+    return R.weighted_index(df, "ts", "p", "w", interval="1 hour")
+
+@probe("growth_from_zero_base")
+def _():
+    df = mk([(TS, 0.0), (TS + dt.timedelta(days=31), 50.0)], "ts timestamp, v double")
+    return R.period_growth(df, "ts", "v", interval="month")
+
+@probe("dow_net_zero_overall")
+def _():
+    df = mk([(TS, 10.0), (TS + dt.timedelta(days=1), -10.0)], "ts timestamp, v double")
+    return R.dow_seasonality(df, "ts", "v")
+
+
 results = {"OK": [], "VALERR": [], "CRASH": [], "BADFLOAT": []}
 for name, fn in probes:
     try:
