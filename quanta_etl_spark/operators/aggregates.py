@@ -200,6 +200,13 @@ def histogram_fixed(
     ``extra_by`` combos (tiny). No driver round-trips; the raw column
     never leaves the scan stage un-aggregated.
     """
+    if not num_bins >= 1:
+        raise ValueError(f"num_bins must be >= 1, got {num_bins}")
+    if not hi > lo:
+        # a degenerate range would make width 0 and every bucket
+        # expression an ANSI divide-by-zero — fail loudly at plan time
+        # (hits callers auto-deriving bounds from a constant column)
+        raise ValueError(f"need hi > lo, got lo={lo} hi={hi}")
     width = (hi - lo) / num_bins
     raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
     bucket = F.least(

@@ -533,3 +533,16 @@ def test_ngram_paths_interior_null_dropped(spark):
     got = {r["path"]: r["n_paths"] for r in out}
     # a>NULL>c, NULL>c>d dropped entirely; only the clean c>d>e remains
     assert got == {"c > d > e": 1}
+
+
+def test_histogram_fixed_rejects_degenerate_params(spark):
+    """hi<=lo or num_bins<1 would make every bucket expression an ANSI
+    divide-by-zero at execution — fail loudly at plan time instead
+    (hits callers auto-deriving bounds from a constant column)."""
+    import pytest
+    from quanta_etl_spark.operators import aggregates as agg_ops3
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with pytest.raises(ValueError, match="hi > lo"):
+        agg_ops3.histogram_fixed(df, "x", 5.0, 5.0, 4)
+    with pytest.raises(ValueError, match="num_bins"):
+        agg_ops3.histogram_fixed(df, "x", 0.0, 10.0, 0)
