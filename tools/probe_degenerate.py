@@ -440,6 +440,111 @@ def _():
     return R.dow_seasonality(df, "ts", "v")
 
 
+# ---------- windows ----------
+@probe("ewma_single_row")
+def _():
+    from quanta_etl_spark.operators import windows as W
+    df = mk([("k", TS, 5.0)], "k string, ts timestamp, v double")
+    return W.ewma(df, "k", "ts", "v")
+
+@probe("ewma_null_values")
+def _():
+    from quanta_etl_spark.operators import windows as W
+    df = mk([("k", TS, None), ("k", TS + dt.timedelta(minutes=1), 3.0)],
+            "k string, ts timestamp, v double")
+    return W.ewma(df, "k", "ts", "v")
+
+@probe("interpolate_all_null")
+def _():
+    from quanta_etl_spark.operators import windows as W
+    df = mk([("k", TS, None), ("k", TS + dt.timedelta(minutes=1), None)],
+            "k string, ts timestamp, v double")
+    return W.linear_interpolate(df, "k", "ts", "v")
+
+@probe("interpolate_same_ts")
+def _():
+    from quanta_etl_spark.operators import windows as W
+    df = mk([("k", TS, 1.0), ("k", TS, None), ("k", TS, 3.0)],
+            "k string, ts timestamp, v double")
+    return W.linear_interpolate(df, "k", "ts", "v")
+
+@probe("rolling_median_single")
+def _():
+    from quanta_etl_spark.operators import windows as W
+    df = mk([("k", TS, 5.0)], "k string, ts timestamp, v double")
+    return W.rolling_median(df, "k", "ts", "v", window_rows=10)
+
+@probe("cusum_constant_series")
+def _():
+    from quanta_etl_spark.operators import windows as W
+    df = mk([("k", TS + dt.timedelta(minutes=i), 5.0) for i in range(5)],
+            "k string, ts timestamp, v double")
+    return W.cusum(df, "k", "ts", "v", target=5.0, slack=0.5, threshold=2.0)
+
+@probe("merge_intervals_point")
+def _():
+    from quanta_etl_spark.operators import windows as W
+    df = mk([("k", TS, TS)], "k string, s timestamp, e timestamp")
+    return W.merge_intervals(df, "k", "s", "e")
+
+# ---------- joins ----------
+@probe("asof_empty_right")
+def _():
+    from quanta_etl_spark.operators import joins as J
+    left = mk([("a", TS, 1.0)], "k string, ts timestamp, v double")
+    right = mk([], "k string, ts timestamp, px double")
+    return J.asof_join(left, right, "k", "ts", "ts", ["px"])
+
+@probe("salted_join_tiny")
+def _():
+    from quanta_etl_spark.operators import joins as J
+    left = mk([("a", 1)], "k string, v int")
+    right = mk([("a", 9)], "k string, w int")
+    return J.salted_join(left, right, "k")
+
+# ---------- text ----------
+@probe("tfidf_empty_and_punct_docs")
+def _():
+    from quanta_etl_spark.operators import text_stats as T
+    df = mk([(1, ""), (2, "..."), (3, "hello world hello")],
+            "doc_id long, text string")
+    return T.tfidf(df, "doc_id", "text")
+
+@probe("entropy_single_token")
+def _():
+    from quanta_etl_spark.operators import text_stats as T
+    df = mk([(1, "word")], "doc_id long, text string")
+    return T.token_entropy(df, "doc_id", "text")
+
+@probe("repetition_single_token_doc")
+def _():
+    from quanta_etl_spark.operators import text_stats as T
+    df = mk([(1, "word"), (2, "a b a b")], "doc_id long, text string")
+    return T.repetition_stats(df, "doc_id", "text")
+
+@probe("bm25_query_term_absent")
+def _():
+    from quanta_etl_spark.operators import text_stats as T
+    df = mk([(1, "spark shuffles data"), (2, "duckdb scans parquet")],
+            "doc_id long, text string")
+    return T.bm25_topk(df, "doc_id", "text", ["zzzzz"], top_k=3)
+
+# ---------- multimodal ----------
+@probe("media_empty_payload")
+def _():
+    from quanta_etl_spark.multimodal import media as M
+    df = mk([(1, bytearray(b""), "image", 2, 2),
+             (2, bytearray(b"\x01\x02\x03\x04" * 3), "image", 2, 2)],
+            "media_id long, content binary, kind string, width int, height int")
+    return M.image_features(M.decode_image(df))
+
+@probe("audio_odd_byte_payload")
+def _():
+    from quanta_etl_spark.multimodal import media as M
+    df = mk([(1, bytearray(b"\x01\x02\x03"))], "media_id long, content binary")
+    return M.audio_features(df, sample_width=2)
+
+
 results = {"OK": [], "VALERR": [], "CRASH": [], "BADFLOAT": []}
 for name, fn in probes:
     try:
