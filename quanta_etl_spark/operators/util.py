@@ -16,13 +16,19 @@ def attach_exclusion_guard(
     input rows; it is counted (a global aggregate — always exactly one
     row, even over an empty input) and the count row is checked behind
     an ``assert_true`` filter, then reduced to ZERO rows and unioned
-    onto ``result``. The union forces Spark to execute the guard
-    branch regardless of how many rows ``result`` produces — an
+    IN FRONT of ``result``. The union forces Spark to execute the
+    guard branch regardless of how many rows ``result`` produces — an
     earlier broadcast-join formulation short-circuited on an empty
-    ``result`` plan and the assertion never evaluated (ADVICE r8).
-    No eager action here, and the result plan is untouched when the
-    guard isn't attached. Cost: one extra scan of the guarded input —
-    strict is an opt-in integrity mode.
+    ``result`` plan and the assertion never evaluated (ADVICE r8) —
+    and the guard side comes FIRST because limit-style actions
+    (``take``/``show``/``limit``) evaluate union partitions in order
+    and stop once the limit is satisfied: with the guard appended
+    last, ``strict=True`` silently no-opped under ``take(n)`` when the
+    result partitions alone covered n (r9 self-review). ``take(0)`` /
+    ``limit(0)`` still skip the guard — Spark plans an empty relation
+    without scanning anything. No eager action here, and the result
+    plan is untouched when the guard isn't attached. Cost: one extra
+    scan of the guarded input — strict is an opt-in integrity mode.
     """
     from pyspark.sql import functions as F
 
@@ -55,7 +61,7 @@ def attach_exclusion_guard(
             for f in result.schema.fields
         ]
     )
-    return result.unionByName(zero_rows)
+    return zero_rows.unionByName(result)
 
 
 def spread(df: DataFrame) -> DataFrame:

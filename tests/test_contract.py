@@ -192,6 +192,25 @@ def test_bench_summary_line_always_fits_capture_window():
     # the inlined queries subset + truncation count stay consistent
     assert parsed["queries_truncated"] + len(parsed["queries"]) == 198
 
+    # r9 self-review: the shrink ladder's -4 stride never reached
+    # keep=0 when len(queries) % 4 != 0 (198 % 4 == 2 leaves >= 2
+    # entries inlined forever), and the 20-name errors block was never
+    # shed — long names re-created the parsed:null overflow the
+    # function exists to prevent. Force both paths with a budget only
+    # the bare headline scalars can satisfy.
+    tiny_full = dict(full)
+    tiny_full["queries"] = {
+        f"q_{'x' * 120}_{i:03d}": 1.0 for i in range(7)  # 7 % 4 == 3
+    }
+    tiny_full["errors"] = {f"e_{'y' * 200}_{i}": "m" for i in range(20)}
+    headline_only = bench.make_summary_line(tiny_full, budget=600)
+    assert len(headline_only) <= 600
+    parsed_tiny = json.loads(headline_only)
+    assert parsed_tiny["queries"] == {}  # keep reached 0
+    assert parsed_tiny["queries_truncated"] == 7
+    assert "errors" not in parsed_tiny  # shed; n_failed keeps count
+    assert parsed_tiny["n_failed"] == 2
+
 
 def test_bench_overhead_dominated_flag():
     """A query whose sf0.001 time is >= 0.8× its sf0.1 time is fixed-

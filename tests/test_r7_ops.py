@@ -973,3 +973,33 @@ class TestStrictExclusionAccounting:
         )
         assert ok.collect() == []
         assert ok.columns == ["id", "v"]
+
+    def test_exclusion_guard_fires_under_take(self, spark):
+        """r9 self-review: limit-style actions (take/show/limit)
+        evaluate union partitions in order and stop once the limit is
+        satisfied — with the guard branch appended LAST, strict=True
+        silently no-opped under take(n) whenever the result partitions
+        alone covered n. The guard branch must come first so it always
+        executes before any result row is emitted."""
+        import pytest
+        from pyspark.sql import functions as F
+
+        from quanta_etl_spark.operators.util import attach_exclusion_guard
+
+        base = spark.range(100).select(
+            F.col("id"), (F.col("id") * 2).alias("v")
+        )
+        excluded = base.where(F.col("id") < 5)  # 5 "excluded" rows
+        guarded = attach_exclusion_guard(base, excluded, "take_op")
+        with pytest.raises(Exception, match="5 row.*excluded"):
+            guarded.take(3)
+        with pytest.raises(Exception, match="5 row.*excluded"):
+            guarded.limit(3).collect()
+        # clean guard under take(n): result rows flow through, no
+        # NULL padding rows from the guard branch leak out
+        ok = attach_exclusion_guard(
+            base, base.where(F.lit(False)), "take_op"
+        )
+        got = ok.take(3)
+        assert len(got) == 3
+        assert all(r.id is not None for r in got)

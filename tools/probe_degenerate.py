@@ -56,12 +56,22 @@ def mk(rows, schema):
     return spark.createDataFrame(rows, schema)
 
 
-def has_bad_float(rows):
-    for r in rows:
-        for v in r:
-            if isinstance(v, float) and (math.isnan(v) or math.isinf(v)):
-                return True
+def _bad_float_in(v):
+    """Recursive NaN/Inf scan: floats nested in array/struct/map
+    columns (Row, list, dict values) must not escape the leak check —
+    a normalized-vector or forecast array with a NaN element is the
+    same audit failure as a top-level NaN scalar (r9 self-review)."""
+    if isinstance(v, float):
+        return math.isnan(v) or math.isinf(v)
+    if isinstance(v, dict):
+        return any(_bad_float_in(x) for x in v.values())
+    if isinstance(v, (list, tuple)):  # Row is a tuple subclass
+        return any(_bad_float_in(x) for x in v)
     return False
+
+
+def has_bad_float(rows):
+    return any(_bad_float_in(r) for r in rows)
 
 
 probes = []
@@ -550,16 +560,15 @@ for name, fn in probes:
     try:
         out = fn()
         rows = out.collect() if hasattr(out, "collect") else out
-        flag = ""
         if isinstance(rows, list) and has_bad_float(rows):
-            flag = "  <-- NaN/Inf in output!"
-        preview = rows if not isinstance(rows, list) else rows[:4]
-        print(f"[OK]    {name}: {len(rows) if isinstance(rows, list) else '?'} rows{flag}")
-        if flag:
-            for r in (rows[:6] if isinstance(rows, list) else []):
+            print(f"[BADFLOAT] {name}: {len(rows)} rows  <-- NaN/Inf in output!")
+            for r in rows[:6]:
                 print(f"        {r}")
             results["BADFLOAT"].append(name)
-        results["OK"].append(name)
+        else:
+            nrows = len(rows) if isinstance(rows, list) else "?"
+            print(f"[OK]    {name}: {nrows} rows")
+            results["OK"].append(name)
     except ValueError as e:
         print(f"[VALERR] {name}: {e}")
         results["VALERR"].append(name)
