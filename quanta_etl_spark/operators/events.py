@@ -364,15 +364,27 @@ def inter_event_gaps(
         "MICROSECOND", F.lag(ts_col).over(w), F.col(ts_col)
     )
     gaps = df.withColumn("__gap", gap_us).where(F.col("__gap").isNotNull())
-    return gaps.groupBy(F.col(type_col)).agg(
-        F.count(F.lit(1)).alias("n_gaps"),
-        (
-            F.sum(F.col("__gap").cast("decimal(30,6)")).cast("double")
-            / F.count(F.lit(1))
-            / F.lit(1e6)
-        ).alias("mean_gap_s"),
-        (F.percentile("__gap", F.lit(0.5)) / 1e6).alias("p50_gap_s"),
-        (F.percentile("__gap", F.lit(0.9)) / 1e6).alias("p90_gap_s"),
+    # p50/p90 share one percentile buffer per group (r9).
+    return (
+        gaps.groupBy(F.col(type_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            (
+                F.sum(F.col("__gap").cast("decimal(30,6)")).cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1e6)
+            ).alias("mean_gap_s"),
+            F.percentile(
+                "__gap", F.array(F.lit(0.5), F.lit(0.9))
+            ).alias("__p"),
+        )
+        .select(
+            type_col,
+            "n_gaps",
+            "mean_gap_s",
+            (F.col("__p")[0] / 1e6).alias("p50_gap_s"),
+            (F.col("__p")[1] / 1e6).alias("p90_gap_s"),
+        )
     )
 
 
@@ -408,15 +420,25 @@ def conversion_latency(
     )
     lat_us = F.timestamp_diff("MICROSECOND", F.col("__t0"), F.col("__t1"))
     lats = converted.select(lat_us.alias("__lat"))
-    return lats.agg(
-        F.count(F.lit(1)).alias("n_converted"),
-        (
-            F.sum(F.col("__lat").cast("decimal(30,6)")).cast("double")
-            / F.count(F.lit(1))
-            / F.lit(1e6)
-        ).alias("mean_latency_s"),
-        (F.percentile("__lat", F.lit(0.5)) / 1e6).alias("p50_latency_s"),
-        (F.percentile("__lat", F.lit(0.9)) / 1e6).alias("p90_latency_s"),
+    # p50/p90 share one percentile buffer (r9).
+    return (
+        lats.agg(
+            F.count(F.lit(1)).alias("n_converted"),
+            (
+                F.sum(F.col("__lat").cast("decimal(30,6)")).cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1e6)
+            ).alias("mean_latency_s"),
+            F.percentile(
+                "__lat", F.array(F.lit(0.5), F.lit(0.9))
+            ).alias("__p"),
+        )
+        .select(
+            "n_converted",
+            "mean_latency_s",
+            (F.col("__p")[0] / 1e6).alias("p50_latency_s"),
+            (F.col("__p")[1] / 1e6).alias("p90_latency_s"),
+        )
     )
 
 

