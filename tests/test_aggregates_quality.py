@@ -19,6 +19,45 @@ def test_summarize(spark):
     assert out == {"a": (4.0, 2), "b": (5.0, 1)}
 
 
+def test_summarize_shared_percentile_buffer_equivalence(spark):
+    """r9: percentile_P specs on the same column compile to ONE
+    array-percentage Percentile aggregate + post-projection. The
+    rewrite must be invisible: bit-identical values, same aliases,
+    same column order (group cols first, then aggs insertion order),
+    mixed non-percentile specs untouched."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (rng.choice("abc"), rng.uniform(-1e6, 1e6), rng.randint(0, 99))
+        for _ in range(500)
+    ] + [("a", None, 5)]  # NULLs must behave identically too
+    df = spark.createDataFrame(rows, "k string, v double, w int")
+    aggs = {
+        "p25": ("percentile_25", "v"),
+        "total_w": ("sum", "w"),
+        "p99": ("percentile_99", "v"),
+        "p50": ("percentile_50", "v"),
+        "wp50": ("percentile_50", "w"),  # single spec on another col
+        "n": ("count", "v"),
+    }
+    shared = A.summarize(df, ["k"], aggs)
+    assert shared.columns == ["k", "p25", "total_w", "p99", "p50", "wp50", "n"]
+    # reference: force the scalar path by asking one quantile at a time
+    ref = {}
+    for alias, (fn, col) in aggs.items():
+        got = {
+            r.k: r.x
+            for r in df.groupBy("k")
+            .agg(A._agg_exprs({"x": (fn, col)})[0])
+            .collect()
+        }
+        ref[alias] = got
+    for r in shared.collect():
+        for alias in aggs:
+            assert getattr(r, alias) == ref[alias][r.k], (alias, r.k)
+
+
 def test_rollup_has_grand_total(spark):
     df = spark.createDataFrame(
         [("a", "x", 1), ("a", "y", 2), ("b", "x", 3)], "k1 string, k2 string, v int"
