@@ -153,20 +153,33 @@ def main() -> None:
     # (round 4: a single AnalysisException aborted the run with rc 1 and
     # no timings at all) — record the error, keep timing the rest, and
     # always emit the summary JSON line.
+    # Integral sf values print without the float's trailing ".0" so an
+    # sf1 run targets the committed BENCH_LOCAL_sf1.json record (a
+    # float-formatted "sf1.0" name would silently fork the record).
+    sf_tag = str(int(sf)) if sf == int(sf) else str(sf)
+    record = (
+        "BENCH_LOCAL.json" if sf == 0.1 else f"BENCH_LOCAL_sf{sf_tag}.json"
+    )
     ref_sf1: dict[str, float] = {}
     prior: dict[str, float] = {}
     small: dict[str, float] = {}
+    # `prior` is the committed record for the CURRENT scale factor —
+    # the drift-resample trigger must protect EVERY recorded scale, not
+    # just sf0.1: the r9 sf1 refresh shipped three phantom spikes
+    # (pricing_summary 1.29→8.59s on untouched code) precisely because
+    # the sf1 run had no prior to drift-check against.
+    paths = [(record, prior)]
     if sf == 0.1:
-        for path, dest in (
+        paths += [
             ("BENCH_LOCAL_sf1.json", ref_sf1),
-            ("BENCH_LOCAL.json", prior),  # prior committed round (r-1)
             ("BENCH_LOCAL_sf0.001.json", small),
-        ):
-            try:
-                with open(os.path.join(REPO, path)) as f:
-                    dest.update(json.load(f).get("queries", {}))
-            except (FileNotFoundError, json.JSONDecodeError):
-                pass
+        ]
+    for path, dest in paths:
+        try:
+            with open(os.path.join(REPO, path)) as f:
+                dest.update(json.load(f).get("queries", {}))
+        except (FileNotFoundError, json.JSONDecodeError):
+            pass
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -228,13 +241,6 @@ def main() -> None:
             _drop_leftover_persists()
 
     total = round(sum(timings.values()), 4)
-    # Integral sf values print without the float's trailing ".0" so an
-    # sf1 run targets the committed BENCH_LOCAL_sf1.json record (a
-    # float-formatted "sf1.0" name would silently fork the record).
-    sf_tag = str(int(sf)) if sf == int(sf) else str(sf)
-    record = (
-        "BENCH_LOCAL.json" if sf == 0.1 else f"BENCH_LOCAL_sf{sf_tag}.json"
-    )
     full = {
         "metric": "total_query_seconds",
         "value": total,
