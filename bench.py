@@ -201,21 +201,38 @@ def main() -> None:
             t1 = ref_sf1.get(name)
             t_prior = prior.get(name)
             best = min(samples)
-            need_third = (
-                max(samples) > 2.0 * best
-                or (t1 is not None and best > t1)
-                or (t_prior is not None and t_prior > HEAVY_SECONDS)
-                or (
-                    t_prior is not None
-                    and t_prior > 0
-                    and not (
-                        t_prior / DRIFT_FACTOR
-                        <= best
-                        <= t_prior * DRIFT_FACTOR
+
+            def _suspect(b: float) -> bool:
+                # a measurement that disagrees with its own committed
+                # history is a phantom candidate until sampling says
+                # otherwise
+                return (
+                    (t1 is not None and b > t1)
+                    or (
+                        t_prior is not None
+                        and t_prior > 0
+                        and not (
+                            t_prior / DRIFT_FACTOR
+                            <= b
+                            <= t_prior * DRIFT_FACTOR
+                        )
                     )
                 )
-            )
-            if need_third:
+
+            # Resample while suspect, bounded at 5 samples total: the
+            # r9 sf1 reruns showed host contention lasting across a
+            # full 3-sample window (text_winnow 6.8s committed, 11.4s
+            # min-of-3 on untouched code), so one extra sample is not
+            # always enough to outlast a neighbor's burst. Converging
+            # high 5 times in a row is accepted as a real change.
+            if (
+                max(samples) > 2.0 * best
+                or (t_prior is not None and t_prior > HEAVY_SECONDS)
+                or _suspect(best)
+            ):
+                samples.append(_sample())
+                best = min(samples)
+            while _suspect(best) and len(samples) < 5:
                 samples.append(_sample())
                 best = min(samples)
             timings[name] = round(best, 4)
