@@ -225,9 +225,18 @@ def main() -> None:
             # min-of-3 on untouched code), so one extra sample is not
             # always enough to outlast a neighbor's burst. Converging
             # high 5 times in a row is accepted as a real change.
+            # The unconditional heavy-query 3rd sample is an sf0.1
+            # calibration (HEAVY_SECONDS=2 ≈ the top decile there); at
+            # sf1 half the panel exceeds 2s and the rule would add a
+            # full extra run per heavy query with no drift signal —
+            # other scales rely on the _suspect() drift triggers.
             if (
                 max(samples) > 2.0 * best
-                or (t_prior is not None and t_prior > HEAVY_SECONDS)
+                or (
+                    sf == 0.1
+                    and t_prior is not None
+                    and t_prior > HEAVY_SECONDS
+                )
                 or _suspect(best)
             ):
                 samples.append(_sample())

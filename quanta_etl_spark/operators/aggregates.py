@@ -13,6 +13,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .util import quote_col
+
 # name → (builder, needs_column)
 _AGG_FNS = {
     "sum": F.sum,
@@ -47,10 +49,6 @@ def _agg_exprs(aggs: Mapping[str, tuple[str, str] | Column]) -> list[Column]:
             else:
                 out.append(_AGG_FNS[fn](col).alias(alias))
     return out
-
-
-def _quote(name: str) -> Column:
-    return F.col("`" + name.replace("`", "``") + "`")
 
 
 def summarize(
@@ -94,13 +92,13 @@ def summarize(
     exprs += _agg_exprs({a: s for a, s in aggs.items() if a not in slot})
     agged = df.groupBy(*by).agg(*exprs)
     group_cols = agged.columns[: len(agged.columns) - len(exprs)]
-    sel = [_quote(c) for c in group_cols]
+    sel = [quote_col(c) for c in group_cols]
     for a in aggs:  # original alias order
         if a in slot:
             internal, j = slot[a]
             sel.append(F.col(internal)[j].alias(a))
         else:
-            sel.append(_quote(a))
+            sel.append(quote_col(a))
     return agged.select(*sel)
 
 

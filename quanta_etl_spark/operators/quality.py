@@ -16,6 +16,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .util import join_group_stats, quote_col
+
 
 def offenders(
     df: DataFrame, predicate: Column | str, keys: Sequence[str]
@@ -97,9 +99,7 @@ def profile_columns(
     n_distinct = F.count_distinct if exact_distinct else F.approx_count_distinct
     aggs = []
     for i, c in enumerate(cols):
-        # backtick-quote (with doubling) so dots/spaces/backticks in
-        # the name resolve literally instead of as attribute syntax
-        src = F.col("`" + c.replace("`", "``") + "`")
+        src = quote_col(c)
         aggs += [
             F.count(F.lit(1)).alias(f"__n_{i}"),
             F.sum(src.isNull().cast("long")).alias(f"__null_{i}"),
@@ -136,7 +136,7 @@ def impute_group_mean(
     grouping key the data is often already partitioned by."""
     out_col = out_col or value
     means = df.groupBy(*by).agg(F.avg(value).alias("__grp_mean"))
-    joined = df.join(means, list(by), "left")
+    joined = join_group_stats(df, means, by)
     return joined.withColumn(
         out_col, F.coalesce(F.col(value), F.col("__grp_mean"))
     ).drop("__grp_mean")
@@ -189,7 +189,7 @@ def iqr_outliers(
             F.col("__qq")[1].alias("__q3"),
         )
     )
-    joined = df.join(bounds, list(by), "left")
+    joined = join_group_stats(df, bounds, by)
     iqr = F.col("__q3") - F.col("__q1")
     is_out = (F.col(value) < F.col("__q1") - k * iqr) | (
         F.col(value) > F.col("__q3") + k * iqr
@@ -307,14 +307,14 @@ def mad_outliers(
     med = df.groupBy(*by).agg(
         F.percentile(value, F.lit(0.5)).alias("__med")
     )
-    dev = df.join(med, list(by), "left").withColumn(
+    dev = join_group_stats(df, med, by).withColumn(
         "__adev", F.abs(F.col(value) - F.col("__med"))
     )
     mad = dev.groupBy(*by).agg(
         F.percentile("__adev", F.lit(0.5)).alias("__mad"),
         F.first("__med").alias("__med2"),
     )
-    joined = df.join(mad, list(by), "left")
+    joined = join_group_stats(df, mad, by)
     score = F.abs(F.col(value) - F.col("__med2")) / (
         F.lit(consistency) * F.col("__mad")
     )
@@ -572,7 +572,7 @@ def winsorize(
         .otherwise(v)
     )
     return (
-        df.join(F.broadcast(bounds), list(group_cols), "left")
+        join_group_stats(df, F.broadcast(bounds), group_cols)
         .withColumn(out_col, clipped)
         .drop("__lo", "__hi")
     )
@@ -781,7 +781,7 @@ def outlier_ensemble(
             F.col("__p")[4].alias("__phi"),
         )
     )
-    with_med = df.join(F.broadcast(stats1), g, "left")
+    with_med = join_group_stats(df, F.broadcast(stats1), g)
     mad = (
         with_med.groupBy(*g)
         .agg(
@@ -790,7 +790,7 @@ def outlier_ensemble(
             )
         )
     )
-    j = with_med.join(F.broadcast(mad), g, "left")
+    j = join_group_stats(with_med, F.broadcast(mad), g)
     iqr = F.col("__q3") - F.col("__q1")
     flag_iqr = (v < F.col("__q1") - F.lit(iqr_k) * iqr) | (
         v > F.col("__q3") + F.lit(iqr_k) * iqr

@@ -8,60 +8,66 @@ from pyspark.sql import DataFrame
 def attach_exclusion_guard(
     result: DataFrame, excluded: DataFrame, op_name: str
 ) -> DataFrame:
-    """Fail a lazy plan at EXECUTION time when any input row was
+    """Fail EAGERLY — at guard-attach time — when any input row was
     silently excluded (VERDICT r7 #5 — ``strict=True`` on the decimal
-    stat paths).
+    stat paths). ``excluded`` must be a frame whose rows are exactly
+    the excluded input rows; if it is non-empty this raises
+    ``ValueError`` immediately, otherwise ``result`` is returned
+    UNTOUCHED.
 
-    ``excluded`` must be a frame whose rows are exactly the excluded
-    input rows; it is counted (a global aggregate — always exactly one
-    row, even over an empty input) and the count row is checked behind
-    an ``assert_true`` filter, then reduced to ZERO rows and unioned
-    IN FRONT of ``result``. The union forces Spark to execute the
-    guard branch regardless of how many rows ``result`` produces — an
-    earlier broadcast-join formulation short-circuited on an empty
-    ``result`` plan and the assertion never evaluated (ADVICE r8) —
-    and the guard side comes FIRST because limit-style actions
-    (``take``/``show``/``limit``) evaluate union partitions in order
-    and stop once the limit is satisfied: with the guard appended
-    last, ``strict=True`` silently no-opped under ``take(n)`` when the
-    result partitions alone covered n (r9 self-review). ``take(0)`` /
-    ``limit(0)`` still skip the guard — Spark plans an empty relation
-    without scanning anything. No eager action here, and the result
-    plan is untouched when the guard isn't attached. Cost: one extra
-    scan of the guarded input — strict is an opt-in integrity mode.
+    History — why eager, not lazy: three successive lazy formulations
+    each left a silent-no-op hole, because every plan-embedded check
+    is at the optimizer's and the action's mercy. A broadcast-join
+    check short-circuited on an empty result plan (ADVICE r8); a
+    zero-row union with an ``assert_true`` filter was skipped by
+    limit-style actions that satisfy the limit from the result
+    partitions alone (r9 self-review); reordering the union only
+    moved the hole — any caller filter above the union is pushed into
+    the guard branch, constant-folds over its NULL literals, and
+    ``PruneFilters``/``PropagateEmptyRelation`` delete the assertion
+    subtree entirely (r9 second review, confirmed by execution). An
+    integrity mode that can be optimized away is not an integrity
+    mode. The eager check costs one Spark job (a short-circuiting
+    ``isEmpty`` — one partition scanned when clean inputs are clean
+    early) at operator-construction time; strict is an opt-in
+    integrity mode and the docstring of every strict operator says
+    it pays an extra scan.
     """
+    if not excluded.isEmpty():
+        n = excluded.count()
+        raise ValueError(
+            f"{op_name}: strict=True and {n} row(s) were excluded "
+            "from the fit (value beyond the exact-decimal input range "
+            "|x| < 1e12); rescale the inputs or drop strict to accept "
+            "the smaller n"
+        )
+    return result
+
+
+def quote_col(name: str):
+    """Backtick-quote (with doubling) a column name so dots, spaces,
+    quotes, and backticks resolve literally instead of as attribute
+    syntax — any legal parquet name stays addressable."""
     from pyspark.sql import functions as F
 
-    guard = excluded.agg(F.count(F.lit(1)).alias("__nexcl"))
-    # The assertion lives in a FILTER predicate (assert_true returns
-    # NULL when the condition holds, raises otherwise): a filter can't
-    # be column-pruned away, whereas an unused assert_true column in a
-    # select is — the optimizer silently dropped the first version.
-    check = F.assert_true(
-        F.col("__nexcl") == 0,
-        F.concat(
-            F.lit(f"{op_name}: strict=True and "),
-            F.col("__nexcl").cast("string"),
-            F.lit(
-                " row(s) were excluded from the fit (value beyond "
-                "the exact-decimal input range |x| < 1e12); rescale "
-                "the inputs or drop strict to accept the smaller n"
-            ),
-        ),
-    ).isNull()
-    # After the assert passes, __nexcl == 0 necessarily holds, so the
-    # second predicate drops the count row and the union contributes
-    # nothing. When __nexcl > 0 the conjunction cannot resolve without
-    # evaluating the assert (its companion is true), so the raise fires
-    # under either predicate evaluation order.
-    empty_when_ok = guard.where(check).where(F.col("__nexcl") != 0)
-    zero_rows = empty_when_ok.select(
-        *[
-            F.lit(None).cast(f.dataType).alias(f.name)
-            for f in result.schema.fields
-        ]
-    )
-    return zero_rows.unionByName(result)
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
+def join_group_stats(
+    df: DataFrame, stats: DataFrame, by, how: str = "left"
+) -> DataFrame:
+    """Join a per-group stats frame back onto the data, supporting the
+    GLOBAL case: with ``by=[]`` the stats frame is the 1-row global
+    aggregate and the join becomes a broadcast cross join —
+    ``df.join(stats, [], "left")`` raises a bare IndexError inside
+    pyspark (r9 second review), which made every ``by=[]``-documented
+    operator (impute/iqr/mad/winsorize/ensemble) unusable globally."""
+    keys = list(by)
+    if keys:
+        return df.join(stats, keys, how)
+    from pyspark.sql import functions as F
+
+    return df.crossJoin(F.broadcast(stats))
 
 
 def spread(df: DataFrame) -> DataFrame:

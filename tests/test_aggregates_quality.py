@@ -19,6 +19,51 @@ def test_summarize(spark):
     assert out == {"a": (4.0, 2), "b": (5.0, 1)}
 
 
+def test_group_stat_operators_support_global_case(spark):
+    """r9 second review: every by=[]-documented operator crashed with a
+    bare IndexError inside pyspark's join (join on an empty key list).
+    The global case is a 1-row aggregate broadcast cross-joined back —
+    it must work and must agree with the single-group equivalent."""
+    rows = [(float(i),) for i in range(1, 21)] + [(1000.0,), (None,)]
+    df = spark.createDataFrame(rows, "v double")
+    one_group = df.withColumn("g", F.lit("all"))
+
+    # iqr_outliers: global flags == single-group flags
+    glob = {
+        r.v: r.is_outlier
+        for r in Q.iqr_outliers(df, "v", []).collect()
+    }
+    ref = {
+        r.v: r.is_outlier
+        for r in Q.iqr_outliers(one_group, "v", ["g"]).collect()
+    }
+    assert glob == ref and glob[1000.0] is True
+
+    # winsorize: bounds clip identically
+    gw = sorted(
+        r.v_winsorized
+        for r in Q.winsorize(df, [], "v").collect()
+        if r.v_winsorized is not None
+    )
+    rw = sorted(
+        r.v_winsorized
+        for r in Q.winsorize(one_group, ["g"], "v").collect()
+        if r.v_winsorized is not None
+    )
+    assert gw == rw
+
+    # impute_group_mean: the docstring's own "global fillna" case
+    imp = Q.impute_group_mean(df, "v", [])
+    assert imp.where(F.col("v").isNull()).count() == 0
+
+    # mad_outliers and outlier_ensemble: run and flag the spike
+    mad = {r.v: r.is_outlier for r in Q.mad_outliers(df, "v", []).collect()}
+    assert mad[1000.0] is True
+    ens = Q.outlier_ensemble(df, [], "v")
+    flagged = {r.value for r in ens.collect()}
+    assert 1000.0 in flagged
+
+
 def test_summarize_shared_percentile_buffer_equivalence(spark):
     """r9: percentile_P specs on the same column compile to ONE
     array-percentage Percentile aggregate + post-projection. The

@@ -948,39 +948,15 @@ class TestStrictExclusionAccounting:
             == 24
         )
 
-    def test_exclusion_guard_fires_on_empty_result(self, spark):
-        """ADVICE r8: the broadcast-join guard formulation
-        short-circuited when the guarded result plan produced zero
-        rows — the excluded-row assertion never evaluated. The union
-        formulation must raise even then."""
-        import pytest
-        from pyspark.sql import functions as F
-
-        from quanta_etl_spark.operators.util import attach_exclusion_guard
-
-        base = spark.range(10).select(
-            F.col("id"), (F.col("id") * 2).alias("v")
-        )
-        empty_result = base.where(F.lit(False))
-        excluded = base.where(F.col("id") < 3)  # 3 "excluded" rows
-        with pytest.raises(Exception, match="3 row.*excluded"):
-            attach_exclusion_guard(
-                empty_result, excluded, "empty_op"
-            ).collect()
-        # and a clean empty result stays empty (guard adds no rows)
-        ok = attach_exclusion_guard(
-            empty_result, base.where(F.lit(False)), "empty_op"
-        )
-        assert ok.collect() == []
-        assert ok.columns == ["id", "v"]
-
-    def test_exclusion_guard_fires_under_take(self, spark):
-        """r9 self-review: limit-style actions (take/show/limit)
-        evaluate union partitions in order and stop once the limit is
-        satisfied — with the guard branch appended LAST, strict=True
-        silently no-opped under take(n) whenever the result partitions
-        alone covered n. The guard branch must come first so it always
-        executes before any result row is emitted."""
+    def test_exclusion_guard_is_eager_and_action_proof(self, spark):
+        """The guard must raise no matter how the caller consumes (or
+        never consumes) the result. Three successive LAZY formulations
+        each left a silent-no-op hole — empty result plan (ADVICE r8),
+        take/limit partition short-circuit (r9 self-review), and any
+        caller filter above the union being constant-folded into the
+        guard branch and pruned with the assertion (r9 second review,
+        confirmed by execution). The guard is therefore EAGER: it
+        raises ValueError at attach time when excluded is non-empty."""
         import pytest
         from pyspark.sql import functions as F
 
@@ -990,16 +966,39 @@ class TestStrictExclusionAccounting:
             F.col("id"), (F.col("id") * 2).alias("v")
         )
         excluded = base.where(F.col("id") < 5)  # 5 "excluded" rows
-        guarded = attach_exclusion_guard(base, excluded, "take_op")
-        with pytest.raises(Exception, match="5 row.*excluded"):
-            guarded.take(3)
-        with pytest.raises(Exception, match="5 row.*excluded"):
-            guarded.limit(3).collect()
-        # clean guard under take(n): result rows flow through, no
-        # NULL padding rows from the guard branch leak out
-        ok = attach_exclusion_guard(
-            base, base.where(F.lit(False)), "take_op"
+        with pytest.raises(ValueError, match="5 row.*excluded"):
+            attach_exclusion_guard(base, excluded, "eager_op")
+        # the historical bypass shapes cannot recur: the raise happens
+        # before ANY action — take, filter-then-collect, or no action
+        # at all — because there is no guarded plan to mis-optimize.
+
+        # clean guard: result returned untouched (same plan object),
+        # rows flow through take(), filters, and full collects
+        clean = attach_exclusion_guard(
+            base, base.where(F.lit(False)), "eager_op"
         )
-        got = ok.take(3)
-        assert len(got) == 3
-        assert all(r.id is not None for r in got)
+        assert clean is base
+        got = clean.where(F.col("v") > 10).take(3)
+        assert len(got) == 3 and all(r.id is not None for r in got)
+        # empty clean result stays empty with its schema intact
+        empty_ok = attach_exclusion_guard(
+            base.where(F.lit(False)),
+            base.where(F.lit(False)),
+            "eager_op",
+        )
+        assert empty_ok.collect() == []
+        assert empty_ok.columns == ["id", "v"]
+
+    def test_strict_raises_even_when_output_is_filtered(self, spark):
+        """The r9-second-review bypass, end-to-end: a caller who
+        filters a strict operator's output (e.g. dropping NULL
+        correlations — natural code) must still get the exclusion
+        error, not silently pruned rows."""
+        import pytest
+        from pyspark.sql import functions as F
+
+        clean, dirty = self._frames(spark)
+        with pytest.raises(Exception, match="rolling_corr.*excluded"):
+            win_ops.rolling_corr(
+                dirty, ["g"], "x", "x", "y", window_rows=5, strict=True
+            ).where(F.col("rolling_corr").isNotNull()).collect()

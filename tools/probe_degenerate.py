@@ -64,7 +64,11 @@ def _bad_float_in(v):
     if isinstance(v, float):
         return math.isnan(v) or math.isinf(v)
     if isinstance(v, dict):
-        return any(_bad_float_in(x) for x in v.values())
+        # keys too: a map<double,...> keyed by a computed NaN is the
+        # same leak as a NaN value (r9 second review)
+        return any(
+            _bad_float_in(x) for kv in v.items() for x in kv
+        )
     if isinstance(v, (list, tuple)):  # Row is a tuple subclass
         return any(_bad_float_in(x) for x in v)
     return False
