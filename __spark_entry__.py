@@ -2808,9 +2808,12 @@ def q_stream_cusum(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_anomaly_cusum(spark: SparkSession, sf: str) -> DataFrame:
     """One-sided CUSUM drift detection per user (windows.cusum,
-    applyInPandas — the max-clamp recursion has no window form):
-    sequential double arithmetic is engine-identical, so the oracle's
-    recursive CTE reproduces every score bit-for-bit."""
+    applyInPandas): the max-clamp recursion's clamp resets make
+    exact-boundary alarms bit-reproducible across engines (the faster
+    closed-form rewrite was measured to flip 3 knife-edge alarms at
+    sf1 on engine-internal window-sum order and reverted — see the
+    operator docstring); the oracle's recursive CTE evaluates the
+    identical sequential arithmetic."""
     ev = load_table(spark, sf, "events")
     out = win_ops.cusum(
         ev, "user_id", "ts", "value",

@@ -697,10 +697,23 @@ def cusum(
     that catches SMALL persistent shifts a per-point z-score never
     crosses a threshold on.
 
-    The max(0, ·) clamp makes the recursion genuinely sequential — no
-    window frame or closed form — so like :func:`ewma` this is the
-    ``applyInPandas`` case: one shuffle on the key, a numpy recursion
-    per group (vectorized clamp loop, no Python-per-row).
+    Numerics note (r9, measured): the clamp DOES have the
+    drawdown-duality closed form ``S_t = P_t − min(0, min_{j≤t} P_j)``
+    over drift prefix sums, which runs as two stacked JVM window
+    aggregates (~7× faster at sf0.1) — but it is numerically WORSE
+    and was reverted. The recursion's clamp resets discard
+    accumulated float error at every zero-touch, and every engine
+    evaluates the identical left-to-right op sequence, so exact-
+    boundary alarms (an event that lands S_t precisely ON the
+    threshold — present in this data) are bit-reproducible across
+    engines. The closed form instead carries unclamped prefix sums
+    across the whole history, and window-SUM accumulation order is
+    engine-internal (DuckDB's segment trees vs Spark's running
+    accumulation): measured at sf1, 3 of 1M rows flipped ``alarm``
+    on a one-ulp disagreement exactly at the threshold. Like
+    :func:`ewma` this stays the ``applyInPandas`` case: one shuffle
+    on the key, a numpy recursion per group (vectorized clamp loop,
+    no Python-per-row).
 
     Output keeps (key, order cols, value, cusum, alarm). The SQL
     oracle reproduces it with a recursive CTE — slow but exact, which
