@@ -156,7 +156,13 @@ def main() -> None:
     # Integral sf values print without the float's trailing ".0" so an
     # sf1 run targets the committed BENCH_LOCAL_sf1.json record (a
     # float-formatted "sf1.0" name would silently fork the record).
-    sf_tag = str(int(sf)) if sf == int(sf) else str(sf)
+    # sf is None when the dir name carries no sf<number> segment — tag
+    # the record "unknown" rather than crashing before any query runs
+    # (int(None) raised here, r9 third review).
+    if sf is None:
+        sf_tag = "unknown"
+    else:
+        sf_tag = str(int(sf)) if sf == int(sf) else str(sf)
     record = (
         "BENCH_LOCAL.json" if sf == 0.1 else f"BENCH_LOCAL_sf{sf_tag}.json"
     )

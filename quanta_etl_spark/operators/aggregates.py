@@ -396,10 +396,12 @@ def ols_regress(
     exact.
 
     ``strict=True`` (VERDICT r7 #5) turns that silent exclusion into
-    an execution-time error: the excluded rows are counted (one extra
-    scan) and the returned plan raises if any exist, so a caller
-    fitting large-notional data gets an explicit signal instead of a
-    quietly smaller sample.
+    an EAGER error: the excluded rows are checked at this call (one
+    extra Spark job; ``ValueError`` if any exist — lazy plan-embedded
+    checks proved optimizer-bypassable, see
+    ``util.attach_exclusion_guard``), so a caller fitting
+    large-notional data gets an explicit signal instead of a quietly
+    smaller sample.
     """
     x = F.col(x_col).try_cast("decimal(18,6)")
     y = F.col(y_col).try_cast("decimal(18,6)")

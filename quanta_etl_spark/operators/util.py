@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def attach_exclusion_guard(
@@ -48,8 +49,6 @@ def quote_col(name: str):
     """Backtick-quote (with doubling) a column name so dots, spaces,
     quotes, and backticks resolve literally instead of as attribute
     syntax — any legal parquet name stays addressable."""
-    from pyspark.sql import functions as F
-
     return F.col("`" + name.replace("`", "``") + "`")
 
 
@@ -61,12 +60,24 @@ def join_group_stats(
     aggregate and the join becomes a broadcast cross join —
     ``df.join(stats, [], "left")`` raises a bare IndexError inside
     pyspark (r9 second review), which made every ``by=[]``-documented
-    operator (impute/iqr/mad/winsorize/ensemble) unusable globally."""
+    operator (impute/iqr/mad/winsorize/ensemble) unusable globally.
+
+    Global-branch contract (loud, not silent): ``stats`` must be a
+    GLOBAL AGGREGATE of ``df`` — ``df.agg(...)`` / ``groupBy()`` with
+    no keys — which always yields exactly one row, making the cross
+    join row-preserving and left-vs-inner indistinguishable. A stats
+    frame that can be empty or multi-row (e.g. filtered after the
+    aggregate) would change ``df``'s row multiplicity, so only
+    ``how="left"`` is accepted with empty keys."""
     keys = list(by)
     if keys:
         return df.join(stats, keys, how)
-    from pyspark.sql import functions as F
-
+    if how != "left":
+        raise ValueError(
+            f"join_group_stats: how={how!r} is undefined for the "
+            "global (by=[]) case — the 1-row global aggregate makes "
+            "only the row-preserving left/cross shape meaningful"
+        )
     return df.crossJoin(F.broadcast(stats))
 
 

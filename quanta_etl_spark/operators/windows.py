@@ -619,13 +619,15 @@ def rolling_corr(
     NULL inputs, are excluded from n AND every power sum together
     (counting them in n while the sums skip them would quietly skew
     the correlation — the ols_regress hazard from ADVICE r6).
-    ``strict=True`` raises at execution time instead when any
-    overflow-excluded row exists (VERDICT r7 #5; one extra scan).
-    ``strict`` applies to the decimal path only: combining it with
-    ``scale`` raises ``ValueError`` immediately — the int64 fast path
-    has no overflow-exclusion semantics to guard, and silently
-    ignoring the flag would defeat its explicit-signal intent
-    (ADVICE r8).
+    ``strict=True`` raises ``ValueError`` AT THIS CALL (eagerly, one
+    extra Spark job scanning for overflow-excluded rows) when any
+    exist — a lazy plan-embedded check proved bypassable by the
+    optimizer, see ``util.attach_exclusion_guard`` (VERDICT r7 #5,
+    r9). ``strict`` applies to the decimal path only: combining it
+    with ``scale`` also raises ``ValueError`` immediately — the int64
+    fast path has no overflow-exclusion semantics to guard, and
+    silently ignoring the flag would defeat its explicit-signal
+    intent (ADVICE r8).
     """
     if strict and scale is not None:
         raise ValueError(
@@ -888,10 +890,11 @@ def rolling_regress(
     or zero x-variance get NULL slope/intercept. Decimal-path input
     range and overflow-row handling are identical to
     ``rolling_corr``'s (|x|,|y| < 1e12; overflowed rows leave n and
-    every sum together; ``strict=True`` raises at execution time when
-    any such row exists, and combining ``strict=True`` with ``scale``
-    raises ``ValueError`` immediately — ADVICE r8). One window shuffle
-    on the key.
+    every sum together; ``strict=True`` raises ``ValueError`` eagerly
+    AT THIS CALL when any such row exists — one extra scan, see
+    ``util.attach_exclusion_guard`` — and combining ``strict=True``
+    with ``scale`` raises ``ValueError`` immediately — ADVICE r8).
+    One window shuffle on the key.
     """
     if strict and scale is not None:
         raise ValueError(
