@@ -68,8 +68,14 @@ def summarize(
     """
     pct_by_col: dict[str, list[str]] = {}
     for alias, spec in aggs.items():
-        if not isinstance(spec, Column) and spec[0].startswith(
-            "percentile_"
+        # Sharing detection requires a STRING source: Column objects
+        # are unhashable (pyspark sets Column.__hash__ = None), and two
+        # Column specs are not comparable anyway — they fall through to
+        # the unshared _agg_exprs path unchanged (ADVICE r9 #1).
+        if (
+            not isinstance(spec, Column)
+            and spec[0].startswith("percentile_")
+            and isinstance(spec[1], str)
         ):
             pct_by_col.setdefault(spec[1], []).append(alias)
     shared = {c: a for c, a in pct_by_col.items() if len(a) > 1}
@@ -77,11 +83,17 @@ def summarize(
         return df.groupBy(*by).agg(*_agg_exprs(aggs))
     slot: dict[str, tuple[str, int]] = {}  # alias → (internal col, idx)
     exprs: list[Column] = []
+    # Internal slot names must not collide with user aliases or group
+    # columns (ADVICE r9 #2): bump the prefix until it is unused.
+    taken = set(aggs) | {c for c in by if isinstance(c, str)}
+    prefix = "__pct_"
+    while any(t.startswith(prefix) for t in taken):
+        prefix = "_" + prefix
     for i, (col, aliases) in enumerate(shared.items()):
         qs = [
             float(aggs[a][0].split("_", 1)[1]) / 100.0 for a in aliases
         ]
-        internal = f"__pct_{i}"
+        internal = f"{prefix}{i}"
         exprs.append(
             F.percentile(col, F.array(*[F.lit(q) for q in qs])).alias(
                 internal

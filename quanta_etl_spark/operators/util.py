@@ -29,15 +29,17 @@ def attach_exclusion_guard(
     subtree entirely (r9 second review, confirmed by execution). An
     integrity mode that can be optimized away is not an integrity
     mode. The eager check costs one Spark job (a short-circuiting
-    ``isEmpty`` — one partition scanned when clean inputs are clean
+    ``take(1)`` — one partition scanned when clean inputs are clean
     early) at operator-construction time; strict is an opt-in
     integrity mode and the docstring of every strict operator says
-    it pays an extra scan.
+    it pays an extra scan. The failure path is also ONE job (ADVICE
+    r9 #4): the same ``take(1)`` that detects proves "at least one",
+    which is all the message needs — an exact count would re-scan the
+    full frame for a string that is about to be thrown away.
     """
-    if not excluded.isEmpty():
-        n = excluded.count()
+    if excluded.take(1):
         raise ValueError(
-            f"{op_name}: strict=True and {n} row(s) were excluded "
+            f"{op_name}: strict=True and at least one row was excluded "
             "from the fit (value beyond the exact-decimal input range "
             "|x| < 1e12); rescale the inputs or drop strict to accept "
             "the smaller n"

@@ -103,6 +103,35 @@ def test_summarize_shared_percentile_buffer_equivalence(spark):
             assert getattr(r, alias) == ref[alias][r.k], (alias, r.k)
 
 
+def test_summarize_percentile_column_specs_and_alias_collisions(spark):
+    """ADVICE r9 #1/#2: (a) percentile specs whose SOURCE is a Column
+    object must fall through to the unshared path (Column.__hash__ is
+    None — the sharing dict would raise TypeError), and (b) a user
+    alias that collides with the internal ``__pct_`` slot prefix must
+    not shadow or duplicate the shared-buffer columns."""
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(10)] + [("b", float(i)) for i in range(5)],
+        "k string, v double",
+    )
+    # (a) two Column-source percentile specs: pre-r9 behavior preserved
+    col_aggs = {
+        "p50": ("percentile_50", F.col("v") * 2),
+        "p90": ("percentile_90", F.col("v") * 2),
+    }
+    got = {r.k: (r.p50, r.p90) for r in A.summarize(df, ["k"], col_aggs).collect()}
+    assert got["b"] == (4.0, 7.2)
+    # (b) user aliases squatting on the internal prefix
+    clash_aggs = {
+        "__pct_0": ("percentile_25", "v"),
+        "__pct_1": ("percentile_75", "v"),
+        "n": ("count", "v"),
+    }
+    out = A.summarize(df, ["k"], clash_aggs)
+    assert out.columns == ["k", "__pct_0", "__pct_1", "n"]
+    row = {r.k: r for r in out.collect()}["a"]
+    assert (row["__pct_0"], row["__pct_1"], row["n"]) == (2.25, 6.75, 10)
+
+
 def test_rollup_has_grand_total(spark):
     df = spark.createDataFrame(
         [("a", "x", 1), ("a", "y", 2), ("b", "x", 3)], "k1 string, k2 string, v int"

@@ -112,21 +112,21 @@ def test_all_oracles_emit_gate_safe_duckdb_types(sf_dir):
     assert not bad, f"gate-unsafe DuckDB oracle output types: {bad}"
 
 
-def test_r9_gate_window_composition():
-    """The driver gates the FIRST 50 queries() entries; the r9 window
-    must be exactly (VERDICT r8 #1): the 23 queries last driver-gated
-    in r5 (the final r5-stale rows, alphabetical), then the 27 queries
-    last driver-gated in r4 (now the stalest driver cohort,
-    alphabetical). Past the cap, cohorts queue in staleness order
-    (r6, r7, r8), each alphabetical, so the rotation stays fully
-    amortized. Counted from the CORRECTNESS history, not assumed
-    (r5/r6 lesson)."""
+def test_r10_gate_window_composition():
+    """The driver gates the FIRST 50 queries() entries; the r10 window
+    must be exactly (VERDICT r9 #1): the FULL 48-query cohort last
+    driver-gated in r6 (the stalest driver rows, alphabetical), then
+    the two alphabetically-first r7 queries. Past the cap, cohorts
+    queue in staleness order (r7 remainder, r8, r9), each alphabetical,
+    so the rotation reaches steady-state (no driver row older than r7
+    after this round). Counted from the CORRECTNESS history, not
+    assumed (r5/r6 lesson)."""
     import json
     import os
 
     names = list(E.queries().keys())
     rounds: dict[str, list[int]] = {}
-    for r in range(1, 9):
+    for r in range(1, 10):
         p = f"/root/repo/CORRECTNESS_r0{r}.json"
         if os.path.exists(p):
             for k in json.load(open(p)):
@@ -135,18 +135,17 @@ def test_r9_gate_window_composition():
     assert not [n for n in names if n not in rounds]
     cohort = {
         r: sorted(n for n in names if max(rounds[n]) == r)
-        for r in (4, 5, 6, 7, 8)
+        for r in (6, 7, 8, 9)
     }
-    assert len(cohort[5]) == 23 and len(cohort[4]) == 27
-    # positions 1-23: the 23 r5-stale rows, alphabetical
-    assert names[:23] == cohort[5]
-    # positions 24-50: the 27 r4-era rows (stalest driver cohort)
-    assert names[23:50] == cohort[4]
-    # past the cap: r6, then r7, then r8 cohorts, each alphabetical
-    assert names[50 : 50 + len(cohort[6])] == cohort[6]
-    off = 50 + len(cohort[6])
-    assert names[off : off + len(cohort[7])] == cohort[7]
-    assert names[off + len(cohort[7]) :] == cohort[8]
+    assert len(cohort[6]) == 48 and len(cohort[7]) == 50
+    # positions 1-48: the full r6-stale cohort, alphabetical
+    assert names[:48] == cohort[6]
+    # positions 49-50: the two alphabetically-first r7 rows
+    assert names[48:50] == cohort[7][:2]
+    # past the cap: r7 remainder, then r8, then r9, each alphabetical
+    assert names[50 : 50 + 48] == cohort[7][2:]
+    assert names[98:148] == cohort[8]
+    assert names[148:] == cohort[9]
 
 
 def test_bench_summary_line_always_fits_capture_window():
@@ -175,6 +174,8 @@ def test_bench_summary_line_always_fits_capture_window():
             n: {"sf0.1": 9.99, "sf1": 1.11} for n in queries
         },
         "overhead_dominated": sorted(queries)[:60],
+        "gate_sf1": {n: 3.21 for n in sorted(queries)[:60]},
+        "gate_sf1_source": "BENCH_LOCAL_sf1.json",
     }
     line = bench.make_summary_line(full)
     assert len(line) <= bench.LINE_BUDGET
@@ -184,10 +185,12 @@ def test_bench_summary_line_always_fits_capture_window():
     assert parsed["n_failed"] == 2
     assert parsed["n_sanity_violations"] == 198
     assert parsed["n_overhead_dominated"] == 60
+    assert parsed["n_gate_sf1"] == 60  # sf1-sourced gate provenance
     assert parsed["queries_file"] == "BENCH_LOCAL.json"
     # unbounded payloads never appear inline
     assert "sanity_violations" not in parsed
     assert "overhead_dominated" not in parsed
+    assert "gate_sf1" not in parsed
     assert len(parsed["errors"]) <= 20
     # the inlined queries subset + truncation count stay consistent
     assert parsed["queries_truncated"] + len(parsed["queries"]) == 198

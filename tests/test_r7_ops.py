@@ -892,7 +892,7 @@ class TestStrictExclusionAccounting:
         # strict: clean passes, dirty raises with the explicit signal
         ok = agg_ops.ols_regress(clean, "y", "x", ["g"], strict=True)
         assert ok.collect()[0].n == 24
-        with pytest.raises(Exception, match="1 row.*excluded"):
+        with pytest.raises(Exception, match="at least one row.*excluded"):
             agg_ops.ols_regress(
                 dirty, "y", "x", ["g"], strict=True
             ).collect()
@@ -966,7 +966,9 @@ class TestStrictExclusionAccounting:
             F.col("id"), (F.col("id") * 2).alias("v")
         )
         excluded = base.where(F.col("id") < 5)  # 5 "excluded" rows
-        with pytest.raises(ValueError, match="5 row.*excluded"):
+        # failure path is a single take(1) job (ADVICE r9 #4): the
+        # message reports existence, not an exact count
+        with pytest.raises(ValueError, match="at least one row.*excluded"):
             attach_exclusion_guard(base, excluded, "eager_op")
         # the historical bypass shapes cannot recur: the raise happens
         # before ANY action — take, filter-then-collect, or no action
