@@ -290,14 +290,21 @@ def _bucket_pair_indices(
     Pair order: for ≤cap runs rows are id-sorted so gi < gj row-wise
     implies id_a < id_b; hot-run pairs follow signature order, so the
     CALLER must normalize (swap so id_a < id_b) when hot runs exist.
+
+    Returns ``(gi, gj, spanning)`` — ``spanning`` flags the hot-run
+    chain/star pairs, whose membership depends on the bucket's exact
+    composition (the emit-once banding below must never suppress them:
+    the "same pair at an earlier band" argument only holds for full
+    triangles, where bucket membership is implied by slice equality).
     """
-    ia_parts, ib_parts = [], []
+    ia_parts, ib_parts, span_parts = [], [], []
     eligible = (sizes >= 2) & (sizes <= cap)
     for s in np.unique(sizes[eligible]):
         offs = starts[(sizes == s) & eligible]
         ti, tj = np.triu_indices(s, k=1)
         ia_parts.append((offs[:, None] + ti[None, :]).ravel())
         ib_parts.append((offs[:, None] + tj[None, :]).ravel())
+        span_parts.append(np.zeros(len(offs) * len(ti), dtype=bool))
     hot = sizes > cap
     for off, s in zip(starts[hot], sizes[hot]):
         idx = np.arange(off, off + s)
@@ -308,13 +315,19 @@ def _bucket_pair_indices(
             idx = idx[order]
         ia_parts.append(idx[:-1])  # chain: (i, i+1) in signature order
         ib_parts.append(idx[1:])
+        span_parts.append(np.ones(s - 1, dtype=bool))
         if s > 2:
             ia_parts.append(np.full(s - 2, idx[0]))  # star from first row
             ib_parts.append(idx[2:])
+            span_parts.append(np.ones(s - 2, dtype=bool))
     if not ia_parts:
         empty = np.empty(0, dtype=np.int64)
-        return empty, empty
-    return np.concatenate(ia_parts), np.concatenate(ib_parts)
+        return empty, empty, np.empty(0, dtype=bool)
+    return (
+        np.concatenate(ia_parts),
+        np.concatenate(ib_parts),
+        np.concatenate(span_parts),
+    )
 
 
 def _fused_likely_pairs(
@@ -343,9 +356,22 @@ def _fused_likely_pairs(
     pair generation with the >= min_agree estimate prefilter (see
     _bucket_likely_pairs for the algorithm; this variant parses the
     signature matrix with one zero-copy frombuffer per batch instead of
-    per-row list conversion).
+    per-row list conversion), then EMIT-ONCE banding: a triangle pair
+    is emitted only at its FIRST fully-slice-equal band (any later
+    band's bucket provably regenerates it), cutting the measured ~16×
+    per-pair output repetition on near-identical corpora to 1 while
+    keeping the distinct candidate set byte-identical.
 
-    Output may repeat a pair (one row per shared bucket); id_a < id_b.
+    Exactness domain of the emit-once skip: every bucket ≤ max_bucket
+    (the gated configuration). With hot buckets present, a pair whose
+    FIRST slice-equal band lands in a >cap bucket is covered only by
+    that bucket's spanning heuristic — the previously-documented
+    hot-bucket recall caveat (see _bucket_pair_indices), now including
+    pairs a later small bucket would have rescued. Spanning pairs
+    themselves are never skipped.
+
+    Output: id_a < id_b; a pair may still repeat only across
+    hash-collision or spanning paths (callers dropDuplicates anyway).
     """
     r = num_hashes // bands
     seeds = _minhash_seeds(num_hashes, seed)
@@ -380,6 +406,7 @@ def _fused_likely_pairs(
             yield pd.DataFrame(
                 {
                     "__id": np.repeat(pdf[id_col].to_numpy(), bands),
+                    "band": np.tile(np.arange(bands, dtype=np.int32), n),
                     "bhash": bhash.reshape(-1).astype(np.int64),
                     "__sig": np.array(
                         [s for s in sig_bytes for _ in range(bands)],
@@ -402,18 +429,47 @@ def _fused_likely_pairs(
             if not (sizes >= 2).any():
                 return None
             ids = pdf["__id"].values
+            bandv = pdf["band"].values
             sig_mat = np.frombuffer(
                 b"".join(pdf["__sig"]), dtype=np.int32
             ).reshape(n, -1)
-            gi, gj = _bucket_pair_indices(starts, sizes, max_bucket, sig_mat)
+            gi, gj, span = _bucket_pair_indices(
+                starts, sizes, max_bucket, sig_mat
+            )
             if not len(gi):
                 return None
-            agree = (sig_mat[gi] == sig_mat[gj]).sum(axis=1)
-            keep = agree >= min_agree
+            eq = sig_mat[gi] == sig_mat[gj]
+            keep = eq.sum(axis=1) >= min_agree
             if not keep.any():
                 return None
-            ia, ib = gi[keep], gj[keep]
-            a, b = ids[ia], ids[ib]
+            gi, gj, span, eq = gi[keep], gj[keep], span[keep], eq[keep]
+            # EMIT-ONCE banding (VERDICT r9 #2): a triangle pair whose
+            # band slices are also fully equal at some band EARLIER
+            # than this bucket's band is guaranteed to be generated by
+            # that earlier bucket too (equal slices → same bhash), so
+            # emitting it here only duplicates shuffle output — the r9
+            # sf1 profile measured ~16× repeats on near-identical docs.
+            # First-collision emission keeps the candidate SET exact:
+            # every colliding pair is still emitted exactly once.
+            # Spanning (hot-run) pairs are exempt — their membership is
+            # bucket-composition-dependent, not slice-implied. Pairs
+            # with NO fully-equal band (pure 64-bit bhash collision, or
+            # a cross-band hash collision inside one run) are emitted
+            # unconditionally: there is no earlier band to defer to.
+            band_eq = eq.reshape(len(gi), bands, r).all(axis=2)
+            has_eq = band_eq.any(axis=1)
+            first_band = band_eq.argmax(axis=1)
+            cur = bandv[gi]
+            dup = (
+                ~span
+                & has_eq
+                & (bandv[gi] == bandv[gj])
+                & (first_band < cur)
+            )
+            if dup.all():
+                return None
+            gi, gj = gi[~dup], gj[~dup]
+            a, b = ids[gi], ids[gj]
             sw = a > b  # hot-run pairs follow signature order, not id order
             if sw.any():
                 a, b = np.where(sw, b, a), np.where(sw, a, b)
@@ -442,7 +498,7 @@ def _fused_likely_pairs(
 
     banded = df.select(id_col, text_col)
     banded = _spread(banded).mapInPandas(
-        sig_bands, f"__id {id_dt}, bhash bigint, __sig binary"
+        sig_bands, f"__id {id_dt}, band int, bhash bigint, __sig binary"
     )
     return (
         banded.repartition(F.col("bhash"))
@@ -492,7 +548,9 @@ def _bucket_likely_pairs(
                 return None
             ids = pdf["__id"].values
             sig_mat = np.vstack(pdf["__sig"].values).astype(np.int32)
-            gi, gj = _bucket_pair_indices(starts, sizes, max_bucket, sig_mat)
+            gi, gj, _span = _bucket_pair_indices(
+                starts, sizes, max_bucket, sig_mat
+            )
             if not len(gi):
                 return None
             agree = (sig_mat[gi] == sig_mat[gj]).sum(axis=1)

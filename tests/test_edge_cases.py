@@ -163,20 +163,25 @@ def test_round5_operators_edge_cases(spark):
 
 def test_bucket_pair_indices_edge_cases():
     """Pure-numpy helper: singleton runs emit nothing; a size-2 hot run
-    (> cap=1) emits exactly the chain pair; cap boundary is inclusive."""
+    (> cap=1) emits exactly the chain pair; cap boundary is inclusive.
+    The third return flags spanning (hot-run) pairs — the emit-once
+    banding exemption set."""
     import numpy as np
 
     from quanta_etl_spark.operators.dedup import _bucket_pair_indices
 
     # all singletons
-    gi, gj = _bucket_pair_indices(np.array([0, 1, 2]), np.array([1, 1, 1]), 64)
-    assert len(gi) == 0
+    gi, gj, sp = _bucket_pair_indices(
+        np.array([0, 1, 2]), np.array([1, 1, 1]), 64
+    )
+    assert len(gi) == 0 and len(sp) == 0
     # size-2 run over cap → chain only (1 pair), star degenerate
-    gi, gj = _bucket_pair_indices(np.array([0]), np.array([2]), 1)
+    gi, gj, sp = _bucket_pair_indices(np.array([0]), np.array([2]), 1)
     assert list(zip(gi, gj)) == [(0, 1)]
-    # at the cap → full triangle
-    gi, gj = _bucket_pair_indices(np.array([0]), np.array([3]), 3)
-    assert len(gi) == 3
+    assert sp.all()  # hot-run pair flagged spanning
+    # at the cap → full triangle, none spanning
+    gi, gj, sp = _bucket_pair_indices(np.array([0]), np.array([3]), 3)
+    assert len(gi) == 3 and not sp.any()
     # just past the cap → 2s-3 spanning pairs
-    gi, gj = _bucket_pair_indices(np.array([0]), np.array([4]), 3)
-    assert len(gi) == 2 * 4 - 3
+    gi, gj, sp = _bucket_pair_indices(np.array([0]), np.array([4]), 3)
+    assert len(gi) == 2 * 4 - 3 and sp.all()
