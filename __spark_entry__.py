@@ -58,6 +58,20 @@ def _dsum(c: str | F.Column, alias: str) -> F.Column:
     return F.sum(_dec(c)).cast("double").alias(alias)
 
 
+def _dsum2(c: str | F.Column) -> F.Column:
+    """Scale-STABLE money sum: exact decimal accumulation rounded to
+    cents BEFORE the double cast (VERDICT r9 #3). The raw
+    decimal(38,6)→double cast is engine-divergent once the sum needs
+    >15.95 significant digits (Spark BigDecimal.doubleValue vs DuckDB's
+    HUGEINT path round a half-ulp opposite ways — the r9 sf1
+    `pricing_summary.sum_charge` one-ulp divergence). Rounding the
+    EXACT decimal to scale 2 first makes the scaled integer exactly
+    double-representable up to 2^53 cents (~9e13 dollars, far past
+    100 TB sums), so both engines perform one identical IEEE division
+    by 100 — verified hex-equal on 18-significant-digit values."""
+    return F.round(F.sum(_dec(c)), 2).cast("double")
+
+
 # ---------------------------------------------------------------------------
 # A-series: the reference's executed operators (SURVEY.md §2A)
 # ---------------------------------------------------------------------------
@@ -127,7 +141,11 @@ def q_distinct_flags(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
-    """Flagship (TPC-H Q1 shape): full scan, grouped multi-aggregate."""
+    """Flagship (TPC-H Q1 shape): full scan, grouped multi-aggregate.
+    All money sums and averages go through the scale-stable ``_dsum2``
+    cents-rounded conversion so the oracle hash holds at ANY scale
+    factor, not just where the sums fit double exactly (r9's documented
+    sf1 one-ulp `sum_charge` divergence, closed per VERDICT r9 #3)."""
     li = load_table(spark, sf, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
@@ -136,13 +154,13 @@ def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("2001-06-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _dsum("l_quantity", "sum_qty"),
-            _dsum("l_extendedprice", "sum_base_price"),
-            _dsum(disc_price, "sum_disc_price"),
-            _dsum(charge, "sum_charge"),
-            (F.sum(_dec("l_quantity")).cast("double") / n).alias("avg_qty"),
-            (F.sum(_dec("l_extendedprice")).cast("double") / n).alias("avg_price"),
-            (F.sum(_dec("l_discount")).cast("double") / n).alias("avg_disc"),
+            _dsum2("l_quantity").alias("sum_qty"),
+            _dsum2("l_extendedprice").alias("sum_base_price"),
+            _dsum2(disc_price).alias("sum_disc_price"),
+            _dsum2(charge).alias("sum_charge"),
+            (_dsum2("l_quantity") / n).alias("avg_qty"),
+            (_dsum2("l_extendedprice") / n).alias("avg_price"),
+            (_dsum2("l_discount") / n).alias("avg_disc"),
             n.alias("count_order"),
         )
     )
@@ -1385,8 +1403,9 @@ def q_emb_neardup_lsh(spark: SparkSession, sf: str) -> DataFrame:
     hyperplanes are seeded, so the oracle inlines them as literals and
     reproduces bucketing + verification exactly. Plane count is
     auto-sized to the corpus (quadratic-in-bucket pairing stays ~linear
-    in n); at the sf0.01 gate size this resolves to 4 planes — exactly
-    the 4 seeded hyperplanes the oracle SQL inlines."""
+    in n); the oracle derives the SAME count from count(*) and joins on
+    the seeded planes' prefix-stable sign bits, so the contract holds
+    at every scale factor (r10 — previously sf0.01-only)."""
     emb = load_table(spark, sf, "embeddings")
     return dedup_ops.embedding_neardup_pairs(
         emb, "vec_id", "embedding", threshold=0.2, num_planes="auto", dim=64
@@ -3710,28 +3729,46 @@ def _pagerank_oracle(iterations: int = 5, damping: float = 0.85) -> str:
     return "".join(parts)
 
 
-def _lsh_neardup_oracle() -> str:
-    """SQL twin of embedding_neardup_pairs(num_planes=4, seed=42): the
-    hyperplanes are deterministic (seeded Python RNG), so their literals
-    are inlined here — the 'engine-side randomness' is reproducible."""
+def _lsh_neardup_oracle(max_planes: int = 20) -> str:
+    """SQL twin of embedding_neardup_pairs(num_planes="auto", seed=42),
+    SCALE-STABLE (VERDICT r9 #3): the operator auto-sizes the plane
+    count to ``max(4, ceil(log2(n / 256)))``, and the seeded planes are
+    PREFIX-STABLE (plane i's gaussians depend only on the draws before
+    it, so the first 4 planes of a 7-plane set equal the 4-plane set).
+    The oracle therefore inlines ``max_planes`` plane literals, derives
+    the same plane count from ``count(*)`` in SQL, and joins on the
+    first-p bit prefix — two vectors share a Spark bucket iff their
+    sign-bit prefixes agree, so the pairing is identical at every scale
+    up to 256·2^max_planes vectors (~268M at the default). The log2
+    boundary is exact in both engines when n/256 is a power of two and
+    ulps away from an integer otherwise, so ceil never splits."""
     import random
 
     rng = random.Random(42)
-    planes = [[rng.gauss(0.0, 1.0) for _ in range(64)] for _ in range(4)]
+    planes = [
+        [rng.gauss(0.0, 1.0) for _ in range(64)] for _ in range(max_planes)
+    ]
     lits = ["[" + ", ".join(repr(v) for v in p) + "]" for p in planes]
-    bits = " + ".join(
-        f"(CASE WHEN list_dot_product(v, {lit}) >= 0 THEN 1 ELSE 0 END) * {1 << (3 - i)}"
-        for i, lit in enumerate(lits)
+    bit_list = ", ".join(
+        f"(CASE WHEN list_dot_product(v, {lit}) >= 0 THEN 1 ELSE 0 END)"
+        for lit in lits
     )
     return f"""
         WITH e AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), np AS (
+            SELECT GREATEST(
+                4, CAST(ceil(log2(GREATEST(count(*), 1) / 256.0)) AS INT)
+            ) AS p
+            FROM e
         ), b AS (
-            SELECT vec_id, v, {bits} AS bkt FROM e
+            SELECT vec_id, v,
+                   list_slice([{bit_list}], 1, (SELECT p FROM np)) AS pre
+            FROM e
         )
         SELECT a.vec_id AS id_a, c.vec_id AS id_b,
                list_cosine_similarity(a.v, c.v) AS cosine
-        FROM b a JOIN b c ON a.bkt = c.bkt AND a.vec_id < c.vec_id
+        FROM b a JOIN b c ON a.pre = c.pre AND a.vec_id < c.vec_id
         WHERE list_cosine_similarity(a.v, c.v) >= 0.2
     """
 
@@ -5513,14 +5550,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         """,
         "pricing_summary": """
+            -- sums rounded to cents on the EXACT decimal before the
+            -- double cast: scale-stable vs Spark at any sf (r9 #3)
             SELECT l_returnflag, l_linestatus,
-                   CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) AS sum_base_price,
-                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS sum_disc_price,
-                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(20,6))) AS DOUBLE) AS sum_charge,
-                   CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) / count(*) AS avg_qty,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) / count(*) AS avg_price,
-                   CAST(sum(CAST(l_discount AS DECIMAL(20,6))) AS DOUBLE) / count(*) AS avg_disc,
+                   CAST(round(sum(CAST(l_quantity AS DECIMAL(20,6))), 2) AS DOUBLE) AS sum_qty,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(20,6))), 2) AS DOUBLE) AS sum_base_price,
+                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))), 2) AS DOUBLE) AS sum_disc_price,
+                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(20,6))), 2) AS DOUBLE) AS sum_charge,
+                   CAST(round(sum(CAST(l_quantity AS DECIMAL(20,6))), 2) AS DOUBLE) / count(*) AS avg_qty,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(20,6))), 2) AS DOUBLE) / count(*) AS avg_price,
+                   CAST(round(sum(CAST(l_discount AS DECIMAL(20,6))), 2) AS DOUBLE) / count(*) AS avg_disc,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '2001-06-01'
