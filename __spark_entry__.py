@@ -66,9 +66,13 @@ def _dsum2(c: str | F.Column) -> F.Column:
     HUGEINT path round a half-ulp opposite ways — the r9 sf1
     `pricing_summary.sum_charge` one-ulp divergence). Rounding the
     EXACT decimal to scale 2 first makes the scaled integer exactly
-    double-representable up to 2^53 cents (~9e13 dollars, far past
-    100 TB sums), so both engines perform one identical IEEE division
-    by 100 — verified hex-equal on 18-significant-digit values."""
+    double-representable up to 2^53 cents (~9e13 dollars — for this
+    query's ~4.9e10/sf sums, stable through roughly sf2000 per
+    aggregation group; coarser rounding buys 100× per 2 digits if a
+    deployment ever exceeds it), so both engines perform one identical
+    IEEE division by 100 — verified hex-equal at 9e15-cent magnitudes,
+    and verified to DIVERGE again past 2^53 cents, so the bound is
+    measured, not assumed."""
     return F.round(F.sum(_dec(c)), 2).cast("double")
 
 
