@@ -3466,14 +3466,18 @@ def queries() -> dict[str, QueryFn]:
     #   (A) positions 1-48: the FULL 48-query cohort last driver-gated
     #       in r6 (the stalest driver rows - judge re-verified 48/48
     #       hash-green at sf0.01 in the r9 session), alphabetical;
-    #   (B) positions 49-50: the two alphabetically-first r7 queries
-    #       (ab_test, allocate_budget);
-    #   then the r7 remainder / r8 / r9 cohorts in cohort-staleness
-    #   order, each alphabetical. After this round no query's latest
-    #   driver row is older than r7 and the rotation is steady-state
-    #   (50/round x 4 rounds = the full 198-query panel). Every entry
-    #   past the cap is re-verified each round by
-    #   tools/check_oracle.py --json; full-sweep record: SWEEP_r10.json.
+    #   (B) positions 49-50: emb_neardup_lsh and pricing_summary - the
+    #       two queries whose oracle contracts were REWRITTEN this
+    #       round (scale-stable decimal rounding / dynamic-plane LSH
+    #       oracle). VERDICT r9 #1 suggested alphabetical r7 fillers,
+    #       but a changed contract needs the external gate's signal
+    #       more than an unchanged one needs a fresher row (r10
+    #       code-review finding); both also carry committed sf0.01 AND
+    #       sf1 hash-green records this round (SF1_SPOTCHECK_r10).
+    #   Then the r7 / r8 / r9 cohorts in cohort-staleness order, each
+    #   alphabetical (minus the two promoted rows). Every entry past
+    #   the cap is re-verified each round by tools/check_oracle.py
+    #   --json; full-sweep record: SWEEP_r10.json.
     return {
         # -- r10 window positions 1-48: the full r6-stale cohort ----
         "activity_streaks": q_activity_streaks,
@@ -3524,11 +3528,16 @@ def queries() -> dict[str, QueryFn]:
         "weighted_median": q_weighted_median,
         "window_distribution": q_window_distribution,
         "window_value_picks": q_window_value_picks,
-        # -- positions 49-50: alphabetically-first r7 rows -----------
+        # -- positions 49-50: the two queries whose ORACLE CONTRACTS
+        # -- changed this round (scale-stable rewrite) — gate priority
+        # -- over the alphabetical r7 fillers VERDICT r9 #1 suggested:
+        # -- a changed contract needs the external gate's signal most
+        "emb_neardup_lsh": q_emb_neardup_lsh,
+        "pricing_summary": q_pricing_summary,
+        # ---- 50-entry gate cap lands after the entry above ----------
+        # -- r7 driver-green cohort (next in rotation) ---------------
         "ab_test": q_ab_test,
         "allocate_budget": q_allocate_budget,
-        # ---- 50-entry gate cap lands after the entry above ----------
-        # -- r7 driver-green cohort remainder (next in rotation) -----
         "anomaly_cusum": q_anomaly_cusum,
         "basket_lift": q_basket_lift,
         "benford_audit": q_benford_audit,
@@ -3552,7 +3561,6 @@ def queries() -> dict[str, QueryFn]:
         "emb_confusion": q_emb_confusion,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_neardup_exact": q_emb_neardup_exact,
-        "emb_neardup_lsh": q_emb_neardup_lsh,
         "entity_resolution": q_entity_resolution,
         "event_trigrams": q_event_trigrams,
         "graph_link_predict": q_graph_link_predict,
@@ -3637,7 +3645,6 @@ def queries() -> dict[str, QueryFn]:
         "merge_scd2": q_merge_scd2,
         "merge_update_cols": q_merge_update_cols,
         "merge_upsert": q_merge_upsert,
-        "pricing_summary": q_pricing_summary,
         "quality_offenders": q_quality_offenders,
         "quality_quarantine": q_quality_quarantine,
         "region_revenue": q_region_revenue,

@@ -17,6 +17,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -268,14 +269,7 @@ def main() -> None:
             # noise), but it reports best-case; the median records the
             # typical cost so the committed record stops systematically
             # flattering.
-            srt = sorted(samples)
-            mid = len(srt) // 2
-            med = (
-                srt[mid]
-                if len(srt) % 2
-                else (srt[mid - 1] + srt[mid]) / 2.0
-            )
-            medians[name] = round(med, 4)
+            medians[name] = round(statistics.median(samples), 4)
             if is_overhead_dominated(small.get(name), best):
                 overhead_dominated.append(name)
             if t1 is not None and best > t1:

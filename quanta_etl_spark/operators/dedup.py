@@ -260,7 +260,7 @@ def _bucket_pair_indices(
     sizes: "np.ndarray",
     cap: int,
     sig_mat: "np.ndarray | None" = None,
-) -> tuple["np.ndarray", "np.ndarray"]:
+) -> tuple["np.ndarray", "np.ndarray", "np.ndarray"]:
     """Global row-index pairs for contiguous bucket runs, with the
     HOT-BUCKET guard that makes LSH pairing survive a skewed corpus.
 
@@ -330,6 +330,39 @@ def _bucket_pair_indices(
     )
 
 
+def _emit_once_dup_mask(
+    eq: "np.ndarray",
+    span: "np.ndarray",
+    band_i: "np.ndarray",
+    band_j: "np.ndarray",
+    bands: int,
+    r: int,
+) -> "np.ndarray":
+    """Boolean mask of candidate pairs to SUPPRESS under emit-once
+    banding (VERDICT r9 #2): ``eq`` is the per-position signature
+    equality matrix (npairs × bands·r); a pair is a duplicate emission
+    iff it is a triangle pair (``~span``), both rows sit in the same
+    band (``band_i == band_j`` — a cross-band 64-bit hash collision is
+    emitted, not deferred), SOME band's slice is fully equal
+    (otherwise the collision is a pure hash collision with no earlier
+    band to defer to), and the FIRST fully-equal band precedes this
+    bucket's band (that earlier band's bucket provably regenerates the
+    pair: equal slices → equal band hash → same bucket).
+
+    Exactness domain: every bucket ≤ the hot-bucket cap. Spanning
+    (hot-run) pairs are never suppressed — their membership is
+    bucket-composition-dependent — but a triangle pair whose first
+    equal band lands in a HOT bucket is deferred to that bucket's
+    spanning heuristic, which may not list it (the documented
+    hot-bucket recall caveat; pinned by
+    tests/test_dedup_similarity.py::test_emit_once_dup_mask_contract).
+    """
+    band_eq = eq.reshape(len(eq), bands, r).all(axis=2)
+    has_eq = band_eq.any(axis=1)
+    first_band = band_eq.argmax(axis=1)
+    return ~span & has_eq & (band_i == band_j) & (first_band < band_i)
+
+
 def _fused_likely_pairs(
     df: DataFrame,
     id_col: str,
@@ -373,6 +406,11 @@ def _fused_likely_pairs(
     Output: id_a < id_b; a pair may still repeat only across
     hash-collision or spanning paths (callers dropDuplicates anyway).
     """
+    if num_hashes % bands:
+        # the emit-once reshape (and the banding itself) requires exact
+        # division; fail at plan time, not as a numpy ValueError inside
+        # an executor task
+        raise ValueError("bands must divide num_hashes")
     r = num_hashes // bands
     seeds = _minhash_seeds(num_hashes, seed)
     a_vec = np.array([a for a, _ in seeds], dtype=np.int64)[:, None]
@@ -443,28 +481,12 @@ def _fused_likely_pairs(
             if not keep.any():
                 return None
             gi, gj, span, eq = gi[keep], gj[keep], span[keep], eq[keep]
-            # EMIT-ONCE banding (VERDICT r9 #2): a triangle pair whose
-            # band slices are also fully equal at some band EARLIER
-            # than this bucket's band is guaranteed to be generated by
-            # that earlier bucket too (equal slices → same bhash), so
-            # emitting it here only duplicates shuffle output — the r9
-            # sf1 profile measured ~16× repeats on near-identical docs.
-            # First-collision emission keeps the candidate SET exact:
-            # every colliding pair is still emitted exactly once.
-            # Spanning (hot-run) pairs are exempt — their membership is
-            # bucket-composition-dependent, not slice-implied. Pairs
-            # with NO fully-equal band (pure 64-bit bhash collision, or
-            # a cross-band hash collision inside one run) are emitted
-            # unconditionally: there is no earlier band to defer to.
-            band_eq = eq.reshape(len(gi), bands, r).all(axis=2)
-            has_eq = band_eq.any(axis=1)
-            first_band = band_eq.argmax(axis=1)
-            cur = bandv[gi]
-            dup = (
-                ~span
-                & has_eq
-                & (bandv[gi] == bandv[gj])
-                & (first_band < cur)
+            # EMIT-ONCE banding: suppress triangle pairs already
+            # guaranteed to be generated by an earlier band's bucket
+            # (see _emit_once_dup_mask for the full argument and the
+            # hot-bucket exactness-domain caveat).
+            dup = _emit_once_dup_mask(
+                eq, span, bandv[gi], bandv[gj], bands, r
             )
             if dup.all():
                 return None

@@ -114,13 +114,17 @@ def test_all_oracles_emit_gate_safe_duckdb_types(sf_dir):
 
 def test_r10_gate_window_composition():
     """The driver gates the FIRST 50 queries() entries; the r10 window
-    must be exactly (VERDICT r9 #1): the FULL 48-query cohort last
-    driver-gated in r6 (the stalest driver rows, alphabetical), then
-    the two alphabetically-first r7 queries. Past the cap, cohorts
-    queue in staleness order (r7 remainder, r8, r9), each alphabetical,
-    so the rotation reaches steady-state (no driver row older than r7
-    after this round). Counted from the CORRECTNESS history, not
-    assumed (r5/r6 lesson)."""
+    is: the FULL 48-query cohort last driver-gated in r6 (the stalest
+    driver rows, alphabetical — VERDICT r9 #1), then the two queries
+    whose ORACLE CONTRACTS were rewritten this round
+    (emb_neardup_lsh's dynamic-plane oracle, pricing_summary's
+    scale-stable cents rounding) — changed contracts take gate
+    priority over VERDICT's alphabetical r7 fillers (r10 code-review
+    finding: a contract rewrite outside the gated window would go a
+    full round externally unverified). Past the cap, cohorts queue in
+    staleness order (r7, r8, r9, minus the two promoted rows), each
+    alphabetical. Counted from the CORRECTNESS history, not assumed
+    (r5/r6 lesson)."""
     import json
     import os
 
@@ -140,12 +144,16 @@ def test_r10_gate_window_composition():
     assert len(cohort[6]) == 48 and len(cohort[7]) == 50
     # positions 1-48: the full r6-stale cohort, alphabetical
     assert names[:48] == cohort[6]
-    # positions 49-50: the two alphabetically-first r7 rows
-    assert names[48:50] == cohort[7][:2]
-    # past the cap: r7 remainder, then r8, then r9, each alphabetical
-    assert names[50 : 50 + 48] == cohort[7][2:]
-    assert names[98:148] == cohort[8]
-    assert names[148:] == cohort[9]
+    # positions 49-50: the two r10 changed-contract queries
+    assert names[48:50] == ["emb_neardup_lsh", "pricing_summary"]
+    # past the cap: r7 remainder, then r8, then r9 remainder, each
+    # alphabetical (the promoted rows excluded from their cohorts)
+    r7_rest = [q for q in cohort[7] if q != "emb_neardup_lsh"]
+    r9_rest = [q for q in cohort[9] if q != "pricing_summary"]
+    assert names[50 : 50 + len(r7_rest)] == r7_rest
+    off = 50 + len(r7_rest)
+    assert names[off : off + 50] == cohort[8]
+    assert names[off + 50 :] == r9_rest
 
 
 def test_bench_summary_line_always_fits_capture_window():

@@ -95,6 +95,47 @@ def test_fused_emit_once_banding_exact_and_deduped(spark):
     assert len(emitted) == len(got)  # (b) one row per pair, no repeats
 
 
+def test_emit_once_dup_mask_contract():
+    """Pure-numpy pin of the emit-once suppression rule, including the
+    documented hot-bucket boundary (code-review r10 finding): a
+    triangle pair whose FIRST slice-equal band precedes the current
+    bucket's band is suppressed — even when that earlier band's bucket
+    was hot and only ran the spanning heuristic (the documented
+    deferral; exactness domain is buckets ≤ cap) — while spanning
+    pairs, pure-hash-collision pairs, and cross-band collisions are
+    always emitted."""
+    import numpy as np
+
+    from quanta_etl_spark.operators.dedup import _emit_once_dup_mask
+
+    bands, r = 4, 2
+
+    def eq_row(equal_bands):
+        row = np.zeros(bands * r, dtype=bool)
+        for b in equal_bands:
+            row[b * r : (b + 1) * r] = True
+        return row
+
+    eq = np.vstack(
+        [
+            eq_row({0, 2}),  # triangle at band 2, first equal band 0
+            eq_row({0}),     # triangle at band 0, first equal band 0
+            eq_row({2}),     # triangle at band 2, first equal band 2
+            eq_row({0, 2}),  # SPANNING at band 2 (hot run) — exempt
+            eq_row(set()),   # pure bhash collision — no equal band
+            eq_row({0, 2}),  # cross-band hash collision (band_i != j)
+        ]
+    )
+    span = np.array([False, False, False, True, False, False])
+    band_i = np.array([2, 0, 2, 2, 2, 2], dtype=np.int32)
+    band_j = np.array([2, 0, 2, 2, 2, 3], dtype=np.int32)
+    dup = _emit_once_dup_mask(eq, span, band_i, band_j, bands, r)
+    # only the first pair is a duplicate emission: deferred to band 0
+    # EVEN IF band 0's bucket was hot — the documented recall caveat;
+    # the hot bucket's own spanning pairs (row 3) are never suppressed
+    assert dup.tolist() == [True, False, False, False, False, False]
+
+
 def test_minhash_s_curve_contract():
     """VERDICT r9 #5: pin the b=16/r=4 derivation so a silent bands/rows
     change that degrades recall fails loudly. With num_hashes=64 the
