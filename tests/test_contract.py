@@ -239,3 +239,31 @@ def test_bench_overhead_dominated_flag():
     # no sf0.001 record → never flagged (no evidence, no claim)
     assert not bench.is_overhead_dominated(None, 2.0)
     assert not bench.is_overhead_dominated(1.0, 0.0)
+
+
+def test_oracle_timeout_interrupts_and_connection_survives():
+    """r10: above-gate-scale sweeps need per-oracle wall bounds — the
+    brute-force all-pairs oracles (dedup_minhash family) are Ω(n²) by
+    design and infeasible at a 50k-doc sf1 replica. The contract:
+    duckdb_result(timeout=...) raises InterruptException on an
+    over-budget oracle, the SAME connection keeps serving subsequent
+    oracles (a sweep is one connection), and an in-budget query is
+    untouched by the timer."""
+    import duckdb
+    import pytest as _pytest
+
+    from tools.check_oracle import duckdb_result
+
+    con = duckdb.connect()
+    with _pytest.raises(duckdb.InterruptException):
+        duckdb_result(
+            con,
+            "SELECT count(*) FROM range(1000000000000) a, range(100) b",
+            timeout=0.2,
+        )
+    # the connection survives the interrupt and the timer is cancelled
+    rows, cols, unsafe = duckdb_result(con, "SELECT 1 AS x", timeout=30)
+    assert rows == [{"x": 1}] and cols == ["x"] and unsafe == []
+    # no timeout → no timer at all (the default sweep path)
+    rows, _, _ = duckdb_result(con, "SELECT 2 AS y")
+    assert rows == [{"y": 2}]

@@ -20,11 +20,24 @@ lessons from round 2 (ADVICE r2):
   that selects nothing verifies nothing (the r2 ``agg_percentiles``
   cutoff bug).
 
-Usage:  python tools/check_oracle.py [--json OUT.json] [sf_dir] [query ...]
+Usage:  python tools/check_oracle.py [--json OUT.json]
+            [--oracle-timeout SECS] [sf_dir] [query ...]
 
 ``--json`` writes the per-query verdicts to a committable artifact
 (VERDICT r7 #3: ``SWEEP_rN.json``) so stale driver-gate rows can be
 audited without re-executing the sweep.
+
+``--oracle-timeout`` bounds each DUCKDB oracle's wall time (r10,
+for above-gate-scale sweeps): several oracles are deliberately
+brute-force — all-pairs Ω(n²) shingle intersections
+(``dedup_minhash``/``dedup_clusters``/``dedup_apply``) — which is
+the point of an oracle at the 500-doc gate scale but infeasible at a
+50k-doc sf1 replica (1.25B list intersections).  On timeout the
+query records ``status: "oracle_timeout"`` (with the Spark side's
+row count, which DID complete — the operator scales; the spec
+doesn't) instead of hanging the sweep.  Timeouts are not failures:
+the summary counts them separately so a scale sweep stays honest
+about which rows carry a hash signal.
 """
 
 from __future__ import annotations
@@ -34,6 +47,7 @@ import hashlib
 import math
 import os
 import sys
+import threading
 
 import duckdb
 
@@ -104,11 +118,27 @@ def duck_gate_unsafe_columns(rel) -> list[str]:
     ]
 
 
-def duckdb_result(con, sql: str) -> tuple[list[dict], list[str], list[str]]:
-    rel = con.sql(sql)
-    cols = rel.columns
-    unsafe = duck_gate_unsafe_columns(rel)
-    rows = [dict(zip(cols, t)) for t in rel.fetchall()]
+def duckdb_result(
+    con, sql: str, timeout: float | None = None
+) -> tuple[list[dict], list[str], list[str]]:
+    """Run one oracle; if ``timeout`` is set, ``con.interrupt()`` fires
+    from a daemon timer and the in-flight query raises
+    ``duckdb.InterruptException`` (the connection stays usable —
+    verified on duckdb 1.0.0).  The timer spans relation construction
+    AND fetch: ``con.sql`` is lazy, execution happens in fetchall."""
+    timer: threading.Timer | None = None
+    if timeout is not None:
+        timer = threading.Timer(timeout, con.interrupt)
+        timer.daemon = True
+        timer.start()
+    try:
+        rel = con.sql(sql)
+        cols = rel.columns
+        unsafe = duck_gate_unsafe_columns(rel)
+        rows = [dict(zip(cols, t)) for t in rel.fetchall()]
+    finally:
+        if timer is not None:
+            timer.cancel()
     return rows, cols, unsafe
 
 
@@ -125,6 +155,28 @@ def main() -> int:
             )
             return 2
         json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    oracle_timeout: float | None = None
+    if "--oracle-timeout" in args:
+        i = args.index("--oracle-timeout")
+        if i + 1 >= len(args):
+            print(
+                "usage: check_oracle.py [--oracle-timeout SECS] ... "
+                "(--oracle-timeout requires seconds)",
+                file=sys.stderr,
+            )
+            return 2
+        try:
+            oracle_timeout = float(args[i + 1])
+        except ValueError:
+            print(
+                f"--oracle-timeout: not a number: {args[i + 1]!r}",
+                file=sys.stderr,
+            )
+            return 2
+        if oracle_timeout <= 0:
+            print("--oracle-timeout: must be > 0", file=sys.stderr)
+            return 2
         args = args[:i] + args[i + 2:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
@@ -172,7 +224,24 @@ def main() -> int:
             print(f"weak  {name}: rows={len(s_rows)} (no oracle; rows-only check)")
             continue
         try:
-            d_rows, d_cols, d_unsafe = duckdb_result(con, oracles[name])
+            d_rows, d_cols, d_unsafe = duckdb_result(
+                con, oracles[name], timeout=oracle_timeout
+            )
+        except duckdb.InterruptException:
+            # the ORACLE is over budget at this scale, not the engine:
+            # the Spark side already completed above.  Recorded as its
+            # own status (counted separately from fail) so scale sweeps
+            # terminate while staying honest about signal coverage.
+            record[name] = {
+                "status": "oracle_timeout",
+                "rows": len(s_rows),
+                "timeout_s": oracle_timeout,
+            }
+            print(
+                f"tmo   {name}: oracle exceeded {oracle_timeout:g}s at this "
+                f"scale (spark side ok, {len(s_rows)} rows)"
+            )
+            continue
         except Exception as e:
             fail(name, f"duckdb error: {e}")
             continue
@@ -220,6 +289,12 @@ def main() -> int:
             "n_fail": len(failures),
             "results": record,
         }
+        n_tmo = sum(
+            1 for v in record.values() if v["status"] == "oracle_timeout"
+        )
+        if n_tmo:
+            summary["n_oracle_timeout"] = n_tmo
+            summary["oracle_timeout_s"] = oracle_timeout
         with open(json_out, "w") as f:
             _json.dump(summary, f, indent=1)
         print(f"wrote {json_out}")
