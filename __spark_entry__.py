@@ -236,12 +236,25 @@ def q_decimal_money_agg(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
     price = F.col("l_extendedprice").cast("decimal(18,4)")
     one_minus_disc = (F.lit(1) - F.col("l_discount")).cast("decimal(5,4)")
+    # Sums are rounded to cents on the EXACT decimal before the double
+    # cast (the _dsum2 discipline): the r10 sf1 sweep caught
+    # sum_disc_price (decimal(38,8) sum, scaled value past 2^63)
+    # double-rounding a half-ulp apart on DuckDB's HUGEINT path vs
+    # Spark's BigDecimal. The cents integer is exactly
+    # double-representable to 2^53 (~9e13 dollars), so both engines do
+    # one identical IEEE divide. avg is derived as the SAME rounded sum
+    # over count(*) — one identical division on both sides — instead of
+    # each engine's internal decimal-avg path.
     return li.groupBy("l_returnflag").agg(
-        F.sum(price).cast("double").alias("sum_price"),
-        F.sum(price * one_minus_disc).cast("double").alias("sum_disc_price"),
+        F.round(F.sum(price), 2).cast("double").alias("sum_price"),
+        F.round(F.sum(price * one_minus_disc), 2)
+        .cast("double")
+        .alias("sum_disc_price"),
         F.max(price).cast("double").alias("max_price"),
         F.min(price).cast("double").alias("min_price"),
-        F.avg(price).cast("double").alias("avg_price"),
+        (
+            F.round(F.sum(price), 2).cast("double") / F.count(F.lit(1))
+        ).alias("avg_price"),
     )
 
 
@@ -5604,13 +5617,19 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """,
         "decimal_money_agg": """
+            -- sums rounded to cents on the exact decimal BEFORE the
+            -- double cast (scale-stable _dsum2 discipline; r10 sf1
+            -- sweep: sum_disc_price's int128 sum double-rounded on the
+            -- HUGEINT path); avg = the same rounded sum / count(*) so
+            -- both engines perform one identical IEEE division
             SELECT l_returnflag,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                       * CAST(1 - l_discount AS DECIMAL(5,4))) AS DOUBLE) AS sum_disc_price,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                       * CAST(1 - l_discount AS DECIMAL(5,4))), 2) AS DOUBLE) AS sum_disc_price,
                    CAST(max(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS max_price,
                    CAST(min(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS min_price,
-                   CAST(avg(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS avg_price
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+                       / count(*) AS avg_price
             FROM lineitem
             GROUP BY l_returnflag
         """,
@@ -6296,18 +6315,30 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "text_lang_id": """
+            -- stopword OCCURRENCE counts via one unnest + vectorized
+            -- IN-set filters (r10: per-token list_filter lambdas are
+            -- interpreted per element and blow any sane wall budget at
+            -- a 50k-doc replica; identical counts — zero-token docs
+            -- coalesce to 0 through the LEFT JOIN)
             WITH toks AS (
                 SELECT doc_id,
                        CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
                             ELSE string_split_regex(trim(lower(text)), '\\s+') END AS tk
                 FROM documents
-            ), scores AS (
+            ), tok_rows AS (
+                SELECT doc_id, unnest(tk) AS tok FROM toks
+            ), hitc AS (
                 SELECT doc_id,
-                  len(list_filter(tk, x -> list_contains(['der','die','und','das','ist','von','mit','den','nicht','ein','eine','auf','sich','des','im','dem','für','als','auch','es'], x))) AS s_de,
-                  len(list_filter(tk, x -> list_contains(['the','of','and','to','in','is','that','it','was','for','on','are','as','with','his','they','at','be','this','have'], x))) AS s_en,
-                  len(list_filter(tk, x -> list_contains(['el','la','los','las','de','que','y','en','un','una','es','por','con','para','su','se','del','al','lo','como'], x))) AS s_es,
-                  len(list_filter(tk, x -> list_contains(['le','la','les','de','des','et','est','en','que','qui','dans','pour','pas','une','au','sur','avec','son','ne','se'], x))) AS s_fr
-                FROM toks
+                  count(*) FILTER (WHERE tok IN ('der','die','und','das','ist','von','mit','den','nicht','ein','eine','auf','sich','des','im','dem','für','als','auch','es')) AS s_de,
+                  count(*) FILTER (WHERE tok IN ('the','of','and','to','in','is','that','it','was','for','on','are','as','with','his','they','at','be','this','have')) AS s_en,
+                  count(*) FILTER (WHERE tok IN ('el','la','los','las','de','que','y','en','un','una','es','por','con','para','su','se','del','al','lo','como')) AS s_es,
+                  count(*) FILTER (WHERE tok IN ('le','la','les','de','des','et','est','en','que','qui','dans','pour','pas','une','au','sur','avec','son','ne','se')) AS s_fr
+                FROM tok_rows GROUP BY doc_id
+            ), scores AS (
+                SELECT t.doc_id,
+                       COALESCE(h.s_de, 0) AS s_de, COALESCE(h.s_en, 0) AS s_en,
+                       COALESCE(h.s_es, 0) AS s_es, COALESCE(h.s_fr, 0) AS s_fr
+                FROM toks t LEFT JOIN hitc h ON t.doc_id = h.doc_id
             )
             SELECT doc_id,
                    CASE WHEN greatest(s_de, s_en, s_es, s_fr) > 0 AND s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
@@ -6318,17 +6349,25 @@ def oracle_sql() -> dict[str, str]:
             FROM scores
         """,
         "text_quality": """
-            WITH base AS (
-                SELECT doc_id, text,
+            -- en-stopword hits via unnest + vectorized IN filter
+            -- (r10: same lambda-interpreter hazard as text_lang_id)
+            WITH tok_rows AS (
+                SELECT doc_id, unnest(
+                    CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                         ELSE string_split_regex(trim(lower(text)), '\\s+') END) AS tok
+                FROM documents
+            ), hitc AS (
+                SELECT doc_id,
+                       count(*) FILTER (WHERE tok IN ('the','of','and','to','in','is','that','it','was','for','on','are','as','with','his','they','at','be','this','have')) AS hits
+                FROM tok_rows GROUP BY doc_id
+            ), base AS (
+                SELECT d.doc_id, d.text,
                        CASE WHEN trim(text) = '' THEN 0
                             ELSE len(string_split_regex(trim(text), '\\s+')) END AS n,
-                       len(list_filter(
-                           CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
-                                ELSE string_split_regex(trim(lower(text)), '\\s+') END,
-                           x -> list_contains(['the','of','and','to','in','is','that','it','was','for','on','are','as','with','his','they','at','be','this','have'], x))) AS hits,
+                       COALESCE(h.hits, 0) AS hits,
                        length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}\\-]', '', 'g')) AS punct,
                        length(text) AS nchars
-                FROM documents
+                FROM documents d LEFT JOIN hitc h ON d.doc_id = h.doc_id
             ), ratios AS (
                 SELECT doc_id, n,
                        CASE WHEN n = 0 THEN 0.0 ELSE CAST(hits AS DOUBLE) / n END AS sw_ratio,
@@ -6954,18 +6993,31 @@ def oracle_sql() -> dict[str, str]:
         # text_repetition oracle blocks, joined and filtered with the
         # same thresholds as corpus.quality_filter.
         "corpus_quality_filter": """
+            -- stopword OCCURRENCE counts via one unnest + vectorized
+            -- IN-set filters (r10: the five per-token list_filter
+            -- lambdas timed out a 300s oracle budget at the 50k-doc
+            -- sf1 replica; identical counts — zero-token docs coalesce
+            -- to 0 through the LEFT JOIN, and qbase reuses s_en since
+            -- its en list is the same literal)
             WITH toks AS (
                 SELECT doc_id,
                        CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
                             ELSE string_split_regex(trim(lower(text)), '\\s+') END AS tk
                 FROM documents
-            ), scores AS (
+            ), tok_rows AS (
+                SELECT doc_id, unnest(tk) AS tok FROM toks
+            ), hitc AS (
                 SELECT doc_id,
-                  len(list_filter(tk, x -> list_contains(['der','die','und','das','ist','von','mit','den','nicht','ein','eine','auf','sich','des','im','dem','für','als','auch','es'], x))) AS s_de,
-                  len(list_filter(tk, x -> list_contains(['the','of','and','to','in','is','that','it','was','for','on','are','as','with','his','they','at','be','this','have'], x))) AS s_en,
-                  len(list_filter(tk, x -> list_contains(['el','la','los','las','de','que','y','en','un','una','es','por','con','para','su','se','del','al','lo','como'], x))) AS s_es,
-                  len(list_filter(tk, x -> list_contains(['le','la','les','de','des','et','est','en','que','qui','dans','pour','pas','une','au','sur','avec','son','ne','se'], x))) AS s_fr
-                FROM toks
+                  count(*) FILTER (WHERE tok IN ('der','die','und','das','ist','von','mit','den','nicht','ein','eine','auf','sich','des','im','dem','für','als','auch','es')) AS s_de,
+                  count(*) FILTER (WHERE tok IN ('the','of','and','to','in','is','that','it','was','for','on','are','as','with','his','they','at','be','this','have')) AS s_en,
+                  count(*) FILTER (WHERE tok IN ('el','la','los','las','de','que','y','en','un','una','es','por','con','para','su','se','del','al','lo','como')) AS s_es,
+                  count(*) FILTER (WHERE tok IN ('le','la','les','de','des','et','est','en','que','qui','dans','pour','pas','une','au','sur','avec','son','ne','se')) AS s_fr
+                FROM tok_rows GROUP BY doc_id
+            ), scores AS (
+                SELECT t.doc_id,
+                       COALESCE(h.s_de, 0) AS s_de, COALESCE(h.s_en, 0) AS s_en,
+                       COALESCE(h.s_es, 0) AS s_es, COALESCE(h.s_fr, 0) AS s_fr
+                FROM toks t LEFT JOIN hitc h ON t.doc_id = h.doc_id
             ), lang AS (
                 SELECT doc_id,
                    CASE WHEN greatest(s_de, s_en, s_es, s_fr) > 0 AND s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
@@ -6975,16 +7027,13 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'und' END AS lang_pred
                 FROM scores
             ), qbase AS (
-                SELECT doc_id,
+                SELECT d.doc_id,
                        CASE WHEN trim(text) = '' THEN 0
                             ELSE len(string_split_regex(trim(text), '\\s+')) END AS n,
-                       len(list_filter(
-                           CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
-                                ELSE string_split_regex(trim(lower(text)), '\\s+') END,
-                           x -> list_contains(['the','of','and','to','in','is','that','it','was','for','on','are','as','with','his','they','at','be','this','have'], x))) AS hits,
+                       s.s_en AS hits,
                        length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}\\-]', '', 'g')) AS punct,
                        length(text) AS nchars
-                FROM documents
+                FROM documents d JOIN scores s ON d.doc_id = s.doc_id
             ), qual AS (
                 SELECT doc_id,
                    0.4 * least(CAST(nchars AS DOUBLE) / 2000.0, 1.0)
