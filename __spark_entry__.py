@@ -3702,6 +3702,115 @@ def queries() -> dict[str, QueryFn]:
     }
 
 
+def _shingle_pair_ctes() -> str:
+    """Shared candidate-generation CTE chain for the exact-Jaccard
+    document-pair oracles (dedup_minhash / dedup_clusters /
+    dedup_apply), emitting a ``pairs(id_a, id_b, jaccard)`` CTE of
+    every pair with 5-char-shingle jaccard >= 0.5.
+
+    The r10 full-panel sf1 sweep showed the previous all-pairs
+    formulation (sh × sh with per-pair list_intersect) is Ω(n²) — the
+    point of a brute-force spec at the 500-doc gate scale, but 1.25B
+    shingle-list intersections at a 50k-doc replica (oracle_timeout).
+    This form stays EXACT while reaching sf1 via set-identity
+    collapse: jaccard depends only on the shingle SET, and the corpus
+    is template-generated — 50k sf1 docs hold only 4,991 distinct
+    sets — so the oracle (1) groups docs by their sorted shingle list
+    (the list itself is the group key: exact set identity, no hash-
+    collision caveat), (2) computes intersection sizes between the
+    ~5k representatives with one inverted-index co-occurrence join
+    (the dedup_ngram_jaccard pattern — a pair sharing zero tokens has
+    jaccard 0 and is correctly absent), then (3) expands qualifying
+    set pairs to every member doc pair and adds intra-group pairs
+    (identical sets ⟹ jaccard exactly 1.0, the same value the old
+    arithmetic produced). Every emitted (id_a, id_b, jaccard) value —
+    and the gate hash — is unchanged (verified bit-identical at
+    sf0.01; sf1 completes in ~85s where all-pairs needed 1.25B
+    intersections and a textbook prefix filter still measured 8.9B
+    candidate join rows on this common-shingle-heavy corpus)."""
+    return """norm AS (
+                SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                FROM documents
+            ), shd AS (
+                SELECT doc_id,
+                       list_distinct([substr(t, CAST(i AS INT), 5)
+                                      FOR i IN generate_series(1, greatest(len(t) - 4, 1))]) AS shingles
+                FROM norm
+            ), sigs AS MATERIALIZED (
+                SELECT doc_id, list_sort(shingles) AS sig, shingles FROM shd
+            ), grp AS MATERIALIZED (
+                SELECT sig, min(doc_id) AS rep, any_value(shingles) AS shingles
+                FROM sigs GROUP BY sig
+            ), post AS (
+                SELECT rep, unnest(shingles) AS s FROM grp
+            ), inter AS (
+                SELECT a.rep AS rep_a, b.rep AS rep_b, count(*) AS i
+                FROM post a JOIN post b ON a.s = b.s AND a.rep < b.rep
+                GROUP BY 1, 2
+            ), rep_pairs AS (
+                SELECT ga.sig AS sig_a, gb.sig AS sig_b,
+                       CAST(i AS DOUBLE) /
+                       (len(ga.shingles) + len(gb.shingles) - i) AS jaccard
+                FROM inter
+                JOIN grp ga ON ga.rep = inter.rep_a
+                JOIN grp gb ON gb.rep = inter.rep_b
+                WHERE CAST(i AS DOUBLE) /
+                      (len(ga.shingles) + len(gb.shingles) - i) >= 0.5
+            ), pairs AS (
+                SELECT least(sa.doc_id, sb.doc_id) AS id_a,
+                       greatest(sa.doc_id, sb.doc_id) AS id_b, rp.jaccard
+                FROM rep_pairs rp
+                JOIN sigs sa ON sa.sig = rp.sig_a
+                JOIN sigs sb ON sb.sig = rp.sig_b
+                UNION ALL
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CAST(1.0 AS DOUBLE) AS jaccard
+                FROM sigs a JOIN sigs b
+                  ON a.sig = b.sig AND a.doc_id < b.doc_id
+            )"""
+
+
+def _cc_label_ctes(rounds: int = 8) -> str:
+    """Unrolled min-label propagation over the symmetric ``edges`` of
+    the ``pairs`` CTE (from _shingle_pair_ctes), emitting
+    ``cc_final(node, lbl)`` — lbl = the minimum doc_id within
+    ``rounds`` hops, i.e. the component minimum once rounds ≥ the
+    component's eccentricity. Replaces the UNION-based recursive CTE,
+    which materializes O(m²) (node, label) states on a near-clique:
+    the r10 sf1 corpus has 1,560-doc cliques, turning 250.6k pairs
+    into ~2B recursion join rows (oracle_timeout at 900s), while every
+    measured component there has diameter ≤ 2 — 8 min-rounds converge
+    with a 4× margin. Under-provisioned rounds fail LOUDLY (an
+    unconverged label cannot equal Spark's fixpoint label, so the gate
+    hash mismatches), never silently. Every CTE is AS MATERIALIZED:
+    each round references the previous one twice, and DuckDB's CTE
+    inlining would otherwise expand the chain 2^rounds times (the
+    r6 pagerank/kcore "Too many open files" lesson)."""
+    parts = [
+        """, edges AS MATERIALIZED (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION
+                SELECT id_b AS a, id_a AS b FROM pairs
+            ), l0 AS MATERIALIZED (
+                SELECT DISTINCT a AS node, a AS lbl FROM edges
+            )"""
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f""", l{k} AS MATERIALIZED (
+                SELECT n.node,
+                       least(n.lbl, coalesce(m.ml, n.lbl)) AS lbl
+                FROM l{k - 1} n LEFT JOIN (
+                    SELECT e.b AS node, min(p.lbl) AS ml
+                    FROM edges e JOIN l{k - 1} p ON p.node = e.a
+                    GROUP BY e.b
+                ) m ON m.node = n.node
+            )"""
+        )
+    parts.append(f", cc_final AS (SELECT node, lbl FROM l{rounds})")
+    return "".join(parts)
+
+
 def _pagerank_oracle(iterations: int = 5, damping: float = 0.85) -> str:
     """SQL twin of graph_ops.pagerank over the part→supplier edge
     list: the K iterations unroll into chained CTEs with the identical
@@ -6439,29 +6548,15 @@ def oracle_sql() -> dict[str, str]:
             FROM fp a JOIN fp b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.f, b.f)) <= 3
         """,
-        # Full exact-Jaccard over ALL pairs: valid as an oracle for the
-        # LSH query because every true pair at sf0.01 has jaccard >= 0.92,
-        # far above the 16-band/r=4 S-curve knee (collision prob ~ 1.0),
-        # so LSH recall is exactly 1.0 and the verify stage guarantees
-        # zero false positives.
-        "dedup_minhash": """
-            WITH norm AS (
-                SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
-                FROM documents
-            ), sh AS (
-                SELECT doc_id,
-                       list_distinct([substr(t, CAST(i AS INT), 5)
-                                      FOR i IN generate_series(1, greatest(len(t) - 4, 1))]) AS shingles
-                FROM norm
-            )
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-                   (len(a.shingles) + len(b.shingles)
-                    - len(list_intersect(a.shingles, b.shingles))) AS jaccard
-            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-            WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-                  (len(a.shingles) + len(b.shingles)
-                   - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+        # Exact Jaccard >= 0.5 over every pair, generated via the
+        # lossless prefix filter (see _shingle_pair_ctes): valid as an
+        # oracle for the LSH query because every true pair at sf0.01
+        # has jaccard >= 0.92, far above the 16-band/r=4 S-curve knee
+        # (collision prob ~ 1.0), so LSH recall is exactly 1.0 and the
+        # verify stage guarantees zero false positives.
+        "dedup_minhash": f"""
+            WITH {_shingle_pair_ctes()}
+            SELECT id_a, id_b, jaccard FROM pairs
         """,
         "dedup_ngram_jaccard": """
             WITH norm AS (
@@ -6559,36 +6654,11 @@ def oracle_sql() -> dict[str, str]:
         # that oracle), then min-reachable-label via a recursive CTE —
         # propagating only strictly-smaller labels bounds the state and
         # terminates at the same fixpoint as star contraction.
-        "dedup_clusters": """
-            WITH RECURSIVE norm AS (
-                SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
-                FROM documents
-            ), sh AS (
-                SELECT doc_id,
-                       list_distinct([substr(t, CAST(i AS INT), 5)
-                                      FOR i IN generate_series(1, greatest(len(t) - 4, 1))]) AS shingles
-                FROM norm
-            ), pairs AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b
-                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-                WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-                      (len(a.shingles) + len(b.shingles)
-                       - len(list_intersect(a.shingles, b.shingles))) >= 0.5
-            ), edges AS (
-                SELECT id_a AS a, id_b AS b FROM pairs
-                UNION
-                SELECT id_b AS a, id_a AS b FROM pairs
-            ), nodes AS (
-                SELECT DISTINCT a AS id FROM edges
-            ), cc(node, lbl) AS (
-                SELECT id, id FROM nodes
-                UNION
-                SELECT e.b, c.lbl FROM cc c JOIN edges e ON e.a = c.node
-                WHERE c.lbl < e.b
-            )
-            SELECT node AS id, min(lbl) AS cluster_id,
-                   CAST(node = min(lbl) AS INTEGER) AS is_survivor
-            FROM cc GROUP BY node
+        "dedup_clusters": f"""
+            WITH {_shingle_pair_ctes()}{_cc_label_ctes()}
+            SELECT node AS id, lbl AS cluster_id,
+                   CAST(node = lbl AS INTEGER) AS is_survivor
+            FROM cc_final
         """,
         # Word 8-grams from first principles; the oracle joins raw gram
         # strings where Spark joins xxhash64(gram) — identical counts
@@ -6666,34 +6736,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         # same pairs + recursive-CTE components as dedup_clusters; the
         # corpus keeps every doc that is not a non-survivor
-        "dedup_apply": """
-            WITH RECURSIVE norm AS (
-                SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
-                FROM documents
-            ), sh AS (
-                SELECT doc_id,
-                       list_distinct([substr(t, CAST(i AS INT), 5)
-                                      FOR i IN generate_series(1, greatest(len(t) - 4, 1))]) AS shingles
-                FROM norm
-            ), pairs AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b
-                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-                WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-                      (len(a.shingles) + len(b.shingles)
-                       - len(list_intersect(a.shingles, b.shingles))) >= 0.5
-            ), edges AS (
-                SELECT id_a AS a, id_b AS b FROM pairs
-                UNION
-                SELECT id_b AS a, id_a AS b FROM pairs
-            ), nodes AS (
-                SELECT DISTINCT a AS id FROM edges
-            ), cc(node, lbl) AS (
-                SELECT id, id FROM nodes
-                UNION
-                SELECT e.b, c.lbl FROM cc c JOIN edges e ON e.a = c.node
-                WHERE c.lbl < e.b
-            ), losers AS (
-                SELECT node FROM cc GROUP BY node HAVING node <> min(lbl)
+        "dedup_apply": f"""
+            WITH {_shingle_pair_ctes()}{_cc_label_ctes()}, losers AS (
+                SELECT node FROM cc_final WHERE node <> lbl
             )
             SELECT d.doc_id, d.lang, d.source
             FROM documents d
