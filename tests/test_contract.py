@@ -267,3 +267,34 @@ def test_oracle_timeout_interrupts_and_connection_survives():
     # no timeout → no timer at all (the default sweep path)
     rows, _, _ = duckdb_result(con, "SELECT 2 AS y")
     assert rows == [{"y": 2}]
+
+
+def test_unrolled_cc_labels_converge_and_fail_loudly():
+    """r10: the dedup cluster oracles replaced the UNION-based
+    recursive min-label CTE (O(m²) label states on a clique — sf1 has
+    1,560-doc cliques) with 8 unrolled AS MATERIALIZED min-propagation
+    rounds. Pin both halves of that contract on synthetic path graphs:
+    (a) a node exactly 8 hops from its component minimum converges
+    (every sf1 component measures diameter ≤ 2, a 4× margin), and
+    (b) nodes BEYOND 8 hops keep a non-minimal label — an unconverged
+    oracle diverges from Spark's fixpoint and FAILS the hash gate
+    loudly; it can never silently agree."""
+    import duckdb
+
+    from __spark_entry__ import _cc_label_ctes
+
+    con = duckdb.connect()
+
+    def cc(n_edges, where="1=1"):
+        vals = ",".join(f"({i},{i + 1},1.0)" for i in range(n_edges))
+        return con.sql(
+            f"WITH pairs AS (SELECT * FROM (VALUES {vals})"
+            f" t(id_a, id_b, jaccard)){_cc_label_ctes()}"
+            f" SELECT node, lbl FROM cc_final WHERE {where} ORDER BY node"
+        ).fetchall()
+
+    # path 0-1-…-8: the far end is exactly 8 hops out → fully labeled 0
+    assert cc(8) == [(i, 0) for i in range(9)]
+    # path 0-1-…-11: nodes 9/10/11 are 9-11 hops out → non-minimal
+    # labels (their 8-hop minimum), i.e. a loud gate mismatch
+    assert cc(11, where="node >= 9") == [(9, 1), (10, 2), (11, 3)]
