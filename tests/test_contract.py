@@ -112,26 +112,23 @@ def test_all_oracles_emit_gate_safe_duckdb_types(sf_dir):
     assert not bad, f"gate-unsafe DuckDB oracle output types: {bad}"
 
 
-def test_r10_gate_window_composition():
-    """The driver gates the FIRST 50 queries() entries; the r10 window
-    is: the FULL 48-query cohort last driver-gated in r6 (the stalest
-    driver rows, alphabetical — VERDICT r9 #1), then the two queries
-    whose ORACLE CONTRACTS were rewritten this round
-    (emb_neardup_lsh's dynamic-plane oracle, pricing_summary's
-    scale-stable cents rounding) — changed contracts take gate
-    priority over VERDICT's alphabetical r7 fillers (r10 code-review
-    finding: a contract rewrite outside the gated window would go a
-    full round externally unverified). Past the cap, cohorts queue in
-    staleness order (r7, r8, r9, minus the two promoted rows), each
-    alphabetical. Counted from the CORRECTNESS history, not assumed
-    (r5/r6 lesson)."""
+def test_r11_gate_window_composition():
+    """The driver gates the FIRST 50 queries() entries; the r11 window
+    is: the FULL 49-query cohort last driver-gated in r7 (the stalest
+    driver rows, alphabetical — VERDICT r10 #1; dedup_minhash, which
+    the verdict suggested for the free slot, is already IN this
+    cohort), then above_avg_orders — the alphabetical head of the r8
+    cohort, so the free slot starts rotating the next-stalest cohort a
+    round early. Past the cap, cohorts queue in staleness order (r8
+    remainder, r9, r10), each alphabetical. Counted from the
+    CORRECTNESS history, not assumed (r5/r6 lesson)."""
     import json
     import os
 
     names = list(E.queries().keys())
     rounds: dict[str, list[int]] = {}
-    for r in range(1, 10):
-        p = f"/root/repo/CORRECTNESS_r0{r}.json"
+    for r in range(1, 11):
+        p = f"/root/repo/CORRECTNESS_r{r:02d}.json"
         if os.path.exists(p):
             for k in json.load(open(p)):
                 rounds.setdefault(k, []).append(r)
@@ -139,21 +136,19 @@ def test_r10_gate_window_composition():
     assert not [n for n in names if n not in rounds]
     cohort = {
         r: sorted(n for n in names if max(rounds[n]) == r)
-        for r in (6, 7, 8, 9)
+        for r in (7, 8, 9, 10)
     }
-    assert len(cohort[6]) == 48 and len(cohort[7]) == 50
-    # positions 1-48: the full r6-stale cohort, alphabetical
-    assert names[:48] == cohort[6]
-    # positions 49-50: the two r10 changed-contract queries
-    assert names[48:50] == ["emb_neardup_lsh", "pricing_summary"]
-    # past the cap: r7 remainder, then r8, then r9 remainder, each
-    # alphabetical (the promoted rows excluded from their cohorts)
-    r7_rest = [q for q in cohort[7] if q != "emb_neardup_lsh"]
-    r9_rest = [q for q in cohort[9] if q != "pricing_summary"]
-    assert names[50 : 50 + len(r7_rest)] == r7_rest
-    off = 50 + len(r7_rest)
-    assert names[off : off + 50] == cohort[8]
-    assert names[off + 50 :] == r9_rest
+    assert len(cohort[7]) == 49 and len(cohort[8]) == 50
+    assert len(cohort[9]) == 49 and len(cohort[10]) == 50
+    # positions 1-49: the full r7-stale cohort, alphabetical
+    assert names[:49] == cohort[7]
+    # position 50: the r8 cohort's alphabetical head
+    assert names[49] == "above_avg_orders" == cohort[8][0]
+    # past the cap: r8 remainder, then r9, then r10, each alphabetical
+    r8_rest = cohort[8][1:]
+    assert names[50 : 50 + 49] == r8_rest
+    assert names[99 : 99 + 49] == cohort[9]
+    assert names[148:] == cohort[10]
 
 
 def test_bench_summary_line_always_fits_capture_window():
