@@ -682,6 +682,15 @@ def minhash_dedup_pairs(
     right; for exact semantics raise ``max_bucket`` and pay the O(s²).
     Guarantees are exact for every bucket <= ``max_bucket``.
 
+    Emit-once banding (ADVICE r10) slightly WIDENS that hot-bucket
+    caveat on skewed corpora: a triangle pair whose FIRST fully-equal
+    band lands in a >``max_bucket`` bucket is suppressed at every
+    later small bucket too (previously a later small bucket would
+    re-emit it), deferring entirely to the hot bucket's spanning
+    heuristic. A no-op whenever no bucket exceeds ``max_bucket``; see
+    ``_emit_once_dup_mask`` for the exactness argument and
+    ``tools/skew_stress.py`` for the measured deferral rate.
+
     Returns (id_a, id_b, jaccard) with jaccard >= threshold."""
     import math
 
@@ -808,12 +817,58 @@ def _verify_pairs_arrow(
     whitespace, distinct char k-grams), so the value is the same exact
     Jaccard the SQL oracle computes — set Jaccard is invariant to
     hashing the grams. ``likely`` is the only checkpointed input;
-    everything after it is one lazy job."""
-    melted = likely.select(
-        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("__id")
-    )
+    everything after it is one lazy job — plus the eagerly-
+    checkpointed per-doc gram-size table below, which feeds the
+    SIZE-RATIO prefilter (VERDICT r10 #3): for |A| <= |B|,
+    J(A,B) = |A∩B|/|A∪B| <= |A|/|B|, so any pair whose gram-set size
+    ratio falls below the threshold cannot verify — dropped BEFORE the
+    per-pair set intersection, with zero recall loss. Sizes are
+    computed once per candidate DOC (|docs| gram passes), not once per
+    pair side (2·|pairs| passes) — at a 50k-doc/1.9M-pair sf1 replica
+    that is the difference between 50k and 3.8M gram-set builds for
+    the dropped fraction. The 1e-12 slack keeps any pair within
+    rounding distance of the boundary; the exact verify still decides
+    it."""
     texts = df.select(
         F.col(id_col).alias("__id"), F.col(text_col).alias("__t")
+    )
+
+    @F.pandas_udf("long")
+    def n_grams(t: pd.Series) -> pd.Series:
+        def count(s):
+            s = re.sub(r"\s+", " ", (s or "").lower()).strip()
+            if len(s) < shingle_k:
+                return 1 if s else 0
+            return len({s[i : i + shingle_k] for i in range(len(s) - shingle_k + 1)})
+
+        return t.map(count).astype("int64")
+
+    cand = likely.select(
+        F.explode(F.array("id_a", "id_b")).alias("__id")
+    ).dropDuplicates()
+    sized = (
+        cand.join(texts, "__id")
+        .select("__id", n_grams("__t").alias("__n"))
+        .localCheckpoint(eager=True)
+    )
+    likely = (
+        likely.join(
+            sized.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na")),
+            "id_a",
+        )
+        .join(
+            sized.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb")),
+            "id_b",
+        )
+        .where(
+            F.least("__na", "__nb").cast("double")
+            >= (F.lit(threshold) - F.lit(1e-12))
+            * F.greatest("__na", "__nb").cast("double")
+        )
+        .select("id_a", "id_b")
+    )
+    melted = likely.select(
+        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("__id")
     )
     wide = (
         melted.join(texts, "__id")
@@ -832,11 +887,23 @@ def _verify_pairs_arrow(
 
     @F.pandas_udf("double")
     def jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        # memoize gram sets per distinct text within the batch: a doc
+        # in k surviving pairs would otherwise rebuild its set k times
+        # (pairs outnumber docs on clustered corpora). Bounded by the
+        # Arrow batch size; exact — keyed on the text value itself.
+        cache: dict = {}
+
         def grams(t):
+            g = cache.get(t)
+            if g is not None:
+                return g
             s = re.sub(r"\s+", " ", (t or "").lower()).strip()
             if len(s) < shingle_k:
-                return {s} if s else set()
-            return {s[i : i + shingle_k] for i in range(len(s) - shingle_k + 1)}
+                g = {s} if s else set()
+            else:
+                g = {s[i : i + shingle_k] for i in range(len(s) - shingle_k + 1)}
+            cache[t] = g
+            return g
 
         out = []
         for a, b in zip(ta, tb):
@@ -892,8 +959,18 @@ def _verify_pairs_catalyst(
     )
     inter = F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
     union = F.size(F.array_union("__sh_a", "__sh_b")).cast("double")
+    # size-ratio prefilter (VERDICT r10 #3): J <= min(|A|,|B|)/max —
+    # evaluated BEFORE the O(|A|+|B|) intersect/union expressions, so
+    # dropped pairs never pay them; exact (1e-12 boundary slack), and
+    # consistent with THIS path's jaccard definition because both use
+    # the same hashed-shingle arrays.
+    na = F.size("__sh_a").cast("double")
+    nb = F.size("__sh_b").cast("double")
     return (
-        wide.withColumn("jaccard", inter / union)
+        wide.where(
+            F.least(na, nb) >= (F.lit(threshold) - F.lit(1e-12)) * F.greatest(na, nb)
+        )
+        .withColumn("jaccard", inter / union)
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

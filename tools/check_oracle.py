@@ -125,10 +125,29 @@ def duckdb_result(
     from a daemon timer and the in-flight query raises
     ``duckdb.InterruptException`` (the connection stays usable —
     verified on duckdb 1.0.0).  The timer spans relation construction
-    AND fetch: ``con.sql`` is lazy, execution happens in fetchall."""
+    AND fetch: ``con.sql`` is lazy, execution happens in fetchall.
+
+    The callback is gated on a ``done`` event (ADVICE r10): without
+    it, a timer firing in the window between fetchall() returning and
+    timer.cancel() would interrupt() an IDLE connection, and the stale
+    interrupt could spuriously abort the NEXT oracle in the sweep —
+    misrecording a healthy query as oracle_timeout. The gate alone
+    still leaves a hair's-width race (fire between the is_set check
+    and the interrupt call), so the cleanup also JOINS the timer
+    thread — after which any callback has fully run — and, if it
+    fired, drains the possibly-pending interrupt with a trivial query
+    before the connection is reused."""
     timer: threading.Timer | None = None
+    done = threading.Event()
+    fired = threading.Event()
+
+    def _interrupt() -> None:
+        if not done.is_set():
+            fired.set()
+            con.interrupt()
+
     if timeout is not None:
-        timer = threading.Timer(timeout, con.interrupt)
+        timer = threading.Timer(timeout, _interrupt)
         timer.daemon = True
         timer.start()
     try:
@@ -137,8 +156,15 @@ def duckdb_result(
         unsafe = duck_gate_unsafe_columns(rel)
         rows = [dict(zip(cols, t)) for t in rel.fetchall()]
     finally:
+        done.set()
         if timer is not None:
             timer.cancel()
+            timer.join()
+            if fired.is_set():
+                try:
+                    con.sql("SELECT 1").fetchall()
+                except Exception:
+                    pass
     return rows, cols, unsafe
 
 
