@@ -7,19 +7,25 @@ training run can consume this" — no counterpart in the reference (its
 ETL stops at partitioned parquet, dags/spark/etl.py:171-175); part of
 the LLM-data surface this engine adds.
 
-Everything is pure Catalyst (no Python UDFs): hashes via xxhash64 (or
-the md5-derived 60-bit portable variant for oracle-checked queries),
-n-grams via split + transform/slice, ranks via window functions over
-explicit partition keys — never a global single-partition window.
+Everything is pure Catalyst — hashes via xxhash64 (or the md5-derived
+60-bit portable variant for oracle-checked queries), n-grams via
+split + transform/slice, ranks via window functions over explicit
+partition keys, never a global single-partition window — EXCEPT
+``decontaminate``'s default Arrow kernel: Catalyst's higher-order
+lambdas (transform + slice + concat_ws) run interpreted outside
+whole-stage codegen, and the measured 15× gap at the sf1 replica
+(NOTES r11) justifies the one vectorized mapInPandas pass there.
 """
 
 from __future__ import annotations
 
+import re
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from quanta_etl_spark.functions.text import portable_hash60, ws_tokens
+from quanta_etl_spark.operators.util import spread as _spread
 
 
 def _row_hash(col: Column, variant: str) -> Column:
@@ -46,6 +52,58 @@ def word_ngrams(text: Column | str, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _gram_hash_arrays(texts, n: int, word_cache: dict) -> list:
+    """Per-doc arrays of distinct 64-bit word-n-gram hashes, gram
+    semantics identical to ``word_ngrams`` (lower → trim spaces →
+    Java-\\s+ split → space-joined n-grams → distinct): tokenization
+    mirrors Spark's ``split(trim(lower(t)), '\\s+')`` including its
+    edge behavior (Java keeps a LEADING empty token when the trimmed
+    string starts with non-space whitespace, and drops TRAILING
+    empties; ``trim`` strips 0x20 only). Words hash once per distinct
+    word via blake2b-64 (``word_cache`` persists across batches inside
+    one Python worker); gram hashes are an order-sensitive splitmix64
+    chain over the window's word hashes, vectorized with numpy over
+    all window offsets at once — no per-gram string is ever built.
+    Gram identity = token-sequence identity = the joined string the
+    SQL oracle compares, so counts match the string oracle barring
+    64-bit collisions (the same exposure the previous xxhash64-on-
+    string form had)."""
+    import hashlib
+
+    import numpy as np
+
+    from quanta_etl_spark.operators.dedup import _mix64
+
+    out = []
+    for t in texts:
+        s = (t or "").lower().strip(" ")
+        if not s:
+            out.append(np.empty(0, dtype=np.int64))
+            continue
+        words = re.split(r"[ \t\n\x0b\f\r]+", s)
+        if words and words[-1] == "":
+            words.pop()
+        if len(words) < n:
+            out.append(np.empty(0, dtype=np.int64))
+            continue
+        wh = np.empty(len(words), dtype=np.uint64)
+        for i, w in enumerate(words):
+            h = word_cache.get(w)
+            if h is None:
+                h = int.from_bytes(
+                    hashlib.blake2b(w.encode(), digest_size=8).digest(), "big"
+                )
+                if len(word_cache) < 4_000_000:  # bound worker memory
+                    word_cache[w] = h
+            wh[i] = h
+        m = len(words) - n + 1
+        acc = np.zeros(m, dtype=np.uint64)
+        for k in range(n):
+            acc = _mix64(acc ^ wh[k : k + m])
+        out.append(np.unique(acc.view(np.int64)))
+    return out
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -54,20 +112,96 @@ def decontaminate(
     n: int = 8,
     min_overlap: int = 1,
     hash_variant: str = "xxhash64",
+    use_arrow: bool = True,
+    max_broadcast_grams: int = 50_000_000,
 ) -> DataFrame:
     """Flag corpus documents that share ≥ ``min_overlap`` word n-grams
     with a benchmark/eval set (train-test contamination screening, the
     GPT-3/PaLM 8-gram protocol). Returns the corpus ids with
     ``n_overlap`` (distinct shared n-grams) and ``contaminated``.
 
-    Shape at 100 TB: n-grams are hashed to int64 before the join (8
-    bytes instead of ~50-char strings through the shuffle); the
-    benchmark side — distinct n-grams of an eval set, thousands to
-    millions of rows — is broadcast, so the corpus is never shuffled at
-    all: scan → explode → broadcast-hash-join → partial count. The
-    corpus-side explode is streamed row-group by row-group, never
-    materialized.
+    Shape at 100 TB (``use_arrow``, the default): the benchmark side —
+    the distinct n-gram hashes of an EVAL set, thousands to a few
+    million values — is collected and broadcast as one sorted int64
+    array, and the corpus is screened in a single ``mapInPandas`` pass
+    that computes each doc's distinct gram hashes in numpy and counts
+    membership with one ``np.isin`` per doc: no explode, no join, no
+    shuffle — scan → Arrow kernel → done. The bounded collect is the
+    same data volume the broadcast hash join would ship to every
+    executor anyway; it is guarded by ``max_broadcast_grams`` (the
+    benchmark side is counted first — it is tiny by contract), above
+    which the operator falls back to the join form below. An Arrow
+    kernel rather than ``word_ngrams``: Catalyst evaluates
+    higher-order-function lambdas (transform + slice + concat_ws)
+    INTERPRETED, outside whole-stage codegen — measured 30s for a
+    2.2M-gram corpus at the sf1 replica where the numpy rolling-hash
+    kernel takes ~2s (NOTES r11); there is no codegen-native
+    sliding-window n-gram. ``hash_variant`` only affects the fallback
+    join path — the kernel's internal hashing (blake2b word hashes +
+    splitmix64 rolling chain) never leaves the operator.
+
+    Fallback shape (``use_arrow=False`` or an over-budget benchmark):
+    n-grams hashed to int64 before the join (8 bytes instead of
+    ~50-char strings through the shuffle); the benchmark gram set is
+    broadcast, so the corpus is never shuffled at all: scan → explode
+    → broadcast-hash-join → partial count. The corpus-side explode is
+    streamed row-group by row-group, never materialized.
     """
+    if use_arrow:
+        import numpy as np
+        import pandas as pd
+
+        id_dt = corpus.schema[id_col].dataType.simpleString()
+
+        def bench_grams_kernel(batches):
+            cache: dict = {}
+            for pdf in batches:
+                arrs = _gram_hash_arrays(pdf[text_col], n, cache)
+                if arrs:
+                    u = np.unique(np.concatenate(arrs))
+                    yield pd.DataFrame({"__gh": u})
+
+        bench_gh = (
+            _spread(benchmark.select(text_col))
+            .mapInPandas(bench_grams_kernel, "__gh long")
+            .distinct()
+        )
+        if bench_gh.count() <= max_broadcast_grams:
+            bench_arr = np.sort(
+                np.fromiter(
+                    (r[0] for r in bench_gh.collect()), dtype=np.int64
+                )
+            )
+            bc = corpus.sparkSession.sparkContext.broadcast(bench_arr)
+
+            def screen(batches):
+                cache: dict = {}
+                bg = bc.value
+                for pdf in batches:
+                    arrs = _gram_hash_arrays(pdf[text_col], n, cache)
+                    counts = np.fromiter(
+                        (
+                            int(
+                                np.isin(a, bg, assume_unique=True).sum()
+                            )
+                            for a in arrs
+                        ),
+                        dtype=np.int64,
+                        count=len(arrs),
+                    )
+                    yield pd.DataFrame(
+                        {
+                            id_col: pdf[id_col].to_numpy(),
+                            "n_overlap": counts,
+                            "contaminated": counts >= min_overlap,
+                        }
+                    )
+
+            return _spread(corpus.select(id_col, text_col)).mapInPandas(
+                screen, f"{id_col} {id_dt}, n_overlap long, contaminated boolean"
+            )
+        # benchmark too large to broadcast as one array: fall through
+
     gram_h = lambda df: df.select(  # noqa: E731
         F.col(id_col),
         F.explode(word_ngrams(text_col, n)).alias("__gram"),

@@ -120,6 +120,60 @@ def test_decontaminate_short_docs_yield_no_grams(spark):
     assert out.collect()[0]["contaminated"] is False
 
 
+def test_decontaminate_arrow_matches_join_fallback(spark):
+    """The r11 Arrow kernel (numpy rolling word-hash grams + broadcast
+    np.isin membership) must agree with the Catalyst explode+join
+    fallback on every tokenization edge: empty / NULL / whitespace-only
+    text, tab and newline separators, case folding, repeated grams
+    (distinct-count semantics), and docs shorter than n."""
+    rows = [
+        (1, "Alpha beta GAMMA delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),
+        (3, ""),
+        (4, None),
+        (5, "   \t  \n "),
+        (6, "alpha\tbeta gamma\ndelta epsilon zeta"),
+        (7, "alpha beta gamma delta alpha beta gamma delta"),
+        (8, "short doc"),
+    ]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    bench = spark.createDataFrame(
+        [(100, "we saw alpha beta gamma delta here"),
+         (101, "beta gamma delta epsilon appears too")],
+        ["doc_id", "text"],
+    )
+    for n in (2, 4):
+        arrow = {
+            r["doc_id"]: (r["n_overlap"], r["contaminated"])
+            for r in corpus_ops.decontaminate(
+                corpus, bench, "doc_id", "text", n=n
+            ).collect()
+        }
+        join = {
+            r["doc_id"]: (r["n_overlap"], r["contaminated"])
+            for r in corpus_ops.decontaminate(
+                corpus, bench, "doc_id", "text", n=n, use_arrow=False
+            ).collect()
+        }
+        assert arrow == join, f"n={n}: {arrow} != {join}"
+
+
+def test_decontaminate_over_budget_benchmark_falls_back(spark):
+    """max_broadcast_grams below the benchmark gram count must route to
+    the join path (same results) instead of collecting."""
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "x y z w v u")], ["doc_id", "text"]
+    )
+    bench = spark.createDataFrame([(9, "b c d e f g")], ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r["contaminated"]
+        for r in corpus_ops.decontaminate(
+            corpus, bench, "doc_id", "text", n=3, max_broadcast_grams=1
+        ).collect()
+    }
+    assert out == {1: True, 2: False}
+
+
 # ---------------------------------------------------------------------------
 # quota capping / packing / shuffle index
 # ---------------------------------------------------------------------------
