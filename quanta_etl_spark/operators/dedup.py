@@ -373,6 +373,7 @@ def _fused_likely_pairs(
     min_agree: int,
     seed: int = 42,
     max_bucket: int = 4096,
+    emit_once: bool = True,
 ) -> DataFrame:
     """Likely near-dup pairs in TWO Python stages and one shuffle:
 
@@ -401,7 +402,11 @@ def _fused_likely_pairs(
     that bucket's spanning heuristic — the previously-documented
     hot-bucket recall caveat (see _bucket_pair_indices), now including
     pairs a later small bucket would have rescued. Spanning pairs
-    themselves are never skipped.
+    themselves are never skipped. ``emit_once=False`` restores the
+    pre-r10 emit-at-every-band semantics — kept as the measurement
+    baseline for quantifying that caveat (tools/skew_stress.py diffs
+    the two distinct candidate sets; the delta IS the realized recall
+    cost, zero whenever no bucket exceeds ``max_bucket``).
 
     Output: id_a < id_b; a pair may still repeat only across
     hash-collision or spanning paths (callers dropDuplicates anyway).
@@ -485,12 +490,13 @@ def _fused_likely_pairs(
             # guaranteed to be generated by an earlier band's bucket
             # (see _emit_once_dup_mask for the full argument and the
             # hot-bucket exactness-domain caveat).
-            dup = _emit_once_dup_mask(
-                eq, span, bandv[gi], bandv[gj], bands, r
-            )
-            if dup.all():
-                return None
-            gi, gj = gi[~dup], gj[~dup]
+            if emit_once:
+                dup = _emit_once_dup_mask(
+                    eq, span, bandv[gi], bandv[gj], bands, r
+                )
+                if dup.all():
+                    return None
+                gi, gj = gi[~dup], gj[~dup]
             a, b = ids[gi], ids[gj]
             sw = a > b  # hot-run pairs follow signature order, not id order
             if sw.any():

@@ -136,6 +136,87 @@ def test_emit_once_dup_mask_contract():
     assert dup.tolist() == [True, False, False, False, False, False]
 
 
+def test_emit_once_lossless_without_hot_buckets(spark):
+    """The emit-once theorem, end-to-end (VERDICT r10 #6): on a corpus
+    where no LSH bucket exceeds max_bucket, the distinct candidate set
+    with emit-once banding equals the pre-r10 emit-at-every-band set
+    EXACTLY — suppression only removes re-emissions a prior band's
+    bucket provably regenerates. Any delta here is a kernel bug, not
+    the documented hot-bucket caveat."""
+    import math
+
+    from quanta_etl_spark.operators.dedup import _fused_likely_pairs
+
+    rows = [(i, f"the quick brown fox document number shared body {i % 7}")
+            for i in range(60)]
+    rows += [(100 + i, "an entirely different text about market data feeds "
+              f"and order books variant {i}") for i in range(20)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    margin = 2.5 * math.sqrt(0.5 * 0.5 / 64)
+    min_agree = math.ceil((0.5 - margin) * 64 - 1e-9)
+    on = set(
+        (r.id_a, r.id_b)
+        for r in _fused_likely_pairs(
+            docs, "doc_id", "text", 64, 16, 5, min_agree
+        ).dropDuplicates().collect()
+    )
+    off = set(
+        (r.id_a, r.id_b)
+        for r in _fused_likely_pairs(
+            docs, "doc_id", "text", 64, 16, 5, min_agree, emit_once=False
+        ).dropDuplicates().collect()
+    )
+    assert on == off
+    assert on  # non-vacuous: the near-dup groups do collide
+
+
+def test_emit_once_hot_bucket_miss_confined_to_hot_cohort(spark):
+    """With a bucket forced over max_bucket, emit-once may lose pairs
+    ONLY through the documented deferral mechanism — every pair in
+    (emit-every-band − emit-once) must have BOTH ends inside the hot
+    template cohort. A missing pair with an end outside the cohort
+    would mean suppression without a covering hot bucket."""
+    import math
+
+    from quanta_etl_spark.operators.dedup import _fused_likely_pairs
+
+    import random
+
+    hot = [(i, "identical template body repeated across the hot cohort")
+           for i in range(30)]
+    # cold docs must be pairwise DISSIMILAR (distinct shuffled
+    # vocabularies) so they never share a bucket — near-identical cold
+    # docs would form their own >cap buckets and legitimately defer
+    rng = random.Random(7)
+    vocab = [f"w{j}" for j in range(400)]
+    cold = [
+        (1000 + i, " ".join(rng.sample(vocab, 40))) for i in range(20)
+    ]
+    docs = spark.createDataFrame(hot + cold, ["doc_id", "text"])
+    margin = 2.5 * math.sqrt(0.5 * 0.5 / 64)
+    min_agree = math.ceil((0.5 - margin) * 64 - 1e-9)
+    kw = dict(max_bucket=8)  # 30-row buckets are hot at cap 8
+    on = set(
+        (r.id_a, r.id_b)
+        for r in _fused_likely_pairs(
+            docs, "doc_id", "text", 64, 16, 5, min_agree, **kw
+        ).dropDuplicates().collect()
+    )
+    off = set(
+        (r.id_a, r.id_b)
+        for r in _fused_likely_pairs(
+            docs, "doc_id", "text", 64, 16, 5, min_agree,
+            emit_once=False, **kw
+        ).dropDuplicates().collect()
+    )
+    missed = off - on
+    assert all(a < 1000 and b < 1000 for a, b in missed), missed
+    # the hot cohort itself stays connected through the spanning set:
+    # every member appears in at least one surviving pair
+    touched = {x for p in on for x in p if x < 1000}
+    assert touched == {i for i, _ in hot}
+
+
 def test_minhash_s_curve_contract():
     """VERDICT r9 #5: pin the b=16/r=4 derivation so a silent bands/rows
     change that degrades recall fails loudly. With num_hashes=64 the

@@ -94,6 +94,65 @@ def main() -> int:
         # guard bound: spanning set is linear, not quadratic
         bound = 16 * 2 * (n_total)
         assert n_pairs <= bound, f"pair listing {n_pairs} > linear bound {bound}"
+
+    # ------------------------------------------------------------------
+    # Emit-once recall delta (VERDICT r10 #6): the documented caveat is
+    # a triangle pair whose FIRST fully-equal band lands in a hot
+    # (>max_bucket) bucket — emit-once defers it entirely to that
+    # bucket's spanning heuristic, where the pre-r10 kernel would have
+    # re-emitted it at a later small bucket. Measured here as the set
+    # difference of the DISTINCT candidate sets with emit-once on vs
+    # off, then carried through exact-Jaccard verification: the
+    # REALIZED loss is the count of missed candidates that would have
+    # verified. NOTE (r11 finding, corrects ADVICE r10): the caveat is
+    # NOT a no-op on the gated panel corpus — sf1 has band-5 buckets of
+    # 8,200 and 4,560 (> the 4,096 cap), deferring ~147k candidate
+    # pairs — but the realized loss is asserted ZERO: every deferred
+    # pair fails exact verification (they are est∈[0.34,0.5) band
+    # collisions), which is also why SF1_SWEEP_r10 stayed hash-green
+    # against the exact all-pairs oracle. The skewed corpus asserts the
+    # mechanism confinement (both ends hot) and reports realized loss.
+    # ------------------------------------------------------------------
+    import math
+
+    for label, df, threshold in [
+        ("panel", docs, 0.5),  # the gated dedup_minhash config
+        ("skewed", skewed, 0.8),
+    ]:
+        margin = 2.5 * math.sqrt(threshold * (1 - threshold) / 64)
+        min_agree = math.ceil((threshold - margin) * 64 - 1e-9)
+        on = D._fused_likely_pairs(
+            df, "doc_id", "text", 64, 16, 5, min_agree
+        ).dropDuplicates()
+        off = D._fused_likely_pairs(
+            df, "doc_id", "text", 64, 16, 5, min_agree, emit_once=False
+        ).dropDuplicates()
+        n_on = on.count()
+        missed = off.subtract(on).localCheckpoint(eager=True)
+        n_missed = missed.count()
+        n_lost = D._verify_pairs_arrow(
+            df, "doc_id", "text", missed, 5, threshold
+        ).count()
+        print(
+            f"emit-once {label}: candidates={n_on}, deferred={n_missed}, "
+            f"realized loss (deferred AND verifying)={n_lost}"
+        )
+        if label == "panel":
+            assert n_lost == 0, (
+                f"emit-once realized loss {n_lost} on the panel corpus — "
+                "the gate-green-at-sf1 invariant is broken"
+            )
+        else:
+            # every deferral must be a hotspot-member pair (both ends
+            # in the >cap bucket cohort) — the caveat's only mechanism
+            outside = missed.where(
+                (F.col("id_a") < 10_000_000_000)
+                | (F.col("id_b") < 10_000_000_000)
+            ).count()
+            assert outside == 0, (
+                f"{outside} deferred pair(s) outside the hot cohort — "
+                "emit-once suppressed a pair no hot bucket covers"
+            )
     spark.stop()
     return 0
 
