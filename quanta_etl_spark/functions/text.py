@@ -10,6 +10,8 @@ All functions are deterministic so results hash-match a SQL oracle.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -64,11 +66,25 @@ def bpe_ish_token_count(text: Column | str) -> Column:
 
 
 def stopword_hits(text: Column | str, lang: str) -> Column:
-    """Count of whitespace tokens (lowercased) in ``lang``'s stopword list."""
-    words = STOPWORDS[lang]
-    arr = F.array(*[F.lit(w) for w in words])
-    toks = ws_tokens(F.lower(_c(text)))
-    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    """Count of whitespace tokens (lowercased) in ``lang``'s stopword list.
+
+    Implemented as ONE native ``regexp_count`` over the lowered text —
+    ``(?<!\\S)(?:w1|w2|…)(?!\\S)`` counts exactly the whitespace-
+    delimited occurrences, i.e. token membership, because tokens ARE
+    the maximal non-whitespace runs. The previous
+    ``filter(toks, array_contains)`` form was a Catalyst higher-order
+    lambda: interpreted per token per stopword (tokens × 20 linear
+    probes × languages per doc — the same interpreted-lambda class the
+    r10 oracle fix removed from DuckDB, r11 removes from the Spark
+    side). Alternatives rejected: ``array_intersect`` deduplicates
+    (membership, not occurrences); ``size - size(array_except)`` also
+    deduplicates. Longest-first alternation minimizes backtracking; the
+    ``(?!\\S)`` lookahead makes match choice order-independent (a
+    prefix word failing the lookahead backtracks into the longer one).
+    """
+    words = sorted(STOPWORDS[lang], key=len, reverse=True)
+    pat = r"(?<!\S)(?:" + "|".join(re.escape(w) for w in words) + r")(?!\S)"
+    return F.regexp_count(F.lower(_c(text)), F.lit(pat))
 
 
 def lang_id(text: Column | str) -> Column:

@@ -366,6 +366,7 @@ def quality_filter(
     max_top_token_frac: float = 0.5,
     min_distinct_frac: float = 0.2,
     langs: Sequence[str] | None = ("en",),
+    use_arrow: bool = True,
 ) -> DataFrame:
     """The end-to-end corpus quality gate: combine language ID, the
     composite quality score, token-count bounds, and the Gopher-style
@@ -379,22 +380,135 @@ def quality_filter(
     can see them; the fraction comparisons drop residual NULLs the
     SQL way (NULL fails every predicate).
 
-    Shape at 100 TB: the scalar signals are one scan-side projection;
-    repetition is one explode + two map-side-combinable aggregations
-    keyed by doc; the final join is doc_id-to-doc_id on the
-    aggregation's existing hash partitioning — no extra shuffle of the
-    corpus beyond the repetition aggregation itself.
+    Shape at 100 TB (``use_arrow``, the default): every signal is a
+    per-document count, so ONE fused mapInPandas pass emits all the
+    integer counts (token/distinct/top/bigram from the normalized
+    Counter, per-language stopword hits as dict lookups against the
+    same Counter, raw token count, length, punctuation count) and
+    Catalyst derives the fractions / quality formula / lang argmax /
+    keep predicate from plain ints — zero shuffles, zero joins, one
+    scan, one Arrow crossing. The fallback (``use_arrow=False``)
+    composes the scalar Catalyst functions with ``repetition_stats``;
+    it is exact but pays the repetition aggregation's shuffles AND
+    inlines ``lang_id``'s CASE chain into filter + projection, where
+    each branch re-evaluates 4 ``regexp_count``s whose Spark
+    implementation MATERIALIZES every match just to count
+    (size(regexp_extract_all(...)) in the plan) — measured 17-22s vs
+    ~3s at the sf1 replica (NOTES r11). Both paths derive the doubles
+    with identical Catalyst expressions, so values are bit-equal
+    (pinned by test_quality_filter_arrow_matches_fallback).
     """
     from quanta_etl_spark.functions import text as T
     from quanta_etl_spark.operators.text_stats import repetition_stats
 
-    rep = repetition_stats(docs, id_col, text_col)
-    sig = docs.select(
-        F.col(id_col).alias("doc_id"),
-        T.lang_id(text_col).alias("lang_pred"),
-        T.quality_score(text_col).alias("quality"),
-    )
-    j = sig.join(rep, "doc_id")
+    if use_arrow:
+        from collections import Counter
+
+        import pandas as pd
+
+        from quanta_etl_spark.operators.text_stats import norm_tokens_py
+
+        id_dt = docs.schema[id_col].dataType.simpleString()
+        lang_codes = sorted(T.STOPWORDS)
+        stop_sets = {lang: frozenset(T.STOPWORDS[lang]) for lang in lang_codes}
+        punct_re = re.compile(r"[.,;:!?'\"()\[\]{}\-]")
+
+        def kernel(batches):
+            for pdf in batches:
+                rows: list[list] = []
+                for i, t in zip(pdf[id_col], pdf[text_col]):
+                    toks = norm_tokens_py(t)
+                    counts = Counter(toks)
+                    bgs = Counter(zip(toks, toks[1:]))
+                    # raw ws_tokens(text) count: same non-space runs,
+                    # PLUS Java split's leading "" token when the
+                    # space-trimmed text starts with other whitespace
+                    raw = (t or "").strip(" ")
+                    extra = 1 if raw and raw[0] in "\t\n\x0b\f\r" else 0
+                    hits = [
+                        sum(c for w, c in counts.items() if w in stop_sets[lang])
+                        for lang in lang_codes
+                    ]
+                    rows.append(
+                        [
+                            i,
+                            len(toks),
+                            len(counts),
+                            max(counts.values()) if counts else 0,
+                            max(bgs.values()) if bgs else 0,
+                            len(toks) + extra,
+                            len(t or ""),
+                            len(punct_re.findall(t or "")),
+                            *hits,
+                        ]
+                    )
+                if not rows:
+                    continue
+                cols = [
+                    "doc_id", "n_tokens", "n_distinct", "top_c", "top_bg_c",
+                    "n_raw", "text_len", "punct_c",
+                    *[f"hits_{lang}" for lang in lang_codes],
+                ]
+                yield pd.DataFrame(dict(zip(cols, map(list, zip(*rows)))))
+
+        schema = (
+            f"doc_id {id_dt}, n_tokens long, n_distinct long, top_c long, "
+            "top_bg_c long, n_raw long, text_len long, punct_c long, "
+            + ", ".join(f"hits_{lang} long" for lang in lang_codes)
+        )
+        sig = _spread(docs.select(id_col, text_col)).mapInPandas(kernel, schema)
+
+        # ---- identical Catalyst derivations to the scalar functions ----
+        # lang_id: argmax of hit counts, earlier code wins ties, 'und'
+        # when every count is 0 (functions/text.py:lang_id)
+        best = F.greatest(*[F.col(f"hits_{lang}") for lang in lang_codes])
+        lang_pred = F.lit("und")
+        for lang in reversed(lang_codes):
+            lang_pred = F.when(
+                (F.col(f"hits_{lang}") == best) & (best > 0), F.lit(lang)
+            ).otherwise(lang_pred)
+        # quality_score: same op order / casts as functions/text.py
+        length_score = F.least(F.col("text_len").cast("double") / 2000.0, F.lit(1.0))
+        sw_ratio = F.when(F.col("n_raw") == 0, F.lit(0.0)).otherwise(
+            F.col("hits_en").cast("double") / F.col("n_raw").cast("double")
+        )
+        sw_score = F.least(sw_ratio / 0.4, F.lit(1.0))
+        p_ratio = F.when(F.col("text_len") == 0, F.lit(0.0)).otherwise(
+            F.col("punct_c").cast("double") / F.col("text_len").cast("double")
+        )
+        punct_penalty = F.least(
+            F.greatest(p_ratio - 0.1, F.lit(0.0)) / 0.4, F.lit(1.0)
+        )
+        quality = 0.4 * length_score + 0.4 * sw_score + 0.2 * (1.0 - punct_penalty)
+        top_frac = (
+            F.when(F.col("n_tokens") > 0, F.col("top_c")) / F.col("n_tokens")
+        )
+        distinct_frac = (
+            F.when(F.col("n_tokens") > 0, F.col("n_distinct")) / F.col("n_tokens")
+        )
+        j = sig.select(
+            "doc_id",
+            lang_pred.alias("lang_pred"),
+            F.col("n_tokens").alias("n_tokens"),
+            quality.alias("quality"),
+            top_frac.alias("top_token_frac"),
+            distinct_frac.alias("distinct_token_frac"),
+        )
+    else:
+        rep = repetition_stats(docs, id_col, text_col, use_arrow=False)
+        sig = docs.select(
+            F.col(id_col).alias("doc_id"),
+            T.lang_id(text_col).alias("lang_pred"),
+            T.quality_score(text_col).alias("quality"),
+        )
+        j = sig.join(rep, "doc_id").select(
+            "doc_id",
+            "lang_pred",
+            "n_tokens",
+            "quality",
+            "top_token_frac",
+            "distinct_token_frac",
+        )
     cond = (
         (F.col("n_tokens") >= min_tokens)
         & (F.col("n_tokens") <= max_tokens)

@@ -10,10 +10,22 @@ broadcast, not a driver collect of data rows.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from quanta_etl_spark.functions.text import normalize_text, ws_tokens
+
+
+def norm_tokens_py(t: str | None) -> list[str]:
+    """Python mirror of ``ws_tokens(normalize_text(text))`` for the
+    Arrow kernels: lower → collapse Java-\\s runs (ASCII class, no
+    unicode spaces) to one space → strip spaces → split. Every kernel
+    that tokenizes MUST use this helper so the Catalyst and Arrow
+    paths cannot drift."""
+    s = re.sub(r"[ \t\n\x0b\f\r]+", " ", (t or "").lower()).strip(" ")
+    return s.split(" ") if s else []
 
 
 def term_frequencies(
@@ -121,7 +133,7 @@ def tfidf(
 
 
 def repetition_stats(
-    df: DataFrame, id_col: str, text_col: str
+    df: DataFrame, id_col: str, text_col: str, use_arrow: bool = True
 ) -> DataFrame:
     """Per-document repetition signals (the Gopher/MassiveText quality
     rules, Rae et al. 2021 §A1.1): documents dominated by a few
@@ -137,10 +149,76 @@ def repetition_stats(
     Empty/one-token documents yield NULL fractions (nothing to measure)
     rather than fake zeros.
 
-    Shape at 100 TB: one explode + two-level aggregation, all counts
-    map-side combinable; the per-(doc, gram) key space is bounded by
-    corpus token count. No Python, no windows, no driver state.
+    Shape at 100 TB (``use_arrow``, the default): every signal is a
+    function of ONE document, so the whole computation is a single
+    ``mapInPandas`` pass riding the scan — zero shuffles, one Arrow
+    crossing, per-doc Counters in C. The Catalyst fallback below is
+    the explode + two-level aggregation form; it is exact but pays
+    (a) two corpus shuffles keyed by (doc, gram), and (b) the bigram
+    construction through a higher-order ``transform`` lambda, which
+    Catalyst evaluates INTERPRETED per element — measured as the
+    dominant cost of corpus_quality_filter at the sf1 replica (NOTES
+    r11). Both paths compute counts only; the fractions are derived in
+    the same Catalyst expressions, so values are bit-identical
+    (agreement pinned by test_repetition_stats_arrow_matches_catalyst).
     """
+    if use_arrow:
+        from collections import Counter
+
+        import pandas as pd
+
+        from quanta_etl_spark.operators.util import spread as _spread
+
+        id_dt = df.schema[id_col].dataType.simpleString()
+
+        def kernel(batches):
+            for pdf in batches:
+                ids, nt, nd, tc, nb, tb = [], [], [], [], [], []
+                for i, t in zip(pdf[id_col], pdf[text_col]):
+                    toks = norm_tokens_py(t)
+                    counts = Counter(toks)
+                    ids.append(i)
+                    nt.append(len(toks))
+                    nd.append(len(counts))
+                    tc.append(max(counts.values()) if counts else 0)
+                    bgs = Counter(zip(toks, toks[1:]))
+                    nb.append(max(len(toks) - 1, 0))
+                    tb.append(max(bgs.values()) if bgs else 0)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "n_tokens": pd.Series(nt, dtype="int64"),
+                        "n_distinct": pd.Series(nd, dtype="int64"),
+                        "top_c": pd.Series(tc, dtype="int64"),
+                        "n_bigrams": pd.Series(nb, dtype="int64"),
+                        "top_bg_c": pd.Series(tb, dtype="int64"),
+                    }
+                )
+
+        counts = _spread(df.select(id_col, text_col)).mapInPandas(
+            kernel,
+            f"doc_id {id_dt}, n_tokens long, n_distinct long, "
+            "top_c long, n_bigrams long, top_bg_c long",
+        )
+        return counts.select(
+            "doc_id",
+            F.col("n_tokens").alias("n_tokens"),
+            # 0/0 divisions yield NULL, matching the fallback's
+            # left-join-miss NULLs for empty / one-token docs
+            (
+                F.when(F.col("n_tokens") > 0, F.col("n_distinct"))
+                / F.col("n_tokens")
+            ).alias("distinct_token_frac"),
+            (
+                F.when(F.col("n_tokens") > 0, F.col("top_c"))
+                / F.col("n_tokens")
+            ).alias("top_token_frac"),
+            (
+                F.when(F.col("n_bigrams") > 0, F.col("top_bg_c"))
+                / F.col("n_bigrams")
+            ).alias("top_bigram_frac"),
+        )
+
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(ws_tokens(normalize_text(text_col))).alias("tok"),

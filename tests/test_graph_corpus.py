@@ -313,6 +313,91 @@ def test_repetition_stats_values(spark):
     assert r3["n_tokens"] == 0 and r3["top_token_frac"] is None
 
 
+def test_repetition_stats_arrow_matches_catalyst(spark):
+    """The r11 Arrow kernel (per-doc Counters, zero shuffles) must agree
+    with the explode + two-level-aggregation fallback on every edge:
+    empty / NULL / whitespace-only text, one-token docs (NULL bigram
+    frac), repeated tokens and bigrams, tab/newline separators, and
+    case folding."""
+    from quanta_etl_spark.operators import text_stats as ts_ops
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam ham"),
+            (2, "all tokens here differ completely"),
+            (3, ""),
+            (4, None),
+            (5, "   \t \n "),
+            (6, "single"),
+            (7, "A a\ta  B b\nb"),
+            (8, "x y x y x y x y"),
+        ],
+        ["doc_id", "text"],
+    )
+
+    def rows(use_arrow):
+        return {
+            r["doc_id"]: (
+                r["n_tokens"],
+                r["distinct_token_frac"],
+                r["top_token_frac"],
+                r["top_bigram_frac"],
+            )
+            for r in ts_ops.repetition_stats(
+                df, "doc_id", "text", use_arrow=use_arrow
+            ).collect()
+        }
+
+    arrow, catalyst = rows(True), rows(False)
+    assert arrow == catalyst, {
+        k: (arrow[k], catalyst[k])
+        for k in arrow
+        if arrow[k] != catalyst[k]
+    }
+
+
+def test_quality_filter_arrow_matches_fallback(spark):
+    """The r11 fused signal kernel must agree with the Catalyst
+    composition (lang_id + quality_score + repetition_stats) on every
+    row AND every emitted signal value, including the raw-token-count
+    edge (leading tab adds Java split's empty token to the stopword
+    ratio's denominator), ties in lang argmax, 'und' docs, and
+    boundary-quality docs."""
+    rows = [
+        (1, "the cat sat on the mat and then it was looking for food "
+            "with his friends at the park because they have time today."),
+        (2, "buy " * 30 + "the of and to in is that it was for"),
+        (3, "the end"),
+        (4, "zzz qqq www eee rrr ttt yyy uuu iii ooo ppp aaa sss ddd "
+            "fff ggg hhh jjj kkk lll"),
+        (5, ""),
+        (6, None),
+        (7, "\tder la the el und y and " * 5),  # leading tab + lang tie
+        (8, "de de de de de de de de de de"),   # fr/es shared stopword
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    kw = dict(
+        min_tokens=2, max_tokens=5000, min_quality=0.0,
+        max_top_token_frac=1.0, min_distinct_frac=0.0,
+        langs=("en", "de", "es", "fr"),
+    )
+
+    def res(use_arrow):
+        return {
+            r["doc_id"]: tuple(r)[1:]
+            for r in corpus_ops.quality_filter(
+                docs, "doc_id", "text", use_arrow=use_arrow, **kw
+            ).collect()
+        }
+
+    arrow, fallback = res(True), res(False)
+    assert arrow == fallback, {
+        k: (arrow.get(k), fallback.get(k))
+        for k in set(arrow) | set(fallback)
+        if arrow.get(k) != fallback.get(k)
+    }
+
+
 def test_quality_filter_combined_gate(spark):
     docs = spark.createDataFrame(
         [

@@ -58,6 +58,28 @@ def scale_table(
         )
     else:
         keys = set(OFFSET_KEYS[table])
+        # Replication is only key-collision-free when every source key
+        # block fits inside one stride: copy i of key k lands at
+        # k + i·STRIDE, so a source key ≥ STRIDE (i.e. a source that
+        # was ITSELF produced by this tool) collides with a later
+        # copy's block — duplicate doc_ids/orderkeys that silently
+        # merge in per-key groupBys and corrupt every per-key contract
+        # (found the hard way in r11: sf10 built from sf1 instead of
+        # sf0.1 ×100 broke corpus_quality_filter in BOTH engines).
+        # Always scale from the ORIGINAL driver testdata.
+        for k in sorted(keys):
+            hi, n_over = con.execute(
+                f'SELECT max("{k}"), count(*) FILTER ("{k}" >= {STRIDE}) '
+                f"FROM '{f}'"
+            ).fetchone()
+            if n_over:
+                raise SystemExit(
+                    f"{table}.{k}: {n_over} source keys >= STRIDE "
+                    f"{STRIDE} (max {hi}) — replicating an "
+                    "already-replicated directory collides key blocks; "
+                    "scale from the original testdata with a larger "
+                    "factor instead"
+                )
         cols = [
             r[0]
             for r in con.execute(
