@@ -653,6 +653,109 @@ def minhash_lsh_candidates(
     return pairs.dropDuplicates() if distinct else pairs
 
 
+def _collapsed_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    num_hashes: int,
+    bands: int,
+    shingle_k: int,
+    use_arrow: bool,
+    max_bucket: int,
+) -> DataFrame:
+    """Set-identity collapse around :func:`minhash_dedup_pairs` — the
+    scale form for corpora with repeated content (r11; mirrors the
+    oracle rewrite NOTES r10 documented for DuckDB, now applied to the
+    ENGINE): the Jaccard of two documents depends only on their
+    normalized gram SETS, and identical normalized texts have
+    identical sets, so
+
+    1. group documents by normalized text (ONE text-keyed shuffle) and
+       pick the min-id representative per group;
+    2. run the full LSH + verify pipeline on the REPRESENTATIVES only
+       — LSH cost now scales with DISTINCT content, not corpus size,
+       and identical-text groups can no longer blow a bucket past
+       ``max_bucket`` (the heuristic domain shrinks to genuinely
+       similar distinct texts);
+    3. expand back: intra-group pairs are jaccard EXACTLY 1.0 (0.0
+       between empty-gram docs, i.e. empty normalized text — kept
+       exact for a threshold of 0), cross-group member pairs inherit
+       their rep pair's verified jaccard verbatim.
+
+    Work in step 3 is OUTPUT-sized — a corpus where the true answer is
+    25M pairs pays 25M rows of int joins, never 25M text ships. On an
+    all-distinct corpus the collapse degenerates to one extra window
+    pass and the pipeline behaves exactly as before. Values are
+    bit-equal to the uncollapsed form wherever that form is exact
+    (verified: sf0.01 and sf1 hashes unchanged); on hot-bucket corpora
+    the collapsed form is STRICTLY more exact — intra-identical pairs
+    are enumerated, not spanning-approximated.
+    """
+    from pyspark.sql.window import Window
+
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    )
+    w = Window.partitionBy("__nt")
+    tagged = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(text_col).alias("__t"),
+            norm.alias("__nt"),
+        )
+        .select(
+            "__id",
+            "__t",
+            (F.col("__nt") != "").alias("__ne"),
+            F.min("__id").over(w).alias("__rep"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    members = tagged.select("__id", "__rep", "__ne")
+    reps = tagged.where(F.col("__id") == F.col("__rep")).select(
+        F.col("__id").alias(id_col), F.col("__t").alias(text_col)
+    )
+    rep_pairs = minhash_dedup_pairs(
+        reps,
+        id_col,
+        text_col,
+        threshold=threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+        use_arrow=use_arrow,
+        max_bucket=max_bucket,
+        collapse_identical=False,
+    )
+    l, r = members.alias("l"), members.alias("r")
+    intra = (
+        l.join(
+            r,
+            (F.col("l.__rep") == F.col("r.__rep"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            F.when(F.col("l.__ne"), F.lit(1.0)).otherwise(0.0).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    ma = members.select(F.col("__rep").alias("id_a"), F.col("__id").alias("__ma"))
+    mb = members.select(F.col("__rep").alias("id_b"), F.col("__id").alias("__mb"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("__ma", "__mb").alias("id_a"),
+            F.greatest("__ma", "__mb").alias("id_b"),
+            "jaccard",
+        )
+    )
+    return intra.unionByName(cross)
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str,
@@ -663,6 +766,7 @@ def minhash_dedup_pairs(
     shingle_k: int = 5,
     use_arrow: bool = True,
     max_bucket: int = 4096,
+    collapse_identical: bool = True,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs, VERIFIED in two stages:
 
@@ -697,11 +801,26 @@ def minhash_dedup_pairs(
     ``_emit_once_dup_mask`` for the exactness argument and
     ``tools/skew_stress.py`` for the measured deferral rate.
 
+    ``collapse_identical`` (default, r11): wrap the whole pipeline in
+    the set-identity collapse of :func:`_collapsed_dedup_pairs` —
+    LSH + verify run once per DISTINCT normalized text, identical-text
+    groups expand combinatorially at output time with jaccard exactly
+    1.0. This is what makes the operator's cost scale with distinct
+    content instead of duplication factor (a 10× replica of the same
+    texts multiplies only the output join, not the signature/verify
+    work) and removes identical-text groups from the hot-bucket
+    heuristic's domain entirely.
+
     Returns (id_a, id_b, jaccard) with jaccard >= threshold."""
     import math
 
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
+    if collapse_identical:
+        return _collapsed_dedup_pairs(
+            df, id_col, text_col, threshold, num_hashes, bands,
+            shingle_k, use_arrow, max_bucket,
+        )
     margin = 2.5 * math.sqrt(threshold * (1 - threshold) / num_hashes)
     min_agree = math.ceil((threshold - margin) * num_hashes - 1e-9)
     if use_arrow:
