@@ -3813,20 +3813,25 @@ def _pagerank_oracle(iterations: int = 5, damping: float = 0.85) -> str:
     arithmetic — per-round contribution sums in DECIMAL(38,18) (order-
     independent, so both engines agree bit-for-bit after the final
     double cast), and the damping constants injected as string-parsed
-    doubles so `1-d` is the same IEEE value Python produced."""
+    doubles so `1-d` is the same IEEE value Python produced.
+    The reused CTEs (e, nodes, deg, each round r{k}) are MATERIALIZED —
+    the r10 lesson: DuckDB re-evaluates a multiply-referenced CTE
+    inline, and at the sf10 replica the ~24M-row DISTINCT edge scan
+    re-ran ~7 times, overflowing 77 GB of temp before any round
+    finished (NOTES r11)."""
     one_minus_d = repr(1.0 - damping)
     d = repr(damping)
     parts = [
         """
-        WITH e AS (
+        WITH e AS MATERIALIZED (
             SELECT DISTINCT 'p' || l_partkey AS src,
                             's' || l_suppkey AS dst
             FROM lineitem
-        ), nodes AS (
+        ), nodes AS MATERIALIZED (
             SELECT src AS node FROM e UNION SELECT dst FROM e
         ), nf AS (
             SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
-        ), deg AS (
+        ), deg AS MATERIALIZED (
             SELECT src, count(*) AS out_deg FROM e GROUP BY src
         ), r0 AS (
             SELECT node, CAST(1.0 AS DOUBLE) / nf.n AS rank
@@ -3844,7 +3849,7 @@ def _pagerank_oracle(iterations: int = 5, damping: float = 0.85) -> str:
             SELECT node,
                    CAST(sum(CAST(c AS DECIMAL(38,18))) AS DOUBLE) AS s
             FROM c{k} GROUP BY node
-        ), r{k} AS (
+        ), r{k} AS MATERIALIZED (
             SELECT nodes.node,
                    CAST('{one_minus_d}' AS DOUBLE) / nf.n
                    + CAST('{d}' AS DOUBLE)
