@@ -208,11 +208,15 @@ def test_minhash_hot_bucket_bounded(spark):
 
 
 def test_minhash_catalyst_fallback_hot_bucket_bounded(spark):
-    """VERDICT r5 #2: the pure-Catalyst fallback (use_arrow=False) now
+    """VERDICT r5 #2: the pure-Catalyst fallback (use_arrow=False)
     carries the same max_bucket guard — a giant LSH bucket emits the
     signature-ordered chain+star spanning set instead of the O(s²)
     triangle, and cluster assembly still finds the full template
-    cluster."""
+    cluster. r11: the guard's domain is the UNCOLLAPSED engine
+    (collapse_identical=False) — with the default set-identity
+    collapse, an identical-text cohort never reaches the buckets at
+    all and its pair listing is the EXACT C(n,2) enumeration, which
+    this test also pins."""
     from quanta_etl_spark.operators import dedup as D
     from quanta_etl_spark.operators import graph as G
 
@@ -226,6 +230,7 @@ def test_minhash_catalyst_fallback_hot_bucket_bounded(spark):
     pairs = D.minhash_dedup_pairs(
         df, "doc_id", "text", threshold=0.8, num_hashes=32, bands=8,
         shingle_k=5, use_arrow=False, max_bucket=64,
+        collapse_identical=False,
     )
     n_pairs = pairs.count()
     # triangle would verify ~n_hot²/2 ≈ 80k template pairs; the
@@ -236,6 +241,16 @@ def test_minhash_catalyst_fallback_hot_bucket_bounded(spark):
     assert clusters.count() == n_hot
     kept = G.apply_dedup(df, pairs, "doc_id")
     assert kept.where(F.col("doc_id") < n_hot).count() == 1
+    # default path (collapse on): the identical-text cohort is listed
+    # EXACTLY — all C(n_hot, 2) pairs at jaccard 1.0, no heuristic
+    exact = D.minhash_dedup_pairs(
+        df, "doc_id", "text", threshold=0.8, num_hashes=32, bands=8,
+        shingle_k=5, use_arrow=False, max_bucket=64,
+    )
+    n_exact = exact.where(
+        (F.col("id_a") < n_hot) & (F.col("id_b") < n_hot)
+    ).count()
+    assert n_exact == n_hot * (n_hot - 1) // 2, n_exact
 
 
 def test_aqe_coalesces_post_shuffle_partitions(spark):
