@@ -210,7 +210,21 @@ def main() -> int:
     import __spark_entry__ as entry_mod
     from quanta_etl_spark.session import get_spark
 
-    spark = get_spark(app_name="oracle-check")
+    # Pass an explicit local master (like bench.py): with master=None
+    # get_spark skips its local-mode driver-heap sizing, so the sweep
+    # would run 32 worker threads on Spark's 1g default heap — which
+    # OOM-kills the JVM on the first sf10-scale aggregation.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(
+        app_name="oracle-check",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        # The differential check collects BOTH engines' full results by
+        # design; at sf10 a 60M-row projection exceeds the 1g
+        # maxResultSize default. 0 = bounded only by the driver heap,
+        # which SPARK_GRAFT_DRIVER_MEM sizes for the sweep scale.
+        extra_conf={"spark.driver.maxResultSize": "0"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
@@ -303,7 +317,11 @@ def main() -> int:
         else:
             record[name] = {"status": "ok", "rows": sn, "hash": sh[:12]}
             print(f"ok    {name}: {sn} rows, hash {sh[:12]}")
-    spark.stop()
+    # The record must survive a dead JVM: above-gate-scale sweeps can
+    # OOM-kill the Spark JVM on a late query, and stop() then raises
+    # ConnectionRefused AFTER every verdict above was already computed
+    # (the r11 batch-1 sweep lost 15 verdicts to exactly this). Write
+    # the artifact first; treat stop() as best-effort cleanup.
     if json_out:
         import json as _json
 
@@ -324,6 +342,10 @@ def main() -> int:
         with open(json_out, "w") as f:
             _json.dump(summary, f, indent=1)
         print(f"wrote {json_out}")
+    try:
+        spark.stop()
+    except Exception as e:  # noqa: BLE001 — JVM may already be gone
+        print(f"spark.stop() failed (JVM gone?): {e}", file=sys.stderr)
     print(f"\n{len(failures)} failure(s)" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
