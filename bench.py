@@ -108,6 +108,28 @@ def make_summary_line(full: dict, budget: int = LINE_BUDGET) -> str:
     return json.dumps(summary)
 
 
+def bench_paths(sf_tag: str, sf: float | None, record: bool) -> tuple[str, str]:
+    """(committed_record_name, write_path) for this run.
+
+    Provenance rule, mechanically enforced (VERDICT r11 #5): the
+    committed BENCH_LOCAL*.json files are CLEAN-HOST records, taken
+    deliberately with --record. A default run (the driver's per-round
+    bench, possibly on a contended host) still READS the committed
+    record for drift/gate logic but WRITES its full per-query artifact
+    to the gitignored BENCH_DRIVER*.json — so a driver run can never
+    dirty the committed records again (r10 and r11 both ended with a
+    driver-overwritten BENCH_LOCAL.json in the working tree)."""
+    committed = (
+        "BENCH_LOCAL.json" if sf == 0.1 else f"BENCH_LOCAL_sf{sf_tag}.json"
+    )
+    if record:
+        return committed, committed
+    driver = (
+        "BENCH_DRIVER.json" if sf == 0.1 else f"BENCH_DRIVER_sf{sf_tag}.json"
+    )
+    return committed, driver
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -167,8 +189,8 @@ def main() -> None:
         sf_tag = "unknown"
     else:
         sf_tag = str(int(sf)) if sf == int(sf) else str(sf)
-    record = (
-        "BENCH_LOCAL.json" if sf == 0.1 else f"BENCH_LOCAL_sf{sf_tag}.json"
+    record, write_path = bench_paths(
+        sf_tag, sf, record="--record" in sys.argv[1:]
     )
     ref_sf1: dict[str, float] = {}
     prior: dict[str, float] = {}
@@ -301,7 +323,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "n_failed": len(errors),
-        "queries_file": record,
+        "queries_file": write_path,
     }
     if errors:
         full["errors"] = errors
@@ -327,9 +349,11 @@ def main() -> None:
         unresolved = sorted(set(overhead_dominated) - set(gate_sf1))
         if unresolved:
             full["gate_unresolved"] = unresolved
-    # Full per-query record → committed repo file; stdout gets only the
-    # compact line (the driver's capture keeps ~2000 trailing chars).
-    with open(os.path.join(REPO, record), "w") as f:
+    # Full per-query record → repo file (committed BENCH_LOCAL* only
+    # under --record; gitignored BENCH_DRIVER* otherwise); stdout gets
+    # only the compact line (the driver's capture keeps ~2000 trailing
+    # chars).
+    with open(os.path.join(REPO, write_path), "w") as f:
         json.dump(full, f, indent=1)
     print(make_summary_line(full))
 

@@ -335,8 +335,22 @@ def label_cohesion(
     be independent of row order and partitioning — and the final
     per-label mean of cosines decimal-sums too; member SCORING is a
     plain IEEE array fold in fixed index order, which is deterministic
-    (no reduction reordering inside one array) and matches DuckDB's
-    ``list_dot_product`` term for term.
+    (no reduction reordering inside one array) and agrees with
+    DuckDB's ``list_dot_product`` under the gate's 6-decimal rounding
+    protocol (ADVICE r11: not claimed to the last ulp — DuckDB's
+    DECIMAL(38,18)→DOUBLE cast is not correctly rounded, so the final
+    cohesion can differ in the final ulp cross-engine).
+
+    Preconditions (ADVICE r11, matching embedding_covariance):
+    vectors within a label must share one dimensionality, and vector
+    ELEMENTS must be non-NULL. On ragged dims Spark's ``zip_with``
+    pads with NULL — the member's cosine goes NULL and drops out of
+    the mean while still counting in ``n_vectors`` — whereas DuckDB's
+    ``list_dot_product`` hard-errors; on NULL elements Spark likewise
+    yields a NULL cosine while DuckDB rejects the list. Filter such
+    rows upstream if your corpus can contain them. ``n_vectors`` is a
+    raw member-ROW count: duplicate ``id_col`` values are counted
+    (and scored) once per row, not deduplicated.
 
     Shape: one posexplode (rides the scan) + the (label, dim) partial
     agg for centroids, collected to a pos-ordered array per label

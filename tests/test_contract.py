@@ -112,22 +112,21 @@ def test_all_oracles_emit_gate_safe_duckdb_types(sf_dir):
     assert not bad, f"gate-unsafe DuckDB oracle output types: {bad}"
 
 
-def test_r11_gate_window_composition():
-    """The driver gates the FIRST 50 queries() entries; the r11 window
-    is: the FULL 49-query cohort last driver-gated in r7 (the stalest
-    driver rows, alphabetical — VERDICT r10 #1; dedup_minhash, which
-    the verdict suggested for the free slot, is already IN this
-    cohort), then above_avg_orders — the alphabetical head of the r8
-    cohort, so the free slot starts rotating the next-stalest cohort a
-    round early. Past the cap, cohorts queue in staleness order (r8
-    remainder, r9, r10), each alphabetical. Counted from the
+def test_r12_gate_window_composition():
+    """The driver gates the FIRST 50 queries() entries; the r12 window
+    is: the FULL 49-query cohort last driver-gated in r8 (the stalest
+    driver rows, alphabetical — VERDICT r11 #1), then emb_cohesion in
+    the free 50th slot (label_cohesion's kernel was rewritten at r11
+    close; the verdict assigns it the slot explicitly). Past the cap,
+    cohorts queue in staleness order (r9-stale, r10-stale minus the
+    promoted emb_cohesion, r11), each alphabetical. Counted from the
     CORRECTNESS history, not assumed (r5/r6 lesson)."""
     import json
     import os
 
     names = list(E.queries().keys())
     rounds: dict[str, list[int]] = {}
-    for r in range(1, 11):
+    for r in range(1, 12):
         p = f"/root/repo/CORRECTNESS_r{r:02d}.json"
         if os.path.exists(p):
             for k in json.load(open(p)):
@@ -136,19 +135,21 @@ def test_r11_gate_window_composition():
     assert not [n for n in names if n not in rounds]
     cohort = {
         r: sorted(n for n in names if max(rounds[n]) == r)
-        for r in (7, 8, 9, 10)
+        for r in (8, 9, 10, 11)
     }
-    assert len(cohort[7]) == 49 and len(cohort[8]) == 50
-    assert len(cohort[9]) == 49 and len(cohort[10]) == 50
-    # positions 1-49: the full r7-stale cohort, alphabetical
-    assert names[:49] == cohort[7]
-    # position 50: the r8 cohort's alphabetical head
-    assert names[49] == "above_avg_orders" == cohort[8][0]
-    # past the cap: r8 remainder, then r9, then r10, each alphabetical
-    r8_rest = cohort[8][1:]
-    assert names[50 : 50 + 49] == r8_rest
-    assert names[99 : 99 + 49] == cohort[9]
-    assert names[148:] == cohort[10]
+    assert len(cohort[8]) == 49 and len(cohort[9]) == 49
+    assert len(cohort[10]) == 50 and len(cohort[11]) == 50
+    # positions 1-49: the full r8-stale cohort, alphabetical
+    assert names[:49] == cohort[8]
+    # position 50: emb_cohesion, promoted from the r10 cohort
+    assert names[49] == "emb_cohesion"
+    assert "emb_cohesion" in cohort[10]
+    # past the cap: r9-stale, then r10-stale minus the promoted slot,
+    # then r11, each alphabetical
+    r10_rest = [n for n in cohort[10] if n != "emb_cohesion"]
+    assert names[50 : 50 + 49] == cohort[9]
+    assert names[99 : 99 + 49] == r10_rest
+    assert names[148:] == cohort[11]
 
 
 def test_bench_summary_line_always_fits_capture_window():
@@ -218,6 +219,38 @@ def test_bench_summary_line_always_fits_capture_window():
     assert parsed_tiny["n_failed"] == 2
 
 
+def test_bench_write_path_provenance_rule():
+    """VERDICT r11 #5: a default bench run (the driver's) must never
+    write over the committed clean-host BENCH_LOCAL*.json records —
+    only --record does. The committed name is still returned as the
+    read-prior source in both modes."""
+    import bench
+
+    # sf0.1: the headline record
+    assert bench.bench_paths("0.1", 0.1, record=True) == (
+        "BENCH_LOCAL.json",
+        "BENCH_LOCAL.json",
+    )
+    assert bench.bench_paths("0.1", 0.1, record=False) == (
+        "BENCH_LOCAL.json",
+        "BENCH_DRIVER.json",
+    )
+    # sf1: integral tag, no trailing .0
+    assert bench.bench_paths("1", 1.0, record=False) == (
+        "BENCH_LOCAL_sf1.json",
+        "BENCH_DRIVER_sf1.json",
+    )
+    assert bench.bench_paths("1", 1.0, record=True) == (
+        "BENCH_LOCAL_sf1.json",
+        "BENCH_LOCAL_sf1.json",
+    )
+    # unknown sf dir: tagged, never crashes
+    assert bench.bench_paths("unknown", None, record=False) == (
+        "BENCH_LOCAL_sfunknown.json",
+        "BENCH_DRIVER_sfunknown.json",
+    )
+
+
 def test_bench_overhead_dominated_flag():
     """A query whose sf0.001 time is >= 0.8× its sf0.1 time is fixed-
     overhead-bound (VERDICT r8 #5): ~100× less data should be far
@@ -262,6 +295,39 @@ def test_oracle_timeout_interrupts_and_connection_survives():
     # no timeout → no timer at all (the default sweep path)
     rows, _, _ = duckdb_result(con, "SELECT 2 AS y")
     assert rows == [{"y": 2}]
+
+
+def test_completed_at_deadline_oracle_never_poisons_next_verdict():
+    """r11 ADVICE / VERDICT r11 #4: if the timer fires in the window
+    between fetchall() returning and timer.cancel(), the interrupt
+    would land on an idle connection and could spuriously abort the
+    NEXT oracle — misrecording a healthy query as oracle_timeout. The
+    done-event gate + timer join + post-fire drain close that race.
+    Exercise it by racing a fast query against an expiring timer many
+    times: each attempt must either return the right answer or raise
+    InterruptException, and the FOLLOWING untimed query must always
+    succeed with the right rows (never inherit a stale interrupt)."""
+    import duckdb
+
+    from tools.check_oracle import duckdb_result
+
+    con = duckdb.connect()
+    for i in range(40):
+        # timeout ≈ query cost → the timer fires arbitrarily close to
+        # completion, landing on both sides of the done.set() boundary
+        # across iterations
+        try:
+            rows, _, _ = duckdb_result(
+                con,
+                f"SELECT count(*) AS c FROM range({(i + 1) * 5000})",
+                timeout=0.001 * (i % 5 + 1),
+            )
+            assert rows == [{"c": (i + 1) * 5000}]
+        except duckdb.InterruptException:
+            pass  # in-flight timeout: the documented path
+        # the next verdict on the same connection must be clean
+        rows, _, _ = duckdb_result(con, f"SELECT {i} AS i")
+        assert rows == [{"i": i}]
 
 
 def test_unrolled_cc_labels_converge_and_fail_loudly():

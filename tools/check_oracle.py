@@ -214,7 +214,9 @@ def main() -> int:
     # get_spark skips its local-mode driver-heap sizing, so the sweep
     # would run 32 worker threads on Spark's 1g default heap — which
     # OOM-kills the JVM on the first sf10-scale aggregation.
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # Default to the host's core count (ADVICE r11): a hardcoded 32
+    # oversubscribes small hosts when SPARK_GRAFT_CPUS is unset.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     spark = get_spark(
         app_name="oracle-check",
         master=f"local[{cpus}]",
