@@ -204,6 +204,19 @@ def main() -> int:
             print("--oracle-timeout: must be > 0", file=sys.stderr)
             return 2
         args = args[:i] + args[i + 2:]
+    master_override: str | None = None
+    if "--master" in args:
+        i = args.index("--master")
+        if i + 1 >= len(args):
+            print(
+                "usage: check_oracle.py [--master MASTER] ... "
+                "(--master requires a master URL, e.g. "
+                "'local-cluster[2,16,16384]')",
+                file=sys.stderr,
+            )
+            return 2
+        master_override = args[i + 1]
+        args = args[:i] + args[i + 2:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
@@ -217,15 +230,35 @@ def main() -> int:
     # Default to the host's core count (ADVICE r11): a hardcoded 32
     # oversubscribes small hosts when SPARK_GRAFT_CPUS is unset.
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    # The differential check collects BOTH engines' full results by
+    # design; at sf10 a 60M-row projection exceeds the 1g
+    # maxResultSize default. 0 = bounded only by the driver heap,
+    # which SPARK_GRAFT_DRIVER_MEM sizes for the sweep scale.
+    extra_conf = {"spark.driver.maxResultSize": "0"}
+    master = master_override or f"local[{cpus}]"
+    if master.startswith("local-cluster"):
+        # VERDICT r11 #2: multi-process execution. local-cluster spawns
+        # real separate executor JVMs (the bracket is
+        # [workers,coresPerWorker,memPerWorkerMB]) — the first
+        # environment where driver↔executor serialization, broadcast
+        # shipping, and Arrow-worker spawning cross a process boundary
+        # instead of sharing the driver's heap. Executors are fresh
+        # JVMs with fresh python workers: they need the repo on their
+        # PYTHONPATH to import quanta_etl_spark inside UDF closures,
+        # and an executor memory below the worker cap.
+        repo_root = os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))
+        )
+        extra_conf["spark.executorEnv.PYTHONPATH"] = repo_root
+        extra_conf.setdefault(
+            "spark.executor.memory",
+            os.environ.get("SPARK_GRAFT_EXEC_MEM", "12g"),
+        )
     spark = get_spark(
         app_name="oracle-check",
-        master=f"local[{cpus}]",
+        master=master,
         shuffle_partitions=cpus,
-        # The differential check collects BOTH engines' full results by
-        # design; at sf10 a 60M-row projection exceeds the 1g
-        # maxResultSize default. 0 = bounded only by the driver heap,
-        # which SPARK_GRAFT_DRIVER_MEM sizes for the sweep scale.
-        extra_conf={"spark.driver.maxResultSize": "0"},
+        extra_conf=extra_conf,
     )
     spark.sparkContext.setLogLevel("ERROR")
 
