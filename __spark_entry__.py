@@ -10,6 +10,7 @@ engines produce bit-identical values regardless of accumulation order.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -4080,7 +4081,79 @@ def _kcore_oracle(k: int = 3, rounds: int = 8) -> str:
     return "".join(parts)
 
 
+def _roundtrip_decimal_double_casts(sql: str) -> str:
+    """Rewrite every ``CAST(<decimal-expr> AS DOUBLE)`` in an oracle to
+    ``CAST(CAST(<decimal-expr> AS VARCHAR) AS DOUBLE)``.
+
+    Why (r12, found by the sf10 sweep): DuckDB's DECIMAL→DOUBLE cast
+    is not correctly rounded — e.g. the exact decimal sum
+    753509526545.000000 casts to 753509526544.9999 (one ulp low)
+    while Spark's BigDecimal.doubleValue() yields exactly
+    753509526545.0. Below ~8.6e9 the gate's 6-decimal rounding masks
+    the ulp; at sf10 money-sum magnitudes (~7.5e11 per priority
+    class) one ulp is ~1.2e-4 and the hash diverges
+    (allocate_budget, cube_status_priority). The VARCHAR roundtrip is
+    correctly rounded (DuckDB's decimal→varchar is exact text, its
+    varchar→double parse is shortest-round), so the oracle double
+    equals Spark's double at ANY magnitude. Provably a no-op wherever
+    the lossy cast already agreed — applying it to every oracle
+    changes no green hash, it only removes magnitude-dependent luck.
+
+    Mechanics: balanced-paren scan for ``CAST(`` whose operand ends
+    with ``AS DOUBLE`` at that cast's own paren depth; rewritten only
+    when the operand text mentions DECIMAL (the risky source type —
+    int→double and double→double casts are exact). Operands already
+    ending in ``AS VARCHAR)`` are skipped, which also terminates the
+    fixpoint loop."""
+    out = sql
+    changed = True
+    while changed:
+        changed = False
+        i = 0
+        while True:
+            j = out.find("CAST(", i)
+            if j < 0:
+                break
+            # find the matching close paren of this CAST(
+            depth = 0
+            k = j + 4  # index of '('
+            end = -1
+            for p in range(k, len(out)):
+                if out[p] == "(":
+                    depth += 1
+                elif out[p] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        end = p
+                        break
+            if end < 0:
+                break
+            inner = out[j + 5 : end]
+            m = re.search(r"\s+AS\s+DOUBLE\s*$", inner, re.IGNORECASE)
+            if m:
+                operand = inner[: m.start()]
+                if (
+                    "DECIMAL" in operand.upper()
+                    and not operand.rstrip().upper().endswith("AS VARCHAR)")
+                ):
+                    out = (
+                        out[:j]
+                        + f"CAST(CAST({operand} AS VARCHAR) AS DOUBLE)"
+                        + out[end + 1 :]
+                    )
+                    changed = True
+                    # restart scan past the rewritten cast's operand
+                    i = j + len("CAST(CAST(")
+                    continue
+            i = j + 5
+    return out
+
+
 def oracle_sql() -> dict[str, str]:
+    return {k: _roundtrip_decimal_double_casts(v) for k, v in _oracle_sql_raw().items()}
+
+
+def _oracle_sql_raw() -> dict[str, str]:
     return {
         "stream_cusum": """
             WITH RECURSIVE ordered AS (

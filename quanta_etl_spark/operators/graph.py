@@ -56,9 +56,29 @@ def _large_star(e: DataFrame) -> DataFrame:
 
 def _small_star(e: DataFrame) -> DataFrame:
     """For each node u: attach u and every SMALLER-or-equal neighbor to
-    the minimum of that set. The (u, m) edge keeps u connected."""
-    # direct every edge from the larger endpoint to the smaller
-    dir_e = e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    the minimum of that set. The (u, m) edge keeps u connected.
+
+    The larger→smaller direction is derived with greatest/least, NOT
+    by assuming the input arrives canonically ordered (r12 bug, found
+    by the sf10 differential sweep): ``_large_star`` emits its edges
+    as (larger, smaller), so the old ``b→a`` flip re-oriented them to
+    (smaller, larger) — grouping by the SMALLER endpoint, whose
+    "smaller-or-equal neighbors" set is empty, which made small-star a
+    NO-OP on every round after the first large-star. The loop then ran
+    large-star alone, whose own fixpoint is not necessarily a star
+    forest: on the sf10 multikey entity graph (1.5M sparse ids
+    stitched by two mod-key families, 2.84M edges) it settled at 2.79M
+    edges and fragmented the true 100×15,000-member clustering into
+    ~700 pieces — silently, because the composed checksum was stable.
+    Every graph below ``small_graph_edges`` dodged the bug via the
+    union-find path, which is why eleven rounds of sf0.01/sf1 sweeps
+    never caught it."""
+    # direct every edge from the larger endpoint to the smaller,
+    # regardless of the input's orientation
+    dir_e = e.select(
+        F.greatest(F.col("a"), F.col("b")).alias("a"),
+        F.least(F.col("a"), F.col("b")).alias("b"),
+    )
     mins = dir_e.groupBy("a").agg(
         F.least(F.min("b"), F.first("a")).alias("m")
     )
@@ -164,6 +184,28 @@ def connected_components(
         if cur == prev:
             break
         prev = cur
+    else:
+        # r12: never proceed silently on an unconverged edge set — the
+        # labels below assume a star forest, and wrong clusters are
+        # strictly worse than a loud failure.
+        raise RuntimeError(
+            f"connected_components: star contraction did not converge "
+            f"within max_iterations={max_iterations} "
+            f"({prev[0]} edges at last round); raise max_iterations"
+        )
+    # Certify the fixpoint IS a star forest before trusting it: in a
+    # star forest no node appears as both a child (left) and a root
+    # (right). A checksum-stable state that fails this would have
+    # produced silently fragmented clusters (the r12 small-star
+    # orientation bug did exactly that at sf10); one set-intersection
+    # job at exit is cheap insurance against any future operator drift.
+    if e.select("a").intersect(e.select("b")).limit(1).count() > 0:
+        raise RuntimeError(
+            "connected_components: contraction reached a checksum "
+            "fixpoint that is not a star forest (a node is both child "
+            "and root) — star operators are broken; refusing to emit "
+            "fragmented clusters"
+        )
     # fixpoint: e is a star forest (child -> root). Roots appear only on
     # the right; give each a self-labelled row so every node gets one.
     labels = e.select(F.col("a").alias("node"), F.col("b").alias("component"))

@@ -359,3 +359,48 @@ def test_unrolled_cc_labels_converge_and_fail_loudly():
     # path 0-1-…-11: nodes 9/10/11 are 9-11 hops out → non-minimal
     # labels (their 8-hop minimum), i.e. a loud gate mismatch
     assert cc(11, where="node >= 9") == [(9, 1), (10, 2), (11, 3)]
+
+
+def test_oracle_decimal_double_casts_roundtrip_through_varchar():
+    """r12 (found by the sf10 sweep): DuckDB's DECIMAL→DOUBLE cast is
+    not correctly rounded — the exact decimal 753509526545.000000
+    casts one ulp low (…544.9999) while Spark's BigDecimal.doubleValue
+    is exact. Below ~8.6e9 the gate's 6-decimal rounding masks the
+    ulp; at sf10 money-sum magnitudes it broke allocate_budget and
+    cube_status_priority. oracle_sql() therefore rewrites every
+    decimal→double cast to a VARCHAR roundtrip (correctly-rounded
+    parse) — a provable no-op wherever the lossy cast already agreed."""
+    import duckdb
+
+    import __spark_entry__ as E
+
+    f = E._roundtrip_decimal_double_casts
+    # the rewrite, on the shapes the oracles actually use
+    assert f("CAST(sum(CAST(x AS DECIMAL(30,6))) AS DOUBLE)") == (
+        "CAST(CAST(sum(CAST(x AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE)"
+    )
+    assert f("CAST(sum(CAST(r AS DECIMAL(30,6))) OVER () AS DOUBLE)") == (
+        "CAST(CAST(sum(CAST(r AS DECIMAL(30,6))) OVER () AS VARCHAR) AS DOUBLE)"
+    )
+    # non-decimal operands and DOUBLE[] casts untouched
+    assert f("CAST(n AS DOUBLE)") == "CAST(n AS DOUBLE)"
+    s = "list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv)"
+    assert f(s) == s
+    # idempotent (the fixpoint loop terminates on AS VARCHAR operands)
+    once = f("CAST(sum(CAST(x AS DECIMAL(30,6))) AS DOUBLE) AS v")
+    assert f(once) == once
+    # the transform is live in oracle_sql()
+    assert "AS VARCHAR) AS DOUBLE)" in E.oracle_sql()["allocate_budget"]
+    # DuckDB ground truth: the lossy cast misses an exactly-
+    # representable integer decimal; the varchar roundtrip hits it
+    con = duckdb.connect()
+    lossy, fixed = con.sql(
+        "SELECT CAST(CAST('753509526545.000000' AS DECIMAL(30,6)) AS DOUBLE),"
+        " CAST(CAST(CAST('753509526545.000000' AS DECIMAL(30,6)) AS VARCHAR)"
+        " AS DOUBLE)"
+    ).fetchall()[0]
+    assert fixed == 753509526545.0
+    if lossy == fixed:
+        # if a future duckdb fixes the cast, the rewrite is a no-op
+        # and this pin documents history rather than behavior
+        pass

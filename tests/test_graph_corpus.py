@@ -67,6 +67,64 @@ def test_cc_both_paths_agree(spark):
     assert fast == dist
 
 
+def test_cc_distributed_path_mod_stitched_sparse_ids(spark):
+    """r12 regression (found by the sf10 differential sweep, first
+    round the distributed path ever ran on a >500k-edge graph):
+    _small_star assumed canonically-ordered (a<b) input, but
+    _large_star emits (larger, smaller) — the flip re-grouped by the
+    SMALLER endpoint, turning small-star into a NO-OP, so the loop ran
+    large-star alone and its checksum-stable fixpoint fragmented the
+    sf10 multikey clustering (700 components instead of 100). Chains
+    and near-cliques converge under large-star alone, which is why the
+    older distributed-path tests missed it; the failing shape is
+    star families stitched through congruent SPARSE ids. This replica
+    (hashed ids, two mod-key families, star edges per key class like
+    multikey_clusters builds) fragments 11-vs-10 under the old
+    operator; the fixed one must agree with union-find exactly."""
+    ids = sorted({(i * 2654435761) % (1 << 31) for i in range(3000)})
+    rows = [(v, f"e{v % 70}", f"p{v % 90}") for v in ids]
+    ents = spark.createDataFrame(rows, "id long, ek string, pk string")
+    edges = None
+    for k in ("ek", "pk"):
+        keyed = ents.select(
+            F.col("id").alias("__id"), F.col(k).alias("__k")
+        )
+        centers = keyed.groupBy("__k").agg(F.min("__id").alias("__c"))
+        e = (
+            keyed.join(centers, "__k")
+            .where(F.col("__id") != F.col("__c"))
+            .select(F.col("__c").alias("a"), F.col("__id").alias("b"))
+        )
+        edges = e if edges is None else edges.unionByName(e)
+    dist = {
+        r["node"]: r["component"]
+        for r in graph_ops.connected_components(
+            edges, small_graph_edges=0
+        ).collect()
+    }
+    fast = {
+        r["node"]: r["component"]
+        for r in graph_ops.connected_components(edges).collect()
+    }
+    assert dist == fast
+    # the mod-stitched truth: components = residue classes mod
+    # gcd(70, 90) = 10 (hashed ids cover every chaining residue)
+    assert len(set(dist.values())) == 10
+
+
+def test_cc_unconverged_contraction_raises(spark):
+    """r12: the star-contraction loop must never emit labels from an
+    unconverged edge set — wrong clusters are strictly worse than a
+    loud failure."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "a long, b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        graph_ops.connected_components(
+            edges, small_graph_edges=0, max_iterations=1
+        )
+
+
 def test_assign_clusters_survivor(spark):
     pairs = spark.createDataFrame(
         [(3, 9), (9, 27), (100, 200)], ["id_a", "id_b"]
