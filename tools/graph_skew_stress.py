@@ -103,6 +103,57 @@ def main() -> int:
     for op in ("pagerank", "kcore"):
         ratio = results[f"{op}/hot-hub"] / results[f"{op}/base"]
         print(f"{op}: hot-hub/base wall ratio = {ratio:.2f}x")
+
+    # r12: distributed-CC stress on the shape that exposed the
+    # small-star orientation bug — star families stitched through
+    # congruent SPARSE ids (the sf10 multikey entity graph). Chains
+    # and near-cliques converge under large-star alone, so THIS is the
+    # adversarial input for the star-contraction loop; the union-find
+    # fast path is the exact baseline (the whole edge set fits one
+    # task). Asserts label-for-label equality.
+    n_ids = 1_500_000
+    ents = (
+        spark.range(n_ids)
+        .select(
+            ((F.col("id") * F.lit(2654435761)) % F.lit(1 << 31))
+            .alias("eid")
+        )
+        .distinct()
+        .select(
+            F.col("eid").alias("id"),
+            F.concat(F.lit("e"), F.col("eid") % 700).alias("ek"),
+            F.concat(F.lit("p"), F.col("eid") % 900).alias("pk"),
+        )
+    )
+    cc_edges = None
+    for k in ("ek", "pk"):
+        keyed = ents.select(F.col("id").alias("__id"), F.col(k).alias("__k"))
+        centers = keyed.groupBy("__k").agg(F.min("__id").alias("__c"))
+        e = (
+            keyed.join(centers, "__k")
+            .where(F.col("__id") != F.col("__c"))
+            .select(F.col("__c").alias("a"), F.col("__id").alias("b"))
+        )
+        cc_edges = e if cc_edges is None else cc_edges.unionByName(e)
+    cc_edges = cc_edges.cache()
+    n_edges = cc_edges.count()
+    t0 = time.time()
+    dist = G.connected_components(cc_edges, small_graph_edges=0)
+    d_labels = {r["node"]: r["component"] for r in dist.collect()}
+    t_dist = time.time() - t0
+    t0 = time.time()
+    uf = G.connected_components(cc_edges, small_graph_edges=1 << 62)
+    u_labels = {r["node"]: r["component"] for r in uf.collect()}
+    t_uf = time.time() - t0
+    n_comp = len(set(d_labels.values()))
+    print(
+        f"cc mod-stitched: {n_edges} edges, {len(d_labels)} nodes, "
+        f"{n_comp} components; star-contraction {t_dist:.1f}s, "
+        f"union-find {t_uf:.1f}s"
+    )
+    assert d_labels == u_labels, (
+        "distributed CC labels diverge from union-find baseline"
+    )
     spark.stop()
     return 0
 
