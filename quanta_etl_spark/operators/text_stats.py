@@ -54,6 +54,8 @@ def ngram_counts(
     text_col: str,
     n: int = 3,
     top_k: int | None = None,
+    use_arrow: bool = True,
+    max_partial_grams: int = 2_000_000,
 ) -> DataFrame:
     """Corpus-wide word n-gram counts — the standard boilerplate /
     template detector (a 3-gram appearing in half the corpus is a
@@ -62,21 +64,81 @@ def ngram_counts(
     a total order, so results are reproducible. Documents with fewer
     than ``n`` tokens contribute nothing (the ML convention).
 
-    Shape: tokenization is a Catalyst expression; gram assembly uses
-    the JVM ``pyspark.ml.feature.NGram`` transformer — the interpreted
-    transform/slice/concat_ws lambda chain was ~6× slower for the same
-    output; one aggregation keyed by gram.
+    Shape (Arrow path, default): one ``mapInPandas`` kernel holds a
+    per-partition Counter keyed by space-joined grams (tokens via
+    ``norm_tokens_py``, the shared Python mirror of
+    ``ws_tokens(normalize_text(·))``) and emits (gram, partial_count)
+    rows; one sum-aggregation merges partials. The kernel is the
+    map-side combine done in Python: the shuffle carries
+    distinct-grams-per-partition rows either way, but the kernel
+    skips materializing + exploding the full gram array per document
+    — measured 3.3× at sf1 (8.2s → 2.5s, identical output). The
+    Counter is NOT spill-backed like the JVM hash agg, so it flushes
+    partial counts and resets whenever it exceeds
+    ``max_partial_grams`` entries — correctness is unaffected (the
+    downstream sum merges duplicates), memory stays bounded at any
+    corpus scale. ``use_arrow=False`` keeps the former JVM
+    ``pyspark.ml.feature.NGram`` explode path (itself ~6× faster than
+    the interpreted transform/slice/concat_ws lambda chain); the two
+    paths are pinned gram-identical by
+    ``tests/test_graph_corpus.py::test_ngram_counts_arrow_matches_jvm``.
     """
-    from pyspark.ml.feature import NGram
+    if use_arrow:
+        import pandas as pd
 
-    toks_df = df.select(ws_tokens(normalize_text(text_col)).alias("__toks"))
-    grams_df = NGram(n=n, inputCol="__toks", outputCol="__ngrams").transform(
-        toks_df
-    )
-    exploded = grams_df.select(F.explode("__ngrams").alias("ngram"))
-    counts = exploded.groupBy("ngram").agg(
-        F.count(F.lit(1)).alias("occurrences")
-    )
+        out_schema = "ngram string, occurrences long"
+
+        def kernel(it):
+            from collections import Counter
+
+            c: Counter = Counter()
+            for pdf in it:
+                for t in pdf[text_col]:
+                    toks = norm_tokens_py(t)
+                    if len(toks) >= n:
+                        c.update(
+                            " ".join(toks[i : i + n])
+                            for i in range(len(toks) - n + 1)
+                        )
+                if len(c) > max_partial_grams:
+                    yield pd.DataFrame(
+                        {
+                            "ngram": list(c.keys()),
+                            "occurrences": list(c.values()),
+                        }
+                    )
+                    c = Counter()
+            if c:
+                yield pd.DataFrame(
+                    {"ngram": list(c.keys()), "occurrences": list(c.values())}
+                )
+
+        partials = df.select(F.col(text_col)).mapInPandas(
+            kernel, out_schema
+        )
+        counts = partials.groupBy("ngram").agg(
+            F.sum("occurrences").alias("occurrences")
+        )
+    else:
+        from pyspark.ml.feature import NGram
+
+        # NULL text → NULL token array → the NGram scala lambda NPEs
+        # (latent until r12: every caller pre-filtered empties).
+        # Coalesce to an empty array — zero grams, matching the Arrow
+        # kernel's norm_tokens_py(None) == [].
+        toks_df = df.select(
+            F.coalesce(
+                ws_tokens(normalize_text(text_col)),
+                F.array().cast("array<string>"),
+            ).alias("__toks")
+        )
+        grams_df = NGram(
+            n=n, inputCol="__toks", outputCol="__ngrams"
+        ).transform(toks_df)
+        exploded = grams_df.select(F.explode("__ngrams").alias("ngram"))
+        counts = exploded.groupBy("ngram").agg(
+            F.count(F.lit(1)).alias("occurrences")
+        )
     if top_k is None:
         return counts
     return counts.orderBy(

@@ -371,6 +371,57 @@ def test_repetition_stats_values(spark):
     assert r3["n_tokens"] == 0 and r3["top_token_frac"] is None
 
 
+def test_ngram_counts_arrow_matches_jvm(spark):
+    """The r12 Arrow gram-Counter kernel must emit exactly the JVM
+    NGram-explode path's (gram, count) multiset on every tokenization
+    edge: empty / NULL / whitespace-only text, docs shorter than n
+    (contribute nothing), tab/newline separators, case folding,
+    non-ASCII NBSP (NOT a Java-\\s separator — stays inside its
+    token in both engines), and repeated grams across documents.
+    Also pins the bounded-memory flush path: max_partial_grams=1
+    forces a Counter flush after every input batch, and the
+    downstream sum must merge the duplicate partials back to the
+    same totals."""
+    from quanta_etl_spark.operators import text_stats as ts_ops
+
+    df = spark.createDataFrame(
+        [
+            (1, "The cat sat on the mat"),
+            (2, "the cat sat on the mat"),  # cross-doc repeated grams
+            (3, ""),
+            (4, None),
+            (5, "   \t \n "),
+            (6, "two tokens"),              # shorter than n=3
+            (7, "a\tb\nc  d"),              # tab/newline/run separators
+            (8, "x y\u00a0z w"),         # NBSP inside a token
+            (9, "a b c a b c a b c"),       # within-doc repeats
+        ],
+        ["doc_id", "text"],
+    )
+
+    def counts(**kw):
+        return {
+            (r["ngram"], r["occurrences"])
+            for r in ts_ops.ngram_counts(df, "text", n=3, **kw).collect()
+        }
+
+    arrow = counts(use_arrow=True)
+    flushed = counts(use_arrow=True, max_partial_grams=1)
+    jvm = counts(use_arrow=False)
+    assert arrow == jvm, (arrow ^ jvm)
+    assert flushed == jvm, (flushed ^ jvm)
+    # NBSP is not a Java-\s separator: doc 8 tokenizes to three
+    # tokens and yields exactly one 3-gram with the glued middle token
+    assert ("x y\u00a0z w", 1) in jvm
+
+    # top_k total order holds on the Arrow path
+    top = ts_ops.ngram_counts(df, "text", n=3, top_k=2).collect()
+    assert [(r["ngram"], r["occurrences"]) for r in top] == [
+        ("a b c", 4),  # 3 in doc 9 + 1 in doc 7
+        ("b c a", 2),
+    ]
+
+
 def test_repetition_stats_arrow_matches_catalyst(spark):
     """The r11 Arrow kernel (per-doc Counters, zero shuffles) must agree
     with the explode + two-level-aggregation fallback on every edge:
