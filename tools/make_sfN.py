@@ -86,16 +86,22 @@ def scale_table(
                 f"DESCRIBE SELECT * FROM '{f}'"
             ).fetchall()
         ]
-        selects = []
-        for i in range(factor):
-            proj = ", ".join(
-                f'"{c}" + {i * STRIDE} AS "{c}"' if c in keys else f'"{c}"'
-                for c in cols
-            )
-            selects.append(f"SELECT {proj} FROM '{f}'")
+        # One CROSS JOIN against range(factor) instead of a factor-way
+        # UNION ALL: the union form hits DuckDB's max_expression_depth
+        # at factor=1000 (found building the sf100 replica) and plans
+        # O(factor) subtrees; this is O(1) depth at any factor. Row
+        # order within the parquet differs from the union form —
+        # irrelevant: every consumer is order-free and the differential
+        # gate canonicalizes before hashing.
+        proj = ", ".join(
+            f'"{c}" + __copy.i * {STRIDE} AS "{c}"' if c in keys
+            else f'"{c}"'
+            for c in cols
+        )
         con.execute(
-            f"COPY ({' UNION ALL '.join(selects)}) TO '{out}' "
-            "(FORMAT PARQUET)"
+            f"COPY (SELECT {proj} FROM '{f}' CROSS JOIN "
+            f"(SELECT unnest(range({factor})) AS i) AS __copy) "
+            f"TO '{out}' (FORMAT PARQUET)"
         )
     return con.execute(f"SELECT count(*) FROM '{out}'").fetchone()[0]
 
