@@ -46,6 +46,7 @@ import datetime as _dt
 import hashlib
 import math
 import os
+import re
 import sys
 import threading
 
@@ -250,10 +251,17 @@ def main() -> int:
             os.path.dirname(os.path.abspath(__file__))
         )
         extra_conf["spark.executorEnv.PYTHONPATH"] = repo_root
-        extra_conf.setdefault(
-            "spark.executor.memory",
-            os.environ.get("SPARK_GRAFT_EXEC_MEM", "12g"),
-        )
+        # Default executor memory to fit the worker cap in the master
+        # string (local-cluster[workers,cores,memPerWorkerMB]): Spark
+        # refuses to start when executor.memory exceeds the worker
+        # cap, so a flat 12g default broke any sweep with smaller
+        # workers. SPARK_GRAFT_EXEC_MEM still overrides explicitly.
+        exec_mem = os.environ.get("SPARK_GRAFT_EXEC_MEM")
+        if not exec_mem:
+            m = re.search(r"\[\s*\d+\s*,\s*\d+\s*,\s*(\d+)\s*\]", master)
+            worker_mb = int(m.group(1)) if m else 12288
+            exec_mem = f"{min(12288, max(worker_mb - 512, 512))}m"
+        extra_conf.setdefault("spark.executor.memory", exec_mem)
     spark = get_spark(
         app_name="oracle-check",
         master=master,
