@@ -114,7 +114,27 @@ def main() -> int:
     factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     dst.mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()
+    # Stream the COPY instead of buffering it: with the default
+    # preserve_insertion_order=true DuckDB materializes the whole
+    # replicated table in memory before writing (observed 70+ GB RSS
+    # on the 600M-row sf100 lineitem). Row order in the output is
+    # meaningless here — every consumer is order-free and the
+    # differential gate canonicalizes before hashing.
+    con.execute("SET preserve_insertion_order = false")
     for f in sorted(src.glob("*.parquet")):
+        out = dst / f"{f.stem}.parquet"
+        if out.exists() and out.stat().st_size > 0:
+            # Resume support after a killed run. A partial parquet has
+            # no footer, so the count fails loudly → rebuild; only a
+            # complete table short-circuits.
+            try:
+                n = con.execute(
+                    f"SELECT count(*) FROM '{out}'"
+                ).fetchone()[0]
+                print(f"{f.stem}: {n} rows (kept existing)")
+                continue
+            except duckdb.Error:
+                out.unlink()
         n = scale_table(con, src, dst, f.stem, factor)
         print(f"{f.stem}: {n} rows")
     return 0
