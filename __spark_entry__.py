@@ -4812,7 +4812,7 @@ def _oracle_sql_raw() -> dict[str, str]:
             FROM c LEFT JOIN st
               ON c.user_id = st.user_id
              AND c.ts >= st.valid_from
-             AND (st.valid_to IS NULL OR c.ts < st.valid_to)
+             AND c.ts < coalesce(st.valid_to, TIMESTAMP '9999-12-31')
             GROUP BY st.status
         """,
         "quantile_bins": """
