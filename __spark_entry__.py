@@ -4100,10 +4100,19 @@ def _roundtrip_decimal_double_casts(sql: str) -> str:
     changes no green hash, it only removes magnitude-dependent luck.
 
     Mechanics: balanced-paren scan for ``CAST(`` whose operand ends
-    with ``AS DOUBLE`` at that cast's own paren depth; rewritten only
-    when the operand text mentions DECIMAL (the risky source type —
-    int→double and double→double casts are exact). Operands already
-    ending in ``AS VARCHAR)`` are skipped, which also terminates the
+    with ``AS DOUBLE`` at that cast's own paren depth; EVERY such cast
+    is rewritten (r12 follow-up: the original pass only rewrote
+    operands whose text mentioned DECIMAL, which missed columns that
+    are decimal via a CTE — gini_revenue's ``CAST(sum(x) AS DOUBLE)``
+    diverged at sf100's ~9e11 totals). Wrapping unconditionally is
+    safe: int→double and double→double casts are exact, and DuckDB's
+    double→varchar is shortest-roundtrip (verified over 3k
+    bit-pattern-random doubles — varchar→double parse returns the
+    identical bits), so the wrap is the identity wherever the direct
+    cast was already exact and the correct rounding wherever it was
+    not. Any operand type that cannot round-trip through VARCHAR
+    fails the oracle loudly, never silently. Operands already ending
+    in ``AS VARCHAR)`` are skipped, which also terminates the
     fixpoint loop."""
     out = sql
     changed = True
@@ -4132,10 +4141,7 @@ def _roundtrip_decimal_double_casts(sql: str) -> str:
             m = re.search(r"\s+AS\s+DOUBLE\s*$", inner, re.IGNORECASE)
             if m:
                 operand = inner[: m.start()]
-                if (
-                    "DECIMAL" in operand.upper()
-                    and not operand.rstrip().upper().endswith("AS VARCHAR)")
-                ):
+                if not operand.rstrip().upper().endswith("AS VARCHAR)"):
                     out = (
                         out[:j]
                         + f"CAST(CAST({operand} AS VARCHAR) AS DOUBLE)"
