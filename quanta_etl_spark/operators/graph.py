@@ -295,14 +295,30 @@ def pagerank(
     At 100 TB: out_deg and the node set are computed once; each
     iteration shuffles edge-count rows on dst — pre-bucketing edges by
     dst makes every round exchange-free on the big side.
+
+    Memory discipline (r12, measured at sf100 = 600M distinct edges /
+    21M nodes in one JVM): the edge checkpoint is DISK_ONLY — a
+    localCheckpoint's blocks are the lineage-truncation point, so
+    they pin storage memory for the whole loop if cached on-heap, and
+    the 600M-edge cache OOMed a 72g heap before round 1 (and, held
+    alongside per-round execution memory, a 100g heap by round 3).
+    Edges are scanned once per round sequentially — exactly the
+    access pattern disk-backed storage is free for — while the small
+    per-round ranks stay in memory but are checkpointed EAGERLY so
+    the superseded generation can be unpersisted immediately (with
+    eager=False all K generations stay pinned until the terminal
+    action). Neither change affects results: storage level and
+    materialization order do not touch the decimal fold.
     """
+    from pyspark import StorageLevel
+
     # Loop invariants are localCheckpointed once: every iteration
     # references e/nodes/out_deg/n_frame, and without truncation each
     # round would re-derive them from the raw edge source (measured:
     # 4x the per-round cost at sf0.1).
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -321,7 +337,7 @@ def pagerank(
     ranks = nodes.crossJoin(F.broadcast(n_frame)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("rank")
     )
-    ranks = ranks.localCheckpoint(eager=False)
+    ranks = ranks.localCheckpoint(eager=True)
     for _ in range(iterations):
         contribs = (
             e.join(out_deg, "src")
@@ -334,6 +350,7 @@ def pagerank(
         summed = contribs.groupBy("node").agg(
             F.sum(F.col("c").cast("decimal(38,18)")).cast("double").alias("s")
         )
+        prev = ranks
         ranks = (
             nodes.join(summed, "node", "left")
             .crossJoin(F.broadcast(n_frame))
@@ -344,8 +361,12 @@ def pagerank(
                     + damping * F.coalesce(F.col("s"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=False)
+            # eager: materialize THIS generation before dropping the
+            # previous one — with lazy checkpoints every generation
+            # stays pinned in storage until the terminal action.
+            .localCheckpoint(eager=True)
         )
+        prev.unpersist()
     return ranks
 
 
