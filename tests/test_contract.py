@@ -112,21 +112,22 @@ def test_all_oracles_emit_gate_safe_duckdb_types(sf_dir):
     assert not bad, f"gate-unsafe DuckDB oracle output types: {bad}"
 
 
-def test_r12_gate_window_composition():
-    """The driver gates the FIRST 50 queries() entries; the r12 window
-    is: the FULL 49-query cohort last driver-gated in r8 (the stalest
-    driver rows, alphabetical — VERDICT r11 #1), then emb_cohesion in
-    the free 50th slot (label_cohesion's kernel was rewritten at r11
-    close; the verdict assigns it the slot explicitly). Past the cap,
-    cohorts queue in staleness order (r9-stale, r10-stale minus the
-    promoted emb_cohesion, r11), each alphabetical. Counted from the
-    CORRECTNESS history, not assumed (r5/r6 lesson)."""
+def test_r13_gate_window_composition():
+    """The driver gates the FIRST 50 queries() entries; the r13 window
+    is: the FULL 49-query cohort last driver-gated in r9 (the stalest
+    driver rows, alphabetical — VERDICT r12 #2), then graph_pagerank
+    in the changed-code 50th slot (its checkpoint path changes this
+    round: adaptive storage level + real RDD unpersist — VERDICT r12
+    #4 + ADVICE medium). Past the cap, cohorts queue in staleness
+    order (r10-stale minus the promoted graph_pagerank, r11, r12),
+    each alphabetical. Counted from the CORRECTNESS history, not
+    assumed (r5/r6 lesson)."""
     import json
     import os
 
     names = list(E.queries().keys())
     rounds: dict[str, list[int]] = {}
-    for r in range(1, 12):
+    for r in range(1, 13):
         p = f"/root/repo/CORRECTNESS_r{r:02d}.json"
         if os.path.exists(p):
             for k in json.load(open(p)):
@@ -135,21 +136,21 @@ def test_r12_gate_window_composition():
     assert not [n for n in names if n not in rounds]
     cohort = {
         r: sorted(n for n in names if max(rounds[n]) == r)
-        for r in (8, 9, 10, 11)
+        for r in (9, 10, 11, 12)
     }
-    assert len(cohort[8]) == 49 and len(cohort[9]) == 49
-    assert len(cohort[10]) == 50 and len(cohort[11]) == 50
-    # positions 1-49: the full r8-stale cohort, alphabetical
-    assert names[:49] == cohort[8]
-    # position 50: emb_cohesion, promoted from the r10 cohort
-    assert names[49] == "emb_cohesion"
-    assert "emb_cohesion" in cohort[10]
-    # past the cap: r9-stale, then r10-stale minus the promoted slot,
-    # then r11, each alphabetical
-    r10_rest = [n for n in cohort[10] if n != "emb_cohesion"]
-    assert names[50 : 50 + 49] == cohort[9]
-    assert names[99 : 99 + 49] == r10_rest
-    assert names[148:] == cohort[11]
+    assert len(cohort[9]) == 49 and len(cohort[10]) == 49
+    assert len(cohort[11]) == 50 and len(cohort[12]) == 50
+    # positions 1-49: the full r9-stale cohort, alphabetical
+    assert names[:49] == cohort[9]
+    # position 50: graph_pagerank, promoted from the r10 cohort
+    assert names[49] == "graph_pagerank"
+    assert "graph_pagerank" in cohort[10]
+    # past the cap: r10-stale minus the promoted slot, then r11, then
+    # r12, each alphabetical
+    r10_rest = [n for n in cohort[10] if n != "graph_pagerank"]
+    assert names[50 : 50 + 48] == r10_rest
+    assert names[98 : 98 + 50] == cohort[11]
+    assert names[148:] == cohort[12]
 
 
 def test_bench_summary_line_always_fits_capture_window():
@@ -367,9 +368,14 @@ def test_oracle_decimal_double_casts_roundtrip_through_varchar():
     casts one ulp low (…544.9999) while Spark's BigDecimal.doubleValue
     is exact. Below ~8.6e9 the gate's 6-decimal rounding masks the
     ulp; at sf10 money-sum magnitudes it broke allocate_budget and
-    cube_status_priority. oracle_sql() therefore rewrites every
-    decimal→double cast to a VARCHAR roundtrip (correctly-rounded
-    parse) — a provable no-op wherever the lossy cast already agreed."""
+    cube_status_priority. oracle_sql() therefore rewrites EVERY
+    cast-to-double to a VARCHAR roundtrip (correctly-rounded parse).
+    Broadened in ca9bb8d: the original pass rewrote only operands
+    whose text mentioned DECIMAL, which missed columns that are
+    decimal via a CTE (gini_revenue diverged at sf100's ~9e11
+    totals). The unconditional wrap is the identity on int/double
+    operands (see the property test below), so it removes
+    magnitude-dependent luck without changing any green hash."""
     import duckdb
 
     import __spark_entry__ as E
@@ -382,8 +388,13 @@ def test_oracle_decimal_double_casts_roundtrip_through_varchar():
     assert f("CAST(sum(CAST(r AS DECIMAL(30,6))) OVER () AS DOUBLE)") == (
         "CAST(CAST(sum(CAST(r AS DECIMAL(30,6))) OVER () AS VARCHAR) AS DOUBLE)"
     )
-    # non-decimal operands and DOUBLE[] casts untouched
-    assert f("CAST(n AS DOUBLE)") == "CAST(n AS DOUBLE)"
+    # ca9bb8d: EVERY cast-to-double is wrapped, even operands with no
+    # textual DECIMAL (decimal-via-CTE columns look exactly like this)
+    assert f("CAST(n AS DOUBLE)") == "CAST(CAST(n AS VARCHAR) AS DOUBLE)"
+    assert f("CAST(sum(x) AS DOUBLE)") == (
+        "CAST(CAST(sum(x) AS VARCHAR) AS DOUBLE)"
+    )
+    # DOUBLE[] (array) casts untouched — not a scalar double cast
     s = "list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv)"
     assert f(s) == s
     # idempotent (the fixpoint loop terminates on AS VARCHAR operands)
@@ -404,3 +415,44 @@ def test_oracle_decimal_double_casts_roundtrip_through_varchar():
         # if a future duckdb fixes the cast, the rewrite is a no-op
         # and this pin documents history rather than behavior
         pass
+
+
+def test_varchar_roundtrip_is_identity_on_int_and_double_operands():
+    """The safety half of the ca9bb8d broadening: wrapping a cast-to-
+    double whose operand is ALREADY int/double must be value-
+    preserving, else the unconditional rewrite would corrupt oracles
+    that never needed it. DuckDB's double→varchar is shortest-
+    roundtrip and its varchar→double parse is correctly rounded, so
+    CAST(CAST(x AS VARCHAR) AS DOUBLE) == x bit-for-bit. Pinned over
+    deterministic bit-pattern-random doubles (the builder's 3k-sample
+    evidence, encoded), the int64 extremes, and denormals/specials."""
+    import random
+    import struct
+
+    import duckdb
+
+    con = duckdb.connect()
+    rng = random.Random(0xD0B7)
+    doubles = []
+    while len(doubles) < 3000:
+        bits = rng.getrandbits(64)
+        (x,) = struct.unpack("<d", struct.pack("<Q", bits))
+        if x == x and abs(x) != float("inf"):  # finite, not NaN
+            doubles.append(x)
+    doubles += [0.0, -0.0, 5e-324, -5e-324, 1.7976931348623157e308]
+    vals = ",".join(f"({i},{repr(x)})" for i, x in enumerate(doubles))
+    bad = con.sql(
+        f"SELECT count(*) FROM (VALUES {vals}) t(i, x) WHERE"
+        " CAST(CAST(CAST(x AS DOUBLE) AS VARCHAR) AS DOUBLE)"
+        " IS DISTINCT FROM CAST(x AS DOUBLE)"
+    ).fetchone()[0]
+    assert bad == 0
+    # int64 operands: every magnitude class incl. the extremes
+    ints = [0, 1, -1, 2**53, -(2**53), 2**63 - 1, -(2**63)]
+    ivals = ",".join(f"({i},{v})" for i, v in enumerate(ints))
+    ibad = con.sql(
+        f"SELECT count(*) FROM (VALUES {ivals}) t(i, x) WHERE"
+        " CAST(CAST(x AS VARCHAR) AS DOUBLE)"
+        " IS DISTINCT FROM CAST(x AS DOUBLE)"
+    ).fetchone()[0]
+    assert ibad == 0
