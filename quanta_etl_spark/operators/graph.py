@@ -102,6 +102,31 @@ def _edge_checksum(e: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Release a localCheckpointed DataFrame's storage blocks NOW.
+
+    ``Dataset.unpersist`` only uncaches CacheManager-registered
+    ``persist()`` entries; a localCheckpoint's blocks are NOT
+    registered there, so the public API is a silent no-op on them
+    (verified on PySpark 4.1.2: blocks remain fully cached after
+    ``unpersist(blocking=True)``). Reaching the LogicalRDD's
+    underlying RDD via py4j and unpersisting THAT frees the blocks
+    immediately — without it, superseded rank/edge generations pin
+    storage until driver GC + ContextCleaner get around to them,
+    which at sf100 working sets means "never, before the OOM".
+
+    The frame is UNUSABLE afterwards (its lineage was truncated at
+    the checkpoint, so lost blocks cannot be recomputed) — callers
+    must only pass generations nothing references again. Best-effort:
+    the py4j path is private API, so any reflection failure falls
+    back to the old GC-eventually behavior rather than erroring.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def _cc_single_task(e: DataFrame) -> DataFrame:
     """Union-find over the whole edge set in ONE executor task — the
     small-graph fast path. Star contraction costs ~4 Spark jobs per
@@ -179,7 +204,13 @@ def connected_components(
     if prev[0] <= small_graph_edges:
         return _cc_single_task(e)
     for _ in range(max_iterations):
+        superseded = e
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # free the PREVIOUS generation's checkpoint blocks now that the
+        # new one is materialized — bounds live storage to 2 edge
+        # generations instead of one per round (r13; see
+        # _free_local_checkpoint for why Dataset.unpersist can't)
+        _free_local_checkpoint(superseded)
         cur = _edge_checksum(e)
         if cur == prev:
             break
@@ -271,6 +302,7 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 5,
     damping: float = 0.85,
+    in_memory_edges: int = 30_000_000,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an edge list — the canonical
     iterative-join algorithm, included to demonstrate how this engine
@@ -296,19 +328,42 @@ def pagerank(
     iteration shuffles edge-count rows on dst — pre-bucketing edges by
     dst makes every round exchange-free on the big side.
 
-    Memory discipline (r12, measured at sf100 = 600M distinct edges /
-    21M nodes in one JVM): the edge checkpoint is DISK_ONLY — a
-    localCheckpoint's blocks are the lineage-truncation point, so
-    they pin storage memory for the whole loop if cached on-heap, and
-    the 600M-edge cache OOMed a 72g heap before round 1 (and, held
-    alongside per-round execution memory, a 100g heap by round 3).
-    Edges are scanned once per round sequentially — exactly the
-    access pattern disk-backed storage is free for — while the small
-    per-round ranks stay in memory but are checkpointed EAGERLY so
-    the superseded generation can be unpersisted immediately (with
-    eager=False all K generations stay pinned until the terminal
-    action). Neither change affects results: storage level and
-    materialization order do not touch the decimal fold.
+    Memory discipline (r12, revised r13; measured at sf100 = 600M
+    distinct edges / 21M nodes in one JVM): the edge checkpoint is
+    DISK_ONLY — a localCheckpoint's blocks are the lineage-truncation
+    point, so they pin storage memory for the whole loop if cached
+    on-heap, and the 600M-edge cache OOMed a 72g heap before round 1
+    (and, held alongside per-round execution memory, a 100g heap by
+    round 3). Edges are scanned once per round sequentially — exactly
+    the access pattern disk-backed storage is free for. r13 makes the
+    read path adaptive: at or below ``in_memory_edges`` (counted from
+    the materialized checkpoint — the count is the checkpoint's
+    materializing action, so it is not an extra derivation pass) a
+    MEMORY_AND_DISK ``persist()`` is layered on top, so small graphs
+    iterate against the columnar cache while the disk blocks remain
+    the lineage root — this reclaims the local-scale cost the r12
+    DISK_ONLY move introduced (sf0.1 bench 3.2→4.5s) without touching
+    the sf100 posture (above the threshold nothing changes).
+
+    Rank-generation discipline is adaptive on the same threshold.
+    ABOVE it (the sf100 regime), per-round ranks are checkpointed
+    EAGERLY so the superseded generation can be FREED immediately —
+    via ``_free_local_checkpoint`` (r13): ``Dataset.unpersist`` is a
+    silent no-op on checkpoint blocks (not CacheManager-registered),
+    so the r12 code's eager-release claim only held for the DISK_ONLY
+    edges; rank generations actually accumulated until driver GC. All
+    loop invariants are likewise freed before returning — the
+    returned frame is its own materialized checkpoint and owes them
+    nothing. AT OR BELOW the threshold, rank checkpoints stay LAZY
+    (lineage still truncates at first materialization, but the loop
+    issues zero barrier jobs — measured 5.6→5.1s at sf0.1,
+    interleaved same-session min-of-3) and nothing is freed eagerly:
+    K node-count generations are noise at small scale, the returned
+    plan still references the unmaterialized invariants, and the
+    session's usual cache hygiene (bench drops leftover persists;
+    ContextCleaner otherwise) reclaims them. None of this affects
+    results: storage level and materialization order do not touch
+    the decimal fold.
     """
     from pyspark import StorageLevel
 
@@ -316,9 +371,15 @@ def pagerank(
     # references e/nodes/out_deg/n_frame, and without truncation each
     # round would re-derive them from the raw edge source (measured:
     # 4x the per-round cost at sf0.1).
-    e = edges.select(
+    e_cp = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     ).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    # materialize + count in one action; small graphs then iterate
+    # against an on-heap columnar cache fed from the disk root
+    e = e_cp
+    small = e_cp.count() <= in_memory_edges
+    if small:
+        e = e_cp.persist(StorageLevel.MEMORY_AND_DISK)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -337,7 +398,9 @@ def pagerank(
     ranks = nodes.crossJoin(F.broadcast(n_frame)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("rank")
     )
-    ranks = ranks.localCheckpoint(eager=True)
+    # big graphs pay a barrier job per generation to gain the right to
+    # free the superseded one; small graphs skip both (docstring)
+    ranks = ranks.localCheckpoint(eager=not small)
     for _ in range(iterations):
         contribs = (
             e.join(out_deg, "src")
@@ -361,12 +424,20 @@ def pagerank(
                     + damping * F.coalesce(F.col("s"), F.lit(0.0))
                 ).alias("rank"),
             )
-            # eager: materialize THIS generation before dropping the
-            # previous one — with lazy checkpoints every generation
-            # stays pinned in storage until the terminal action.
-            .localCheckpoint(eager=True)
+            # big path — eager: materialize THIS generation before
+            # dropping the previous one (lazy would pin all K
+            # generations until the terminal action)
+            .localCheckpoint(eager=not small)
         )
-        prev.unpersist()
+        if not small:
+            _free_local_checkpoint(prev)
+    if not small:
+        # big path: the final ranks are their own (materialized)
+        # checkpoint; release everything the loop pinned before
+        # handing them back. Small path must NOT free — the returned
+        # lazy plan still references the unmaterialized invariants.
+        for invariant in (e_cp, nodes, out_deg, n_frame):
+            _free_local_checkpoint(invariant)
     return ranks
 
 

@@ -368,6 +368,29 @@ class TestGraphHotHub:
         assert ranks["hub"] == pytest.approx(want_hub, rel=1e-9)
         assert max(ranks, key=ranks.get) == "hub"
 
+    def test_pagerank_big_path_equals_small_and_frees_blocks(self, spark):
+        """r13: pagerank's memory discipline is adaptive on a counted
+        edge threshold — small graphs iterate lazily against an
+        in-memory cache, big graphs take DISK_ONLY edges + eager rank
+        checkpoints with real RDD-level frees. The two paths must be
+        bit-identical (storage level and materialization order never
+        touch the decimal fold), and the big path must leave ONLY the
+        returned frame's own checkpoint blocks pinned (Dataset.unpersist
+        is a no-op on checkpoint blocks; _free_local_checkpoint reaches
+        the RDD — the r12 code leaked every superseded generation)."""
+        e = self._star(spark)
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+        small = {(r.node, r.rank) for r in G.pagerank(e).collect()}
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+        big_df = G.pagerank(e, in_memory_edges=0)  # force the big path
+        big = {(r.node, r.rank) for r in big_df.collect()}
+        assert big == small
+        # the final ranks checkpoint is the ONLY storage left pinned
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        assert len(infos) <= 1
+
     def test_kcore_star_peels_to_empty(self, spark):
         # hub degree 5000 but every leaf has degree 1: the first k=2
         # peel removes all leaves, which removes every edge — the hub's
