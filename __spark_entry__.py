@@ -4821,7 +4821,8 @@ def _oracle_sql_raw() -> dict[str, str]:
             FROM c LEFT JOIN st
               ON c.user_id = st.user_id
              AND c.ts >= st.valid_from
-             AND c.ts < coalesce(st.valid_to, TIMESTAMP '9999-12-31')
+             AND c.ts < coalesce(st.valid_to,
+                                 TIMESTAMP '9999-12-31 23:59:59.999999')
             GROUP BY st.status
         """,
         "quantile_bins": """

@@ -417,6 +417,37 @@ def test_oracle_decimal_double_casts_roundtrip_through_varchar():
         pass
 
 
+def test_event_timestamps_stay_below_temporal_join_sentinel():
+    """temporal_join's oracle rewrites ``valid_to IS NULL OR ts <
+    valid_to`` to ``ts < coalesce(valid_to, TIMESTAMP '9999-12-31
+    23:59:59.999999')`` so DuckDB keeps its IEJoin plan (r12; the
+    OR-form fell back to a quadratic nested loop at sf100). The
+    rewrite is only equivalent while every event timestamp is below
+    the sentinel — a far-future click joined to a current (NULL
+    valid_to) status would be dropped by the oracle but kept by the
+    engine (ADVICE r12). Pin the data contract the rewrite assumes,
+    on every scale dir the harness uses."""
+    import glob
+    import os
+
+    import duckdb
+
+    con = duckdb.connect()
+    checked = 0
+    for d in sorted(glob.glob("/root/testdata/sf*")):
+        p = os.path.join(d, "events.parquet")
+        if not os.path.exists(p):
+            continue
+        n, ok = con.sql(
+            f"SELECT count(*), "
+            f"count(*) FILTER (ts < TIMESTAMP "
+            f"'9999-12-31 23:59:59.999999') FROM read_parquet('{p}')"
+        ).fetchone()
+        assert n > 0 and ok == n, d
+        checked += 1
+    assert checked >= 1  # the assertion actually ran
+
+
 def test_varchar_roundtrip_is_identity_on_int_and_double_operands():
     """The safety half of the ca9bb8d broadening: wrapping a cast-to-
     double whose operand is ALREADY int/double must be value-

@@ -93,8 +93,29 @@ def scale_table(
         # order within the parquet differs from the union form —
         # irrelevant: every consumer is order-free and the differential
         # gate canonicalizes before hashing.
+        # Cast each offset expression back to the SOURCE column's type:
+        # range() yields BIGINT, so the bare `key + i*STRIDE` would
+        # promote INT32 key columns to INT64 and silently change the
+        # output parquet schema relative to the driver's original
+        # artifacts (ADVICE r12). Safe: factor*STRIDE stays far below
+        # INT32 range only for tiny factors, so validate the widened
+        # value actually fits before narrowing.
+        types = {
+            r[0]: r[1]
+            for r in con.execute(f"DESCRIBE SELECT * FROM '{f}'").fetchall()
+        }
+        int_max = {"TINYINT": 2**7, "SMALLINT": 2**15, "INTEGER": 2**31}
+        for k in sorted(keys):
+            t = types[k]
+            if t in int_max and factor * STRIDE >= int_max[t]:
+                raise SystemExit(
+                    f"{table}.{k} is {t}: copy offsets up to "
+                    f"{factor * STRIDE} overflow it — widen the source "
+                    "column or lower the factor"
+                )
         proj = ", ".join(
-            f'"{c}" + __copy.i * {STRIDE} AS "{c}"' if c in keys
+            f'CAST("{c}" + __copy.i * {STRIDE} AS {types[c]}) AS "{c}"'
+            if c in keys
             else f'"{c}"'
             for c in cols
         )
@@ -125,14 +146,29 @@ def main() -> int:
         out = dst / f"{f.stem}.parquet"
         if out.exists() and out.stat().st_size > 0:
             # Resume support after a killed run. A partial parquet has
-            # no footer, so the count fails loudly → rebuild; only a
-            # complete table short-circuits.
+            # no footer, so the count fails loudly → rebuild. A COMPLETE
+            # file only short-circuits when its row count matches what
+            # THIS (source, factor) pair would produce — source rows ×
+            # factor for replicated tables, source rows for dims —
+            # otherwise a rerun into the same destination with a
+            # different factor silently yields a mixed-scale directory
+            # (ADVICE r12).
             try:
                 n = con.execute(
                     f"SELECT count(*) FROM '{out}'"
                 ).fetchone()[0]
-                print(f"{f.stem}: {n} rows (kept existing)")
-                continue
+                n_src = con.execute(
+                    f"SELECT count(*) FROM '{f}'"
+                ).fetchone()[0]
+                mult = 1 if f.stem in COPY_AS_IS or f.stem not in OFFSET_KEYS else factor
+                if n == n_src * mult:
+                    print(f"{f.stem}: {n} rows (kept existing)")
+                    continue
+                print(
+                    f"{f.stem}: existing file has {n} rows, expected "
+                    f"{n_src * mult} for factor {factor} — rebuilding"
+                )
+                out.unlink()
             except duckdb.Error:
                 out.unlink()
         n = scale_table(con, src, dst, f.stem, factor)
