@@ -4162,6 +4162,51 @@ def oracle_sql() -> dict[str, str]:
     return {k: _roundtrip_decimal_double_casts(v) for k, v in _oracle_sql_raw().items()}
 
 
+def sample_keys() -> dict[str, list[str]]:
+    """Output key columns for SAMPLED differential checks (r13,
+    VERDICT r12 #6) — NOT part of the driver contract; consumed by
+    ``tools/check_oracle.py --sample-prefix``.
+
+    Large-output queries (output rows scale with the input) cannot be
+    fully collected at sf100 (6e8-row outputs), so the sf100 ladder
+    previously carried no hash signal for them. The sampled check
+    filters BOTH engines' outputs to the deterministic hash bucket
+    ``md5(concat_ws('|', keys...)) LIKE '<prefix>%'`` before the
+    normal canonical compare — a 1/16^len(prefix) row sample whose
+    hash equality is as binding per-row as the full check.
+
+    Key columns must render IDENTICALLY under Spark's
+    ``CAST(x AS STRING)`` and DuckDB's ``CAST(x AS VARCHAR)``: bigint/
+    int/plain-string only (doubles and timestamps render differently
+    and would silently sample different buckets per engine — caught
+    loudly anyway by the rowcount compare, but pick stable keys).
+    Prefer the row's natural key so every output row has a uniform,
+    independent chance of selection."""
+    return {
+        "derive_date_parts": ["o_orderkey"],
+        "dim_join_left": ["o_orderkey"],
+        "fuzzy_pairs": ["id_a", "id_b"],
+        "impute_group_mean": ["o_orderkey"],
+        "join_salted": ["o_orderkey"],
+        "join_two_key": ["l_orderkey", "l_linenumber"],
+        "linear_interpolate": ["event_id"],
+        "merge_update_cols": ["o_orderkey"],
+        "merge_upsert": ["o_orderkey"],
+        "order_reconciliation": ["o_orderkey"],
+        "quality_quarantine": ["l_orderkey", "l_linenumber"],
+        "quantile_normalize": ["l_orderkey", "l_linenumber"],
+        "rolling_beta": ["l_orderkey", "l_linenumber"],
+        "rolling_corr": ["l_orderkey", "l_linenumber"],
+        "rolling_stats": ["event_id"],
+        "scan_filter_project": ["l_orderkey", "l_linenumber"],
+        "sessionize": ["event_id"],
+        "text_winnow": ["doc_id", "fingerprint"],
+        "window_cumulative": ["event_id"],
+        "window_ewma": ["event_id"],
+        "winsorize_prices": ["l_orderkey", "l_linenumber"],
+    }
+
+
 def _oracle_sql_raw() -> dict[str, str]:
     return {
         "stream_cusum": """

@@ -57,6 +57,45 @@ def is_overhead_dominated(t_small: float | None, t_big: float) -> bool:
     return t_small >= OVERHEAD_RATIO * t_big
 
 
+def calibration_seconds(spark) -> float:
+    """Fixed-seed, I/O-free host-speed probe (VERDICT r12 #3): 100M
+    synthetic rows → xxhash64 keys → decimal-summed groupBy(1000 keys)
+    → global sort → no-op sink. Pure CPU + shuffle, zero disk reads,
+    deterministic input (range + hashes, no RNG, no wall clock), so
+    its wall time measures THIS HOST's Spark throughput and nothing
+    else. Every bench record stores it as ``calibration_sec``;
+    cross-round record comparisons divide per-query ratios by the
+    calibration ratio instead of asserting "this host is slower"
+    (the r12 records' 12-23% uniform drift had to be claimed as host
+    noise because nothing measured it). Warm once, min of two — the
+    probe rides the same JIT/codegen warmup policy as the panel."""
+    from pyspark.sql import functions as F
+
+    def run() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 100_000_000, 1, 32)
+            .select(
+                (F.xxhash64("id") % 1000).alias("k"),
+                (F.xxhash64("id", F.lit(1)) % 97).cast("double").alias("v"),
+            )
+            .groupBy("k")
+            .agg(
+                F.sum(F.col("v").cast("decimal(38,6)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+                F.avg("v").alias("m"),
+            )
+            .orderBy("k")
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+        return time.perf_counter() - t0
+
+    run()  # warm codegen/JIT exactly like every panel query
+    return round(min(run(), run()), 4)
+
+
 def make_summary_line(full: dict, budget: int = LINE_BUDGET) -> str:
     """Compress the full per-query record into ONE stdout JSON line
     that fits the driver's tail-capture window.
@@ -82,6 +121,8 @@ def make_summary_line(full: dict, budget: int = LINE_BUDGET) -> str:
         # provenance marker (VERDICT r9 #4): how many excluded rows'
         # gate numbers are sourced from the committed sf1 record
         "n_gate_sf1": len(full.get("gate_sf1", {})),
+        # measured host speed (VERDICT r12 #3) — one scalar, always fits
+        "calibration_sec": full.get("calibration_sec"),
         "queries_file": full["queries_file"],
     }
     if full.get("errors"):  # names only; full messages live in the file
@@ -152,6 +193,12 @@ def main() -> None:
     # Warm the JVM / parquet footers once so the first timed query is not
     # charged for session startup.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    # Host-speed probe before the panel (VERDICT r12 #3): recorded in
+    # every bench artifact so cross-round comparisons can normalize by
+    # measured host throughput instead of asserting it.
+    calibration = calibration_seconds(spark)
+    print(f"[bench] calibration: {calibration:.2f}s", file=sys.stderr, flush=True)
 
     def _drop_leftover_persists() -> None:
         # Operators that materialize intermediates (eager localCheckpoint,
@@ -320,6 +367,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_median": medians,
+        "calibration_sec": calibration,
         "sf": sf,
         "n_queries": len(timings),
         "n_failed": len(errors),

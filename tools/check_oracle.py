@@ -27,6 +27,18 @@ Usage:  python tools/check_oracle.py [--json OUT.json]
 (VERDICT r7 #3: ``SWEEP_rN.json``) so stale driver-gate rows can be
 audited without re-executing the sweep.
 
+``--sample-prefix HEX`` (r13, VERDICT r12 #6) runs the SAMPLED
+differential check for large-output queries: both engines' outputs
+are filtered to the deterministic hash bucket
+``md5(concat_ws('|', key_cols...)) LIKE '<hex>%'`` — a
+1/16^len(prefix) row sample — before the normal canonical compare.
+This is how 6e8-row outputs carry an sf100 hash signal without
+materializing either side. Key columns come from
+``__spark_entry__.sample_keys()`` (bigint/int/string only — types
+whose CAST-to-string renders identically in both engines). Queries
+with no sample_keys entry are SKIPPED under this flag (a typo must
+never trigger an accidental full 6B-row collect).
+
 ``--oracle-timeout`` bounds each DUCKDB oracle's wall time (r10,
 for above-gate-scale sweeps): several oracles are deliberately
 brute-force — all-pairs Ω(n²) shingle intersections
@@ -205,6 +217,25 @@ def main() -> int:
             print("--oracle-timeout: must be > 0", file=sys.stderr)
             return 2
         args = args[:i] + args[i + 2:]
+    sample_prefix: str | None = None
+    if "--sample-prefix" in args:
+        i = args.index("--sample-prefix")
+        if i + 1 >= len(args):
+            print(
+                "usage: check_oracle.py [--sample-prefix HEX] ... "
+                "(--sample-prefix requires lowercase hex chars, e.g. '00')",
+                file=sys.stderr,
+            )
+            return 2
+        sample_prefix = args[i + 1]
+        if not re.fullmatch(r"[0-9a-f]{1,8}", sample_prefix):
+            print(
+                f"--sample-prefix: must be 1-8 lowercase hex chars, got "
+                f"{sample_prefix!r}",
+                file=sys.stderr,
+            )
+            return 2
+        args = args[:i] + args[i + 2:]
     master_override: str | None = None
     if "--master" in args:
         i = args.index("--master")
@@ -281,8 +312,28 @@ def main() -> int:
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    skeys: dict[str, list[str]] = (
+        getattr(entry_mod, "sample_keys", dict)() if sample_prefix else {}
+    )
     failures: list[str] = []
     record: dict[str, dict] = {}
+
+    def _sample_spark(df, keys: list[str]):
+        from pyspark.sql import functions as F
+
+        sig = F.md5(
+            F.concat_ws(
+                "|", *[F.col(k).cast("string") for k in keys]
+            ).cast("binary")
+        )
+        return df.where(sig.startswith(sample_prefix))
+
+    def _sample_oracle(sql: str, keys: list[str]) -> str:
+        ks = ", ".join(f'CAST("{k}" AS VARCHAR)' for k in keys)
+        return (
+            f"SELECT * FROM (\n{sql}\n) __sampled "
+            f"WHERE md5(concat_ws('|', {ks})) LIKE '{sample_prefix}%'"
+        )
 
     def fail(name: str, err: str) -> None:
         failures.append(name)
@@ -292,12 +343,24 @@ def main() -> int:
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        if sample_prefix and name not in skeys:
+            # never fall back to a full collect under the sampling
+            # flag — at sf100 that is a 6e8-row driver OOM, and a
+            # silent fallback would also misrepresent the artifact
+            print(f"skip  {name}: no sample_keys entry")
+            continue
         try:
             df = fn(spark, sf_dir)
             unsafe = gate_unsafe_columns(df)
             if unsafe:
                 fail(name, f"gate-unsafe output types {unsafe}")
                 continue
+            if sample_prefix:
+                missing = [k for k in skeys[name] if k not in df.columns]
+                if missing:
+                    fail(name, f"sample_keys not in output: {missing}")
+                    continue
+                df = _sample_spark(df, skeys[name])
             s_rows, s_cols = spark_result(df)
         except Exception as e:
             fail(name, f"spark error: {e}")
@@ -306,9 +369,12 @@ def main() -> int:
             record[name] = {"status": "weak", "rows": len(s_rows)}
             print(f"weak  {name}: rows={len(s_rows)} (no oracle; rows-only check)")
             continue
+        oracle_text = oracles[name]
+        if sample_prefix:
+            oracle_text = _sample_oracle(oracle_text, skeys[name])
         try:
             d_rows, d_cols, d_unsafe = duckdb_result(
-                con, oracles[name], timeout=oracle_timeout
+                con, oracle_text, timeout=oracle_timeout
             )
         except duckdb.InterruptException:
             # the ORACLE is over budget at this scale, not the engine:
@@ -359,7 +425,12 @@ def main() -> int:
                     break
         else:
             record[name] = {"status": "ok", "rows": sn, "hash": sh[:12]}
-            print(f"ok    {name}: {sn} rows, hash {sh[:12]}")
+            if sample_prefix:
+                record[name]["sampled"] = sample_prefix
+            print(
+                f"ok    {name}: {sn} rows, hash {sh[:12]}"
+                + (f" (sampled '{sample_prefix}')" if sample_prefix else "")
+            )
     # The record must survive a dead JVM: above-gate-scale sweeps can
     # OOM-kill the Spark JVM on a late query, and stop() then raises
     # ConnectionRefused AFTER every verdict above was already computed
@@ -370,6 +441,7 @@ def main() -> int:
 
         summary = {
             "sf_dir": sf_dir,
+            **({"sample_prefix": sample_prefix} if sample_prefix else {}),
             "n_queries": len(record),
             "n_ok": sum(1 for v in record.values() if v["status"] == "ok"),
             "n_weak": sum(1 for v in record.values() if v["status"] == "weak"),
