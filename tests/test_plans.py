@@ -489,3 +489,37 @@ def test_r7_tpch_q3_pushdown_and_topk(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert P.has_broadcast_join(df)
+
+
+def test_plans_md_is_fresh(spark):
+    """VERDICT r12 #8: the committed PLANS.md plan audit must track the
+    CURRENT registry and plan shapes — the r12 round proved a committed
+    artifact can silently stale (the contract test pinned pre-ca9bb8d
+    behavior for a whole round). Regenerate the audit in-process and
+    require byte equality; any operator change that moves a shuffle
+    count, join strategy, cartesian flag, or pushed-filter count now
+    fails CI until `python tools/plan_report.py` is re-run and the
+    refreshed artifact committed."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+        ),
+    )
+    import plan_report
+
+    fresh = plan_report.generate(spark, "/root/testdata/sf0.001")
+    committed_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "PLANS.md",
+    )
+    with open(committed_path) as f:
+        committed = f.read()
+    assert fresh == committed, (
+        "PLANS.md is stale relative to the current registry/plans — "
+        "regenerate with `python tools/plan_report.py` and commit"
+    )
