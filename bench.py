@@ -253,12 +253,36 @@ def main() -> None:
             ("BENCH_LOCAL_sf1.json", ref_sf1),
             ("BENCH_LOCAL_sf0.001.json", small),
         ]
-    for path, dest in paths:
+    record_cals: dict[int, float] = {}
+    for idx, (path, dest) in enumerate(paths):
         try:
             with open(os.path.join(REPO, path)) as f:
-                dest.update(json.load(f).get("queries", {}))
+                loaded = json.load(f)
+            dest.update(loaded.get("queries", {}))
+            if loaded.get("calibration_sec"):
+                record_cals[idx] = float(loaded["calibration_sec"])
         except (FileNotFoundError, json.JSONDecodeError):
             pass
+    # Host-speed normalization of the comparison baselines (r13): a
+    # prior record taken on a host measured K× faster/slower than this
+    # one would otherwise trip (or mask) the drift and sanity triggers
+    # on every untouched query — exactly the r12 "uniform 12-23%
+    # drift" ambiguity. Scale each loaded baseline by
+    # current_cal / record_cal where the record stored its probe;
+    # records predating the field stay raw (the old behavior).
+    if record_cals:
+        for idx, (path, dest) in enumerate(paths):
+            if idx in record_cals and record_cals[idx] > 0:
+                ratio = calibration / record_cals[idx]
+                for k in dest:
+                    dest[k] = round(dest[k] * ratio, 4)
+        print(
+            f"[bench] baselines normalized by calibration "
+            f"(this host {calibration:.2f}s; records "
+            f"{sorted(round(v, 2) for v in record_cals.values())})",
+            file=sys.stderr,
+            flush=True,
+        )
 
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
