@@ -6002,7 +6002,14 @@ def _oracle_sql_raw() -> dict[str, str]:
                             ELSE o_totalprice END AS price_holed
                 FROM orders
             ), means AS (
-                SELECT o_orderpriority, avg(price_holed) AS m
+                -- exact decimal total / count, like the operator (r13:
+                -- double-accumulated avg is partition-order-dependent
+                -- in its ulps and diverged at sf100 magnitudes)
+                SELECT o_orderpriority,
+                       CASE WHEN count(price_holed) > 0 THEN
+                           CAST(sum(CAST(price_holed AS DECIMAL(30,6)))
+                                AS DOUBLE) / count(price_holed)
+                       END AS m
                 FROM holed GROUP BY 1
             )
             SELECT o_orderkey, h.o_orderpriority, price_holed,

@@ -133,9 +133,23 @@ def impute_group_mean(
 
     At scale this is the shape you want: the per-group mean table is
     |groups| rows (tiny next to the data) and the join key is the
-    grouping key the data is often already partitioned by."""
+    grouping key the data is often already partitioned by.
+
+    The mean is computed as exact-decimal total / non-null count (not
+    ``F.avg`` — r13, found by the sf100 sampled differential): a
+    double-accumulated avg over tens of millions of rows per group is
+    partition-order-dependent in its last ulps, and because EVERY
+    imputed row in the group carries the same mean, a single half-ulp
+    difference at the 6-decimal rounding boundary flips millions of
+    output rows at once. The decimal fold is order-independent (same
+    result on any cluster layout) and casts to the correctly-rounded
+    double."""
     out_col = out_col or value
-    means = df.groupBy(*by).agg(F.avg(value).alias("__grp_mean"))
+    n = F.count(F.col(value))
+    s = F.sum(F.col(value).cast("decimal(30,6)")).cast("double")
+    means = df.groupBy(*by).agg(
+        F.when(n > 0, s / n).alias("__grp_mean")
+    )
     joined = join_group_stats(df, means, by)
     return joined.withColumn(
         out_col, F.coalesce(F.col(value), F.col("__grp_mean"))
