@@ -302,6 +302,16 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
+    # Bound DuckDB's memory and give it a spill directory (r13): its
+    # default memory_limit is 80% of PHYSICAL RAM, which ignores the
+    # co-resident Spark JVM — the sf30 pagerank oracle (5 unrolled
+    # 180M-edge join rounds) grew a 89 GB RSS next to a 48 g heap and
+    # the kernel OOM-killed the whole differential run. With a limit
+    # set, DuckDB spills the join intermediates instead. Override with
+    # SPARK_GRAFT_DUCK_MEM; sized so jvm + duck fit in RAM by default.
+    duck_mem = os.environ.get("SPARK_GRAFT_DUCK_MEM", "40GB")
+    con.execute(f"SET memory_limit='{duck_mem}'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in (
         "region nation customer supplier part orders lineitem events "
         "documents embeddings"
