@@ -3820,14 +3820,30 @@ def _pagerank_oracle(iterations: int = 5, damping: float = 0.85) -> str:
     the r10 lesson: DuckDB re-evaluates a multiply-referenced CTE
     inline, and at the sf10 replica the ~24M-row DISTINCT edge scan
     re-ran ~7 times, overflowing 77 GB of temp before any round
-    finished (NOTES r11)."""
+    finished (NOTES r11).
+
+    Spill discipline (r13, bought by the sf30 run): node ids are
+    carried as BIGINTs internally (src = 2*partkey, dst = 2*suppkey+1
+    — injective and disjoint by parity, so DISTINCT/UNION/joins see
+    the same key sets) and rendered to the 'p…'/'s…' strings only in
+    the final projection, and each round joins the edge list exactly
+    once against a node-count-sized weight CTE (r{k-1} ⋈ deg first).
+    The original shape — two joins per round against a 177M-row
+    varchar-keyed e, with rank/out_deg divided per edge — made DuckDB
+    build hash tables on the edge side and spilled >75 GB under a
+    40 GB memory cap at sf30; this shape keeps every build side at
+    node count. Arithmetic is unchanged: the per-edge contribution
+    double is the identical IEEE division result whether computed per
+    edge row or once per src and fanned out by the join, and the
+    DECIMAL(38,18) sum sees the same multiset (sf0.01 hash pinned
+    unchanged)."""
     one_minus_d = repr(1.0 - damping)
     d = repr(damping)
     parts = [
         """
         WITH e AS MATERIALIZED (
-            SELECT DISTINCT 'p' || l_partkey AS src,
-                            's' || l_suppkey AS dst
+            SELECT DISTINCT l_partkey * 2 AS src,
+                            l_suppkey * 2 + 1 AS dst
             FROM lineitem
         ), nodes AS MATERIALIZED (
             SELECT src AS node FROM e UNION SELECT dst FROM e
@@ -3842,15 +3858,14 @@ def _pagerank_oracle(iterations: int = 5, damping: float = 0.85) -> str:
     ]
     for k in range(1, iterations + 1):
         parts.append(
-            f""", c{k} AS (
-            SELECT e.dst AS node, r.rank / deg.out_deg AS c
-            FROM e
-            JOIN deg ON e.src = deg.src
-            JOIN r{k - 1} r ON e.src = r.node
+            f""", w{k} AS (
+            SELECT deg.src, r.rank / deg.out_deg AS c
+            FROM r{k - 1} r JOIN deg ON r.node = deg.src
         ), s{k} AS (
-            SELECT node,
-                   CAST(sum(CAST(c AS DECIMAL(38,18))) AS DOUBLE) AS s
-            FROM c{k} GROUP BY node
+            SELECT e.dst AS node,
+                   CAST(sum(CAST(w.c AS DECIMAL(38,18))) AS DOUBLE) AS s
+            FROM e JOIN w{k} w ON e.src = w.src
+            GROUP BY e.dst
         ), r{k} AS MATERIALIZED (
             SELECT nodes.node,
                    CAST('{one_minus_d}' AS DOUBLE) / nf.n
@@ -3861,7 +3876,13 @@ def _pagerank_oracle(iterations: int = 5, damping: float = 0.85) -> str:
             LEFT JOIN s{k} ON nodes.node = s{k}.node
         )"""
         )
-    parts.append(f"\n        SELECT node, rank FROM r{iterations}")
+    parts.append(
+        f"""
+        SELECT CASE WHEN node % 2 = 0 THEN 'p' || CAST(node // 2 AS VARCHAR)
+                    ELSE 's' || CAST(node // 2 AS VARCHAR) END AS node,
+               rank
+        FROM r{iterations}"""
+    )
     return "".join(parts)
 
 
