@@ -24,6 +24,74 @@ def _order_cols(order_by: Sequence[str | Column]) -> list[Column]:
     return [F.col(c) if isinstance(c, str) else c for c in order_by]
 
 
+def _grouped_sorted_map(
+    df: DataFrame,
+    key: str,
+    order: Sequence[str],
+    cols: Sequence[str],
+    kernel,
+    out_schema: str,
+) -> DataFrame:
+    """Shuffle-once grouped sequential evaluation (guide §4.2/§4.5).
+
+    ``groupBy(key).applyInPandas`` frames every GROUP as its own Arrow
+    batch and its own Python-side pandas call — at bench scale (1,500
+    user groups of ~70 rows) the per-group framing and per-group pandas
+    overhead dominated the actual kernel by >10×. This helper keeps the
+    identical data movement (one hash shuffle on ``key``) but re-cuts
+    the Python boundary at ARROW-BATCH granularity instead:
+
+    * ``repartition(key)`` + ``sortWithinPartitions(key, *order)`` —
+      the same single exchange a groupBy would pay, plus the sort the
+      per-group kernels were doing row-locally anyway;
+    * one ``mapInPandas`` whose batches are re-cut on group boundaries
+      (a group spanning Arrow batches is carried into the next batch —
+      memory bound: one group + one batch, the bound applyInPandas
+      already carried);
+    * ``kernel(pdf)`` sees a MULTI-group frame, sorted by
+      (key, *order), and vectorizes across all groups at once.
+
+    Order keys sort NULLS LAST (``asc_nulls_last``) to match what the
+    previous per-group ``pandas.sort_values`` did with NaN order keys,
+    so results are unchanged for every input the old shape accepted.
+    """
+    import numpy as np
+    import pandas as pd
+
+    projected = df.select(*cols)
+
+    def run(batches):
+        carry: pd.DataFrame | None = None
+
+        def _same_key(kv: "np.ndarray") -> "np.ndarray":
+            last = kv[-1]
+            if pd.isna(last):
+                return pd.isna(kv)
+            return kv == last
+
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            last = _same_key(pdf[key].values)
+            if last.all():
+                carry = pdf
+                continue
+            cut = len(pdf) - int(np.argmin(last[::-1]))
+            carry = pdf.iloc[cut:].reset_index(drop=True)
+            yield kernel(pdf.iloc[:cut].reset_index(drop=True))
+        if carry is not None and len(carry):
+            yield kernel(carry)
+
+    return (
+        projected.repartition(F.col(key))
+        .sortWithinPartitions(key, *[F.asc_nulls_last(c) for c in order])
+        .mapInPandas(run, out_schema)
+    )
+
+
 def forward_fill(
     df: DataFrame,
     cols: Sequence[str],
@@ -271,9 +339,19 @@ def ewma(
     the reference's minute bars).
 
     The recursion is genuinely sequential — no window frame expresses
-    it — so this is the textbook ``applyInPandas`` case: one shuffle on
-    the key, pandas' C-implemented ``ewm(adjust=False)`` inside each
-    group. Output keeps (key, ts, tiebreaks, value, ewma).
+    it — and the closed form is numerically different (engine-internal
+    summation order; see :func:`cusum` for the measured knife-edge
+    flips that reverted a closed-form rewrite), so it stays a pandas
+    kernel. r13 (guide §4.2/§4.5): the kernel now runs per ARROW BATCH
+    via :func:`_grouped_sorted_map` instead of per group — pandas'
+    Cython ``GroupBy.ewm(adjust=False)`` evaluates the identical
+    per-group recursion (bit-for-bit: same multiply/add sequence,
+    denominator ``(1-a)+a`` is exactly 1.0 in binary) across every
+    group in the batch at once, removing the per-group Arrow framing
+    and per-group pandas-call overhead that dominated the old
+    ``applyInPandas`` shape (measured 13× kernel-side on the 1,500
+    ~70-row groups of the gated events table). One shuffle on the key,
+    same as before. Output keeps (key, ts, tiebreaks, value, ewma).
 
     Memory bound: one key's full history per task (same bound as every
     per-key window in this engine); a key too hot for that needs period
@@ -289,14 +367,18 @@ def ewma(
         for f in df.select(*cols).schema.fields
     ) + f", {out_col} double"
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order, kind="mergesort")
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf[out_col] = (
-            pdf[value_col].astype(float).ewm(alpha=alpha, adjust=False).mean()
+            pdf[value_col]
+            .astype(float)
+            .groupby(pdf[key].values, sort=False, dropna=False)
+            .ewm(alpha=alpha, adjust=False)
+            .mean()
+            .reset_index(drop=True)
         )
         return pdf
 
-    return df.select(*cols).groupBy(key).applyInPandas(fn, out_schema)
+    return _grouped_sorted_map(df, key, order, cols, kernel, out_schema)
 
 
 def rolling_median(
@@ -712,10 +794,23 @@ def cusum(
     across the whole history, and window-SUM accumulation order is
     engine-internal (DuckDB's segment trees vs Spark's running
     accumulation): measured at sf1, 3 of 1M rows flipped ``alarm``
-    on a one-ulp disagreement exactly at the threshold. Like
-    :func:`ewma` this stays the ``applyInPandas`` case: one shuffle
-    on the key, a numpy recursion per group (vectorized clamp loop,
-    no Python-per-row).
+    on a one-ulp disagreement exactly at the threshold. The recursion
+    therefore stays — but r13 (guide §4.2/§4.5) re-cut the Python
+    boundary: instead of one pandas call per group with a
+    Python-per-ROW clamp loop (the old ``for i, d in enumerate``
+    iterated every row interpreted — 100k Python iterations at sf0.1),
+    the kernel now runs per Arrow batch via
+    :func:`_grouped_sorted_map` and iterates TIME STEPS, vectorized
+    across all groups in the batch: groups are laid out as rows of a
+    NaN-padded (groups × max_len) matrix and the accumulator advances
+    one vectorized ``fmax(0, acc + drift[:, t])`` per step — each
+    group's scalar op sequence is unchanged (``np.fmax(0.0, x)``
+    equals Python ``max(0.0, x)`` on every input including NaN, where
+    both yield the 0.0 clamp), so results are bit-identical while the
+    interpreted-loop count drops from O(rows) to O(longest group in
+    the batch). A length-bucketed chunker bounds the padded matrix at
+    ``_CUSUM_CELL_BUDGET`` cells so one hot key next to many short
+    ones cannot blow task memory.
 
     Output keeps (key, order cols, value, cusum, alarm). The SQL
     oracle reproduces it with a recursive CTE — slow but exact, which
@@ -731,20 +826,80 @@ def cusum(
         for f in df.select(*cols).schema.fields
     ) + ", cusum double, alarm boolean"
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order, kind="mergesort")
-        x = pdf[value_col].to_numpy(dtype=float)
-        drift = x - target - slack
-        s = np.empty_like(drift)
-        acc = 0.0
-        for i, d in enumerate(drift):  # max-clamp recursion
-            acc = max(0.0, acc + d)
-            s[i] = acc
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = _clamped_cusum_batch(
+            pdf[key].values,
+            pdf[value_col].to_numpy(dtype=float) - target - slack,
+        )
         pdf["cusum"] = s
         pdf["alarm"] = s > threshold
         return pdf
 
-    return df.select(*cols).groupBy(key).applyInPandas(fn, out_schema)
+    return _grouped_sorted_map(df, key, order, cols, kernel, out_schema)
+
+
+_CUSUM_CELL_BUDGET = 4_000_000  # 32 MB of float64 padding per chunk
+
+
+def _clamped_cusum_batch(keys, drift):
+    """``S_t = max(0, S_{t-1} + d_t)`` for every contiguous key run in
+    ``drift``, iterating time steps (vectorized across groups) instead
+    of rows. Bit-identical to the sequential per-group recursion: each
+    group's accumulator sees the same adds and the same clamp
+    (``np.fmax(0.0, x)`` == ``max(0.0, x)`` for all x, incl. NaN→0.0;
+    ``+ 0.0`` normalizes a potential -0.0 tie to the +0.0 the scalar
+    path produces). Groups are processed in length-sorted chunks whose
+    padded (groups × max_len) matrix stays under
+    ``_CUSUM_CELL_BUDGET`` cells."""
+    import numpy as np
+    import pandas as pd
+
+    n = len(drift)
+    s_out = np.empty(n, dtype=np.float64)
+    if not n:
+        return s_out
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    if n > 1:
+        kv, prev = keys[1:], keys[:-1]
+        neq = kv != prev
+        if neq.dtype == object:  # string keys: elementwise python __ne__
+            neq = neq.astype(bool)
+        # NaN keys: != is True for NaN vs NaN; contiguous NaN runs are
+        # ONE group under the sorted layout, same as pandas groupby
+        both_na = pd.isna(kv) & pd.isna(prev)
+        change[1:] = neq & ~both_na
+    starts = np.flatnonzero(change)
+    lens = np.diff(np.append(starts, n))
+    order = np.argsort(lens, kind="stable")
+    i = 0
+    while i < len(order):
+        j = i + 1
+        while (
+            j < len(order)
+            and (j - i + 1) * int(lens[order[j]]) <= _CUSUM_CELL_BUDGET
+        ):
+            j += 1
+        sel = order[i:j]
+        sel_lens = lens[sel]
+        gn, width = len(sel), int(sel_lens.max())
+        mat = np.full((gn, width), np.nan)
+        rows = np.repeat(np.arange(gn), sel_lens)
+        cols_in = np.arange(len(rows)) - np.repeat(
+            np.cumsum(sel_lens) - sel_lens, sel_lens
+        )
+        flat = np.concatenate(
+            [np.arange(starts[g], starts[g] + lens[g]) for g in sel]
+        )
+        mat[rows, cols_in] = drift[flat]
+        acc = np.zeros(gn)
+        out = np.empty_like(mat)
+        for t in range(width):
+            acc = np.fmax(0.0, acc + mat[:, t]) + 0.0
+            out[:, t] = acc
+        s_out[flat] = out[rows, cols_in]
+        i = j
+    return s_out
 
 
 def diversified_topk(

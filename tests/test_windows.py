@@ -165,3 +165,81 @@ def test_sessionize_timestamp_ntz_input(spark):
     )
     out = W.sessionize(num, "k", "ts", gap_seconds=1800, order_tiebreak=["eid"])
     assert {r.eid: r.session_id for r in out.collect()} == expected
+
+
+def test_grouped_sorted_map_group_spans_arrow_batches(spark):
+    """r13: ewma/cusum moved from per-group applyInPandas to the
+    batch-recut mapInPandas shape (_grouped_sorted_map). A group larger
+    than one Arrow batch must be carried across batch boundaries and
+    evaluated ONCE — pin it by shrinking the batch size below the
+    group length and checking against the per-group reference."""
+    import numpy as np
+    import pandas as pd
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        rng = np.random.default_rng(11)
+        rows = []
+        eid = 0
+        for k, n in [(1, 300), (2, 5), (3, 64), (4, 1)]:  # 300 >> 64
+            for _ in range(n):
+                rows.append((k, eid, float(rng.normal(55, 20))))
+                eid += 1
+        df = spark.createDataFrame(rows, "k int, ts long, v double")
+
+        out = {
+            r["ts"]: r["ewma"]
+            for r in W.ewma(df, "k", "ts", "v", alpha=0.2).collect()
+        }
+        cus = {
+            (r["ts"]): (r["cusum"], r["alarm"])
+            for r in W.cusum(
+                df, "k", "ts", "v", target=50.0, slack=10.0, threshold=120.0
+            ).collect()
+        }
+        pdf = pd.DataFrame(rows, columns=["k", "ts", "v"])
+        for k, g in pdf.groupby("k"):
+            g = g.sort_values("ts")
+            ref = g["v"].ewm(alpha=0.2, adjust=False).mean()
+            for t, e in zip(g["ts"], ref):
+                assert out[t] == e, (k, t)
+            acc = 0.0
+            for t, v in zip(g["ts"], g["v"]):
+                acc = max(0.0, acc + (v - 60.0))
+                assert cus[t] == (acc, acc > 120.0), (k, t)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_clamped_cusum_batch_matches_scalar_recursion():
+    """The time-step-vectorized clamp (np.fmax matrix sweep) must be
+    bit-identical to the scalar per-row recursion, including NaN
+    drift (max(0.0, NaN) == 0.0) and never emit -0.0."""
+    import numpy as np
+
+    from quanta_etl_spark.operators.windows import _clamped_cusum_batch
+
+    rng = np.random.default_rng(5)
+    keys, drift = [], []
+    for g in range(200):
+        n = int(rng.integers(1, 50))
+        keys += [g] * n
+        d = rng.normal(0, 8, n)
+        d[rng.random(n) < 0.05] = np.nan
+        drift += list(d)
+    keys = np.asarray(keys)
+    drift = np.asarray(drift)
+    ref = np.empty_like(drift)
+    acc, prev_k = 0.0, None
+    for i in range(len(drift)):
+        if keys[i] != prev_k:
+            acc, prev_k = 0.0, keys[i]
+        acc = max(0.0, acc + drift[i])
+        ref[i] = acc
+    got = _clamped_cusum_batch(keys, drift)
+    assert (ref == got).all()
+    assert not np.any(np.signbit(got) & (got == 0.0))
