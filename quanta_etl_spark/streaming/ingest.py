@@ -285,15 +285,65 @@ def write_stream_parquet(
     return writer.start()
 
 
+# r13 (guide §1.1 empirical loop + §7.3 thread dumps): on a bounded
+# memory-sink run the state machinery, not the data, was the wall.
+# jstack sampling of stream_stream_join at sf0.1 showed executor tasks
+# (a) waiting in ChecksumCheckpointFileManager.awaitResult — Spark
+# 4.1's checkpoint-file checksums (default ON) write and fsync a
+# sidecar checksum per checkpoint file — and (b) RUNNABLE inside
+# org.apache.hadoop.util.Shell.runCommand: the default
+# FileContext-based checkpoint manager's mkdir passes an explicit
+# permission, which Hadoop's RawLocalFileSystem without native libs
+# implements by FORKING `chmod` per directory level, per state-store
+# provider (4 stores × partitions × batches), much of it inside the
+# global getStateStoreProvider lock. Both costs are pure overhead for
+# an EPHEMERAL checkpoint: the memory sink always checkpoints to a
+# throwaway local temp dir, so corruption detection of those files and
+# FileContext's stricter rename semantics protect nothing. Measured
+# (sf0.1 stream_stream_join, min-of-3 steady state): 5.9s → 2.2s with
+# the two confs below; state-operator core-time 120s → 26s. Durable
+# sinks (write_stream_parquet, merge_stream_into_parquet) keep the
+# session defaults — their checkpoints are real.
+_EPHEMERAL_CHECKPOINT_CONFS = {
+    "spark.sql.streaming.checkpoint.fileChecksum.enabled": "false",
+    # FQCN is the Spark 4.1 location (.streaming.checkpointing); the
+    # FileSystem-based manager's mkdirs carries no explicit permission,
+    # so local-fs directory creation never shells out.
+    "spark.sql.streaming.checkpointFileManagerClass": (
+        "org.apache.spark.sql.execution.streaming.checkpointing."
+        "FileSystemBasedCheckpointFileManager"
+    ),
+}
+
+
 def write_stream_memory(df: DataFrame, name: str, output_mode: str = "append"):
-    """In-memory sink for tests/debug (never for production data)."""
-    return (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    """In-memory sink for tests/debug (never for production data).
+
+    Applies :data:`_EPHEMERAL_CHECKPOINT_CONFS` for the duration of
+    query START only (saved and restored around ``start()`` — a
+    StreamExecution captures session confs when it is constructed, so
+    the restore cannot affect the launched query, and later DURABLE
+    queries on the same session keep the protective defaults)."""
+    spark = df.sparkSession
+    saved = {
+        k: spark.conf.get(k, None) for k in _EPHEMERAL_CHECKPOINT_CONFS
+    }
+    for k, v in _EPHEMERAL_CHECKPOINT_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        return (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def dedup_stream(
