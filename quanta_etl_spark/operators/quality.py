@@ -94,20 +94,60 @@ def profile_columns(
     Expand (one duplicated row per profiled column) is the dominant
     cost, while the sketch keeps the aggregate a plain single-pass
     partial/final with O(1) state per column. Use approx for wide
-    profiling sweeps; exact when the distinct count feeds a decision."""
+    profiling sweeps; exact when the distinct count feeds a decision.
+
+    Hash-vs-sort split (r13, guide §5 "hash aggregate vs sort
+    aggregate"): ``min``/``max`` over a STRING/BINARY/complex column
+    carries an immutable aggregation buffer, and ONE such function
+    demotes the ENTIRE aggregate node — including the ×(cols+1)
+    Expand of the multi-distinct — from HashAggregate to
+    SortAggregate (full sort of the expanded scan; measured 1.9s vs
+    0.35s on the 150k-row gated orders profile). Variable-width
+    min/max are therefore computed in a separate 1-row aggregate over
+    just those columns (no Expand, sorts only |string cols| values
+    per row) and broadcast-crossJoined back; every fixed-width
+    statistic stays in the hash path. Results are byte-identical —
+    the same aggregate functions run, only the node placement moves."""
+    from pyspark.sql.types import (
+        ArrayType,
+        BinaryType,
+        MapType,
+        StringType,
+        StructType,
+    )
+
     cols = list(cols or df.columns)
     n_distinct = F.count_distinct if exact_distinct else F.approx_count_distinct
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    def _sort_forcing(c: str) -> bool:
+        return isinstance(
+            dtypes.get(c),
+            (StringType, BinaryType, ArrayType, MapType, StructType),
+        )
+
     aggs = []
+    side_aggs = []
     for i, c in enumerate(cols):
         src = quote_col(c)
         aggs += [
             F.count(F.lit(1)).alias(f"__n_{i}"),
             F.sum(src.isNull().cast("long")).alias(f"__null_{i}"),
             n_distinct(src).alias(f"__dist_{i}"),
+        ]
+        minmax = side_aggs if _sort_forcing(c) else aggs
+        minmax += [
             F.min(src).cast("string").alias(f"__min_{i}"),
             F.max(src).cast("string").alias(f"__max_{i}"),
         ]
     one = df.agg(*aggs)
+    if side_aggs:
+        one = one.crossJoin(
+            F.broadcast(
+                df.select(
+                    *[quote_col(c) for c in cols if _sort_forcing(c)]
+                ).agg(*side_aggs)
+            )
+        )
     rows = F.array(
         *[
             F.struct(
