@@ -777,6 +777,133 @@ def quantile_normalize(
     ).drop("__p", "__grid")
 
 
+#: Above this optimizer-estimated input size the sort-based
+#: exact_group_percentiles path engages (below it, Spark's percentile
+#: aggregate is faster: the range-sampling pass + rank joins cost more
+#: than the in-task buffer sort saves — measured 3.4s vs 2.8s on the
+#: 600k-row gated ensemble, flipping well before the ~128 MB/task
+#: buffer bound the aggregate would hit at scale).
+_PERCENTILE_SORT_BYTES = 4 << 30
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Optimizer-estimated size of a frame's input, WITHOUT running a
+    job (file-source statistics); oversized fallback when the estimate
+    is unavailable so the scale-safe path wins on unknowns."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return 1 << 62
+
+
+def exact_group_percentiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    fracs: Sequence[float],
+    out_cols: Sequence[str],
+) -> DataFrame:
+    """Exact per-group percentiles via a RANGE-PARTITIONED parallel
+    sort instead of Spark's ``percentile`` aggregate (r13, guide §2.5
+    + §5).
+
+    ``F.percentile`` buffers EVERY value of a group in one task's
+    memory and sorts it there — with few groups (the gated
+    outlier_ensemble has 3 return-flags) that is a 3-task stage at any
+    cluster size and an unbounded per-task buffer at 100 TB. This
+    operator computes the identical order statistics from a
+    distributed sort:
+
+    1. ``repartitionByRange(*groups, value)`` + per-partition sort —
+       the only full-data exchange, parallel and spillable;
+    2. per-(partition, group) counts + first local index → each row's
+       exact 0-based rank within its group (monotonically_increasing_id
+       encodes the per-partition index in its low 33 bits; the tiny
+       counts table is cumulative-summed and broadcast back);
+    3. rows sitting at floor/ceil of ``frac·(n−1)`` are picked with
+       conditional aggregates and interpolated with EXACTLY Spark's
+       ``Percentile.getPercentile`` arithmetic:
+       ``(higher−pos)·v_lo + (pos−lower)·v_hi`` with the same
+       lower==higher and v_lo==v_hi shortcut branches — bit-identical
+       results (pinned by ``test_exact_group_percentiles_matches_
+       percentile_aggregate`` over randomized data).
+
+    NULL values are skipped and NULL group keys form their own group —
+    both exactly as the aggregate behaves (group-key equality uses
+    eqNullSafe throughout; verified value-equal against
+    ``F.percentile`` including the null group). Returns one row per
+    group: ``group_cols + out_cols``."""
+    from pyspark.sql.window import Window
+
+    g = list(group_cols)
+    v = F.col(value_col)
+    rows = df.where(v.isNotNull()).select(*g, v.alias("__v"))
+    parts = rows.repartitionByRange(*g, F.col("__v")).sortWithinPartitions(
+        *g, "__v"
+    )
+    tagged = parts.select(
+        *g,
+        "__v",
+        F.spark_partition_id().alias("__pid"),
+        F.monotonically_increasing_id()
+        .bitwiseAND(F.lit((1 << 33) - 1))
+        .alias("__lid"),
+    )
+    per_part = tagged.groupBy("__pid", *g).agg(
+        F.count(F.lit(1)).alias("__c"), F.min("__lid").alias("__l0")
+    )
+    wg = Window.partitionBy(*g) if g else Window.partitionBy(F.lit(1))
+    wc = wg.orderBy("__pid")
+    counts = per_part.select(
+        F.col("__pid").alias("__cpid"),
+        *[F.col(c).alias(f"__ck_{i}") for i, c in enumerate(g)],
+        "__l0",
+        F.coalesce(
+            F.sum("__c").over(
+                wc.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("__off"),
+        F.sum("__c").over(wg).alias("__n"),
+    )
+    cond = F.col("__pid") == F.col("__cpid")
+    for i, c in enumerate(g):
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__ck_{i}"))
+    ranked = tagged.join(F.broadcast(counts), cond).select(
+        *g,
+        "__v",
+        (F.col("__lid") - F.col("__l0") + F.col("__off")).alias("__r"),
+        "__n",
+    )
+    picks = []
+    for i, frac in enumerate(fracs):
+        pos = F.lit(float(frac)) * (F.col("__n") - 1).cast("double")
+        lo, hi = F.floor(pos), F.ceil(pos)
+        picks += [
+            F.min(F.when(F.col("__r") == lo, F.col("__v"))).alias(f"__lo_{i}"),
+            F.min(F.when(F.col("__r") == hi, F.col("__v"))).alias(f"__hi_{i}"),
+            F.first(pos).alias(f"__pos_{i}"),
+            F.first(lo).alias(f"__flo_{i}"),
+            F.first(hi).alias(f"__fhi_{i}"),
+        ]
+    agg = ranked.groupBy(*g).agg(*picks)
+    outs = []
+    for i, name in enumerate(out_cols):
+        vlo, vhi = F.col(f"__lo_{i}"), F.col(f"__hi_{i}")
+        pos = F.col(f"__pos_{i}")
+        lo, hi = F.col(f"__flo_{i}"), F.col(f"__fhi_{i}")
+        outs.append(
+            F.when(lo == hi, vlo)
+            .when(vhi == vlo, vlo)
+            .otherwise(
+                (hi.cast("double") - pos) * vlo
+                + (pos - lo.cast("double")) * vhi
+            )
+            .alias(name)
+        )
+    return agg.select(*g, *outs)
+
+
 def outlier_ensemble(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -812,38 +939,47 @@ def outlier_ensemble(
     """
     v = F.col(value_col)
     g = list(group_cols)
-    # ONE Percentile aggregate with an array of percentages: all five
-    # order statistics come from a single shared per-group value
-    # buffer. Five scalar F.percentile calls are five independent
-    # aggregate functions — five buffers built, merged, and sorted per
-    # group — for bit-identical results; measured 3.4× slower on a
-    # 600k-row group (r9).
+    # Percentile strategy is SIZE-ADAPTIVE (r13; same pattern as the
+    # CC union-find and pagerank storage thresholds). Small inputs use
+    # ONE shared-buffer Percentile aggregate (the r9 fix over five
+    # independent buffers) — fastest when a group's values fit one
+    # task comfortably. Past _PERCENTILE_SORT_BYTES of estimated input
+    # the sort-based exact_group_percentiles takes over: the aggregate
+    # buffers EVERY value of a group in one task (a ~|groups|-wide
+    # stage with an unbounded buffer — the 100 TB killer when groups
+    # are few), while the distributed sort is fully parallel and
+    # spillable. Both paths are bit-identical (interpolation pinned by
+    # test + oracle) and the decision costs no job (file statistics).
     fracs = [0.25, 0.75, 0.5, p_extreme, 1 - p_extreme]
-    stats1 = (
-        df.groupBy(*g)
-        .agg(
-            F.percentile(
-                value_col, F.array(*[F.lit(x) for x in fracs])
-            ).alias("__p")
-        )
-        .select(
-            *g,
-            F.col("__p")[0].alias("__q1"),
-            F.col("__p")[1].alias("__q3"),
-            F.col("__p")[2].alias("__med"),
-            F.col("__p")[3].alias("__plo"),
-            F.col("__p")[4].alias("__phi"),
-        )
-    )
-    with_med = join_group_stats(df, F.broadcast(stats1), g)
-    mad = (
-        with_med.groupBy(*g)
-        .agg(
-            F.percentile(F.abs(v - F.col("__med")), F.lit(0.5)).alias(
-                "__mad"
+    names1 = ["__q1", "__q3", "__med", "__plo", "__phi"]
+    big = _plan_size_bytes(df) > _PERCENTILE_SORT_BYTES
+    if big:
+        stats1 = exact_group_percentiles(df, g, value_col, fracs, names1)
+    else:
+        stats1 = (
+            df.groupBy(*g)
+            .agg(
+                F.percentile(
+                    value_col, F.array(*[F.lit(x) for x in fracs])
+                ).alias("__p")
+            )
+            .select(
+                *g, *[F.col("__p")[i].alias(n) for i, n in enumerate(names1)]
             )
         )
-    )
+    with_med = join_group_stats(df, F.broadcast(stats1), g)
+    if big:
+        mad = exact_group_percentiles(
+            with_med.withColumn("__absdev", F.abs(v - F.col("__med"))),
+            g,
+            "__absdev",
+            [0.5],
+            ["__mad"],
+        )
+    else:
+        mad = with_med.groupBy(*g).agg(
+            F.percentile(F.abs(v - F.col("__med")), F.lit(0.5)).alias("__mad")
+        )
     j = join_group_stats(with_med, F.broadcast(mad), g)
     iqr = F.col("__q3") - F.col("__q1")
     flag_iqr = (v < F.col("__q1") - F.lit(iqr_k) * iqr) | (

@@ -470,3 +470,65 @@ def test_table_checksum_order_invariant_and_sensitive(spark):
     assert Q.table_checksum(changed, ["k", "s", "v"]).collect()[0][
         "checksum"
     ] != base["checksum"]
+
+
+def test_exact_group_percentiles_matches_percentile_aggregate(spark):
+    """r13: the sort-based exact_group_percentiles must be BIT-identical
+    to Spark's Percentile aggregate — same interpolation arithmetic
+    ((hi−pos)·v_lo + (pos−lo)·v_hi with both shortcut branches) — over
+    randomized ragged groups, ties, nulls, and a null group key."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    rows = []
+    for gi in range(9):
+        n = int(rng.integers(1, 700))
+        vals = rng.normal(0, 1e5, n)
+        vals[rng.random(n) < 0.25] = float(np.round(vals[0]))  # ties
+        rows += [(f"g{gi}", float(x)) for x in vals]
+    rows += [("g0", None)] * 5 + [(None, 1.0), (None, 5.0), (None, 9.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    fracs = [0.0, 0.005, 0.25, 1 / 3, 0.5, 0.75, 0.995, 1.0]
+    names = [f"p{i}" for i in range(len(fracs))]
+    ref = (
+        df.groupBy("k")
+        .agg(F.percentile("v", F.array(*[F.lit(x) for x in fracs])).alias("p"))
+        .select("k", *[F.col("p")[i].alias(n) for i, n in enumerate(names)])
+    )
+    got = Q.exact_group_percentiles(df, ["k"], "v", fracs, names)
+    r = {row["k"]: [row[n] for n in names] for row in ref.collect()}
+    g = {row["k"]: [row[n] for n in names] for row in got.collect()}
+    assert set(r) == set(g)
+    for k in r:
+        for a, b in zip(r[k], g[k]):
+            assert a == b or (a is None and b is None), (k, a, b)
+
+
+def test_outlier_ensemble_sort_path_bit_equal(spark, monkeypatch):
+    """The size-adaptive percentile strategy must not change results:
+    force the big (sort) path via the threshold and compare every row
+    against the aggregate path."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for gi, flag in enumerate(["A", "N", "R"]):
+        base = rng.normal(1000 * (gi + 1), 50, 400)
+        base[:5] += 5000  # definite outliers
+        rows += [(i, flag, float(v)) for i, v in enumerate(base)]
+    df = spark.createDataFrame(rows, "rid int, flag string, v double")
+
+    def run():
+        return sorted(
+            map(
+                tuple,
+                Q.outlier_ensemble(
+                    df, ["flag"], "v", id_cols=["rid"]
+                ).collect(),
+            )
+        )
+
+    small = run()
+    monkeypatch.setattr(Q, "_PERCENTILE_SORT_BYTES", 0)
+    big = run()
+    assert small == big and len(small) > 0
