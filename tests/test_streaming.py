@@ -924,3 +924,67 @@ class TestStreamHotKeySkew:
             [r for r in rows if r[3] in ("click", "purchase")]
         )
         assert sum(op["numRowsTotal"] for op in ops) < n_input
+
+
+class TestStreamShufflePartitionSizing:
+    """r14: stateful stream shuffle partitions derive from input
+    volume (guide §2.2), never core count — pinned here so the rule's
+    three regimes (volume-derived, Python-stateful opt-out, unknown-
+    source opt-out) stay loud."""
+
+    def _bar_stream(self, spark, bar_dir):
+        return ingest.read_stream(spark, bar_dir, BAR_SCHEMA)
+
+    def test_small_file_source_floors_at_two(self, spark, bar_dir):
+        df = self._bar_stream(spark, bar_dir).groupBy("isin").count()
+        size = ingest._stream_source_bytes(df)
+        assert size is not None and 0 < size < (8 << 20)
+        assert ingest._stream_shuffle_partitions(df) == 2
+
+    def test_volume_rule_clamps_at_session_default(
+        self, spark, bar_dir, monkeypatch
+    ):
+        # shrink the per-partition target so even the tiny fixture
+        # "wants" thousands of partitions: the session default (4 in
+        # the test session) must cap it — the rule can only ever
+        # REDUCE partitions, never exceed the operator-sized setting
+        monkeypatch.setattr(ingest, "_STREAM_PARTITION_TARGET_BYTES", 1)
+        df = self._bar_stream(spark, bar_dir).groupBy("isin").count()
+        default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        assert ingest._stream_shuffle_partitions(df) == default
+
+    def test_python_stateful_plan_keeps_default(self, spark, bar_dir):
+        # applyInPandasWithState work is per-row Python kernel time:
+        # partitions are its parallelism — the sizing must opt out
+        df = ingest.running_forward_fill(self._bar_stream(spark, bar_dir))
+        assert ingest._stream_shuffle_partitions(df) is None
+
+    def test_non_file_source_keeps_default(self, spark):
+        df = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", "1")
+            .load()
+            .groupBy("value")
+            .count()
+        )
+        assert ingest._stream_source_bytes(df) is None
+        assert ingest._stream_shuffle_partitions(df) is None
+
+    def test_write_stream_memory_restores_session_conf(
+        self, spark, bar_dir
+    ):
+        before = spark.conf.get("spark.sql.shuffle.partitions")
+        agg = self._bar_stream(spark, bar_dir).groupBy("isin").count()
+        q = ingest.write_stream_memory(
+            agg, "conf_restore_probe", output_mode="complete"
+        )
+        q.awaitTermination(120)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == before
+        # the launched query really ran at the derived count: its
+        # state operator reports 2 partitions, not the session's 4
+        progress = q.recentProgress
+        assert progress, "query produced no progress"
+        ops = progress[-1]["stateOperators"]
+        assert ops and all(
+            op["numShufflePartitions"] == 2 for op in ops
+        ), ops
