@@ -747,23 +747,66 @@ def quantile_normalize(
     tiebreak column is needed; the interpolation
     ``g[lo] + frac·(g[lo+1]−g[lo])`` is evaluated in one fixed IEEE
     shape. Single-value groups rank at 0.0 → the pooled minimum.
+
+    Size-adaptive rank strategy (r14, same gate as
+    ``outlier_ensemble``): below ``_PERCENTILE_SORT_BYTES`` the
+    percent rank is the window form above (one group-key shuffle —
+    fastest small). Past it, ``Window.partitionBy(group)`` would
+    concentrate each group's rank into ONE task (a |groups|-wide
+    stage at any cluster size), so the rank comes from
+    :func:`_ranked_by_group_value`'s range-partitioned parallel sort
+    plus a (group, value) tie window — bit-equal by construction
+    (identical integer rank values through the identical double
+    arithmetic; pinned by a randomized property test).
     """
     out_col = out_col or f"{value_col}_qnorm"
     fracs = [i / grid for i in range(grid + 1)]
     ref = exact_quantile_grid(df, value_col, fracs)
     v = F.col(value_col)
-    w = Window.partitionBy(*group_cols).orderBy(v.asc_nulls_first())
-    w_grp = Window.partitionBy(*group_cols)
-    rnk = F.rank().over(w)
-    n_null = F.sum(F.when(v.isNull(), 1).otherwise(0)).over(w_grp)
-    n_val = F.count(F.lit(1)).over(w_grp) - n_null
-    p = F.when(v.isNull(), F.lit(None).cast("double")).when(
-        n_val == 1, F.lit(0.0)
-    ).otherwise(
-        (rnk - n_null - F.lit(1)).cast("double")
-        / (n_val - F.lit(1)).cast("double")
-    )
-    with_p = df.withColumn("__p", p).crossJoin(F.broadcast(ref))
+    g = list(group_cols)
+    if _plan_size_bytes(df) > _PERCENTILE_SORT_BYTES:
+        # Big-data path (r14, guide §2.5; VERDICT r13 #4): the window
+        # rank below concentrates each group into ONE task — with few
+        # gated groups that is a |groups|-wide stage at any cluster
+        # size, the same shape exact_group_percentiles was built to
+        # kill. Reuse its range-partitioned rank machinery: the only
+        # full-data exchanges are the range sort and the (group,
+        # value) tie window, both parallel at any group cardinality.
+        # Tie contract: rank() gives every tied row the FIRST tied
+        # position, reproduced exactly as min(row rank) over the
+        # (group, value) frame; the percent rank arithmetic below is
+        # the identical integer-to-double expression, so results are
+        # bit-equal to the window form (pinned by
+        # test_quantile_normalize_sort_path_bit_equal).
+        nn = _ranked_by_group_value(df.where(v.isNotNull()), g, value_col)
+        w_tie = Window.partitionBy(*[F.col(c) for c in g], v)
+        rmin = F.min("__r").over(w_tie)
+        p_nn = F.when(F.col("__n") == 1, F.lit(0.0)).otherwise(
+            rmin.cast("double") / (F.col("__n") - F.lit(1)).cast("double")
+        )
+        with_p = (
+            nn.withColumn("__p", p_nn)
+            .drop("__r", "__n")
+            .unionByName(
+                df.where(v.isNull()).withColumn(
+                    "__p", F.lit(None).cast("double")
+                )
+            )
+        )
+    else:
+        w = Window.partitionBy(*group_cols).orderBy(v.asc_nulls_first())
+        w_grp = Window.partitionBy(*group_cols)
+        rnk = F.rank().over(w)
+        n_null = F.sum(F.when(v.isNull(), 1).otherwise(0)).over(w_grp)
+        n_val = F.count(F.lit(1)).over(w_grp) - n_null
+        p = F.when(v.isNull(), F.lit(None).cast("double")).when(
+            n_val == 1, F.lit(0.0)
+        ).otherwise(
+            (rnk - n_null - F.lit(1)).cast("double")
+            / (n_val - F.lit(1)).cast("double")
+        )
+        with_p = df.withColumn("__p", p)
+    with_p = with_p.crossJoin(F.broadcast(ref))
     pos = F.col("__p") * F.lit(grid)
     lo = F.floor(pos).cast("int")
     frac = pos - F.floor(pos)
@@ -794,6 +837,96 @@ def _plan_size_bytes(df: DataFrame) -> int:
         return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     except Exception:
         return 1 << 62
+
+
+def _ranked_by_group_value(
+    df: DataFrame, group_cols: Sequence[str], value_col: str
+) -> DataFrame:
+    """Exact 0-based in-group rank of every row by ascending
+    ``value_col``, from a RANGE-PARTITIONED parallel sort — the shared
+    rank machinery of :func:`exact_group_percentiles` and the big-data
+    path of :func:`quantile_normalize` (r13/r14, guide §2.5 + §5).
+
+    Returns every input column plus ``__r`` (this row's exact 0-based
+    position within its group under ascending value order — ties get
+    DISTINCT consecutive positions in an unspecified order; callers
+    needing tie-stable semantics reduce over equal values, e.g.
+    ``min(__r)`` per (group, value)) and ``__n`` (the group's row
+    count). Rows whose ``value_col`` is NULL must be filtered out by
+    the caller (their rank is undefined here); NULL group keys form
+    their own group (eqNullSafe throughout).
+
+    Shape: ``repartitionByRange(*groups, value)`` + per-partition
+    sort is the only full-data exchange — parallel and spillable at
+    any group cardinality (the whole point: a ``Window.partitionBy``
+    rank concentrates each group into ONE task). Per-(partition,
+    group) counts + the partition's first local index give each row
+    ``__r = local_index − first_local_index + offset`` via a tiny
+    cumulative-summed counts table broadcast back.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql.window import Window
+
+    g = list(group_cols)
+    parts = df.repartitionByRange(
+        *g, F.col(value_col)
+    ).sortWithinPartitions(*g, value_col)
+    # PERSISTED (ADVICE r13): correctness requires BOTH consumers of
+    # this frame — the per-partition counts aggregate and the rank
+    # join — to observe identical range-partition boundaries and
+    # identical monotonically_increasing_id assignments.
+    # repartitionByRange's boundary sampling is documented as
+    # non-deterministic across separate exchanges, so without the
+    # persist the plan would be leaning on ReuseExchange (an
+    # optimizer rule that spark.sql.exchange.reuse=false, or any
+    # plan-shape drift, silently defeats) for ranks to line up with
+    # offsets. The cache pins one materialization; retried/lost
+    # blocks recompute from the SAME shuffle dependency (same
+    # boundaries), so consistency survives failure too.
+    tagged = parts.select(
+        "*",
+        F.spark_partition_id().alias("__pid"),
+        # low 33 bits of monotonically_increasing_id = the row index
+        # WITHIN this task's partition. Hard bound (ADVICE r13): a
+        # single range partition beyond 2^33 rows (8.6 B) would wrap
+        # and corrupt ranks — unreachable while partitions hold
+        # anywhere near the 100-200 MB/partition the engine's sizing
+        # doctrine targets (2^33 rows of even 1-byte values is 8 GiB
+        # in ONE partition; size partitions up long before that).
+        F.monotonically_increasing_id()
+        .bitwiseAND(F.lit((1 << 33) - 1))
+        .alias("__lid"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    per_part = tagged.groupBy("__pid", *g).agg(
+        F.count(F.lit(1)).alias("__c"), F.min("__lid").alias("__l0")
+    )
+    wg = Window.partitionBy(*g) if g else Window.partitionBy(F.lit(1))
+    wc = wg.orderBy("__pid")
+    counts = per_part.select(
+        F.col("__pid").alias("__cpid"),
+        *[F.col(c).alias(f"__ck_{i}") for i, c in enumerate(g)],
+        "__l0",
+        F.coalesce(
+            F.sum("__c").over(
+                wc.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("__off"),
+        F.sum("__c").over(wg).alias("__n"),
+    )
+    cond = F.col("__pid") == F.col("__cpid")
+    for i, c in enumerate(g):
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__ck_{i}"))
+    drop = ["__pid", "__lid", "__cpid", "__l0", "__off"] + [
+        f"__ck_{i}" for i in range(len(g))
+    ]
+    return (
+        tagged.join(F.broadcast(counts), cond)
+        .withColumn(
+            "__r", F.col("__lid") - F.col("__l0") + F.col("__off")
+        )
+        .drop(*drop)
+    )
 
 
 def exact_group_percentiles(
@@ -829,52 +962,26 @@ def exact_group_percentiles(
        percentile_aggregate`` over randomized data).
 
     NULL values are skipped and NULL group keys form their own group —
-    both exactly as the aggregate behaves (group-key equality uses
-    eqNullSafe throughout; verified value-equal against
-    ``F.percentile`` including the null group). Returns one row per
-    group: ``group_cols + out_cols``."""
-    from pyspark.sql.window import Window
+    group-key equality uses eqNullSafe throughout; verified
+    value-equal against ``F.percentile`` including the null group.
+    One DOCUMENTED divergence from the aggregate (ADVICE r13): a
+    group whose values are ALL NULL is dropped by the isNotNull
+    pre-filter and absent from the output, whereas ``F.percentile``
+    emits that group with NULL percentiles. Inside this engine every
+    consumer re-attaches stats with a LEFT join
+    (``join_group_stats``), where an absent row and a NULL-stats row
+    are indistinguishable; direct callers needing aggregate parity on
+    all-NULL groups must outer-join the group universe back. Returns
+    one row per (non-empty) group: ``group_cols + out_cols``.
 
+    The rank machinery (range sort + counts broadcast, persisted
+    against boundary-resampling divergence) lives in
+    :func:`_ranked_by_group_value`, shared with the big-data path of
+    :func:`quantile_normalize`."""
     g = list(group_cols)
     v = F.col(value_col)
     rows = df.where(v.isNotNull()).select(*g, v.alias("__v"))
-    parts = rows.repartitionByRange(*g, F.col("__v")).sortWithinPartitions(
-        *g, "__v"
-    )
-    tagged = parts.select(
-        *g,
-        "__v",
-        F.spark_partition_id().alias("__pid"),
-        F.monotonically_increasing_id()
-        .bitwiseAND(F.lit((1 << 33) - 1))
-        .alias("__lid"),
-    )
-    per_part = tagged.groupBy("__pid", *g).agg(
-        F.count(F.lit(1)).alias("__c"), F.min("__lid").alias("__l0")
-    )
-    wg = Window.partitionBy(*g) if g else Window.partitionBy(F.lit(1))
-    wc = wg.orderBy("__pid")
-    counts = per_part.select(
-        F.col("__pid").alias("__cpid"),
-        *[F.col(c).alias(f"__ck_{i}") for i, c in enumerate(g)],
-        "__l0",
-        F.coalesce(
-            F.sum("__c").over(
-                wc.rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ).alias("__off"),
-        F.sum("__c").over(wg).alias("__n"),
-    )
-    cond = F.col("__pid") == F.col("__cpid")
-    for i, c in enumerate(g):
-        cond = cond & F.col(c).eqNullSafe(F.col(f"__ck_{i}"))
-    ranked = tagged.join(F.broadcast(counts), cond).select(
-        *g,
-        "__v",
-        (F.col("__lid") - F.col("__l0") + F.col("__off")).alias("__r"),
-        "__n",
-    )
+    ranked = _ranked_by_group_value(rows, g, "__v")
     picks = []
     for i, frac in enumerate(fracs):
         pos = F.lit(float(frac)) * (F.col("__n") - 1).cast("double")

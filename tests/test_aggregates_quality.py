@@ -528,7 +528,47 @@ def test_outlier_ensemble_sort_path_bit_equal(spark, monkeypatch):
             )
         )
 
+    # ADVICE r14 (medium): createDataFrame plans estimate sizeInBytes
+    # = Long.MaxValue, so without forcing the estimate DOWN the
+    # "small" baseline would ALSO take the sort path and the test
+    # would compare the big path to itself. Pin the aggregate path
+    # explicitly (a threshold bump cannot exceed Long.MaxValue), then
+    # pin the sort path for the comparison run.
+    monkeypatch.setattr(Q, "_plan_size_bytes", lambda _df: 0)
     small = run()
-    monkeypatch.setattr(Q, "_PERCENTILE_SORT_BYTES", 0)
+    monkeypatch.setattr(Q, "_plan_size_bytes", lambda _df: 1 << 62)
     big = run()
     assert small == big and len(small) > 0
+
+
+def test_quantile_normalize_sort_path_bit_equal(spark, monkeypatch):
+    """r14: the size-adaptive percent-rank strategy must not change
+    results — window rank vs range-sort rank, bit-for-bit, over
+    randomized ragged groups with heavy ties, NULL values, a NULL
+    group key, and a single-row group."""
+    import numpy as np
+
+    rng = np.random.default_rng(41)
+    rows = []
+    for gi in range(5):
+        n = int(rng.integers(1, 500))
+        vals = np.round(rng.normal(0, 100, n), 1)  # 1-decimal => ties
+        rows += [
+            (1000 * gi + i, f"g{gi}", float(x)) for i, x in enumerate(vals)
+        ]
+    rows += [(9001, "g0", None), (9002, None, 3.5), (9003, None, 3.5)]
+    rows += [(9004, "solo", 42.0)]  # single-value group -> p = 0.0
+    df = spark.createDataFrame(rows, "rid long, k string, v double")
+
+    def run():
+        out = Q.quantile_normalize(df, ["k"], "v", grid=20)
+        return sorted(
+            (r["rid"], r["v_qnorm"]) for r in out.collect()
+        )
+
+    monkeypatch.setattr(Q, "_plan_size_bytes", lambda _df: 0)
+    small = run()
+    monkeypatch.setattr(Q, "_plan_size_bytes", lambda _df: 1 << 62)
+    big = run()
+    assert len(small) == len(rows)
+    assert small == big
