@@ -120,7 +120,16 @@ def _free_local_checkpoint(df: DataFrame) -> None:
     must only pass generations nothing references again. Best-effort:
     the py4j path is private API, so any reflection failure falls
     back to the old GC-eventually behavior rather than erroring.
+
+    Also releases plain ``persist()`` caches (r14): the first
+    superseded generation of the CC loop is now a persisted frame,
+    not a checkpoint, and for those the public ``Dataset.unpersist``
+    IS the correct (and sufficient) release path.
     """
+    try:
+        df.unpersist(False)
+    except Exception:
+        pass
     try:
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
     except Exception:
@@ -172,7 +181,13 @@ def _cc_single_task(e: DataFrame) -> DataFrame:
                 {"node": nodes, "component": [find(n) for n in nodes]}
             )
 
-    return e.repartition(1).mapInPandas(part, out_schema)
+    # coalesce(1), not repartition(1): the input is already
+    # materialized (persisted/checkpointed by connected_components),
+    # so one task reading the cached blocks directly beats a
+    # 1-partition shuffle of the whole edge set (r14; narrow
+    # dependency, zero shuffle I/O). Union-find is order-insensitive,
+    # so the partition traversal order cannot change the labels.
+    return e.coalesce(1).mapInPandas(part, out_schema)
 
 
 def connected_components(
@@ -198,8 +213,19 @@ def connected_components(
     of round k is consumed by both round k+1 and the convergence
     checksum, and a lazily-checkpointed subtree consumed twice gets
     computed twice (see NOTES.md round-2 landmine).
+
+    The INITIAL edge set is persisted, not checkpointed (r14): the
+    checksum aggregate that immediately follows materializes the
+    cache in the same action, so the separate eager-checkpoint
+    barrier job disappears — one job instead of two before the
+    algorithm is even chosen. Lineage depth grows by just the one
+    dedup layer (the loop still truncates per round), and
+    ``_free_local_checkpoint`` releases persisted frames too, so the
+    generation-freeing discipline is unchanged.
     """
-    e = _dedup_edges(edges, a, b).localCheckpoint(eager=True)
+    from pyspark import StorageLevel
+
+    e = _dedup_edges(edges, a, b).persist(StorageLevel.MEMORY_AND_DISK)
     prev = _edge_checksum(e)
     if prev[0] <= small_graph_edges:
         return _cc_single_task(e)
@@ -734,7 +760,15 @@ def k_core(
     Returns (node, deg) for nodes in the surviving core (deg >= k
     within the peeled edge set).
     """
-    e = _canonical_undirected(edges, src, dst).localCheckpoint(eager=True)
+    from pyspark import StorageLevel
+
+    # persist + count materializes the canonical edge set in ONE job
+    # (the count IS the materializing action) — the eager-checkpoint
+    # barrier ran a separate job first (r14, same move as
+    # connected_components' initial edge set)
+    e = _canonical_undirected(edges, src, dst).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     n_edges = e.count()
     for _ in range(max_peels):
         if n_edges == 0:

@@ -227,22 +227,31 @@ def iqr_outliers(
     # One aggregate with an array of percentages: both quartiles come
     # from a single shared per-group buffer (value map / KLL sketch)
     # instead of two independently built-and-merged ones — identical
-    # values, ~half the aggregation work (r9).
-    qq = F.array(F.lit(0.25), F.lit(0.75))
-    both = (
-        F.percentile(value, qq)
-        if exact
-        else F.approx_percentile(value, qq, F.lit(accuracy))
-    )
-    bounds = (
-        df.groupBy(*by)
-        .agg(both.alias("__qq"))
-        .select(
-            *by,
-            F.col("__qq")[0].alias("__q1"),
-            F.col("__qq")[1].alias("__q3"),
+    # values, ~half the aggregation work (r9). The exact path is
+    # size-adaptive (r14): past _PERCENTILE_SORT_BYTES the quartiles
+    # come from the range-partitioned distributed sort instead of the
+    # one-task-per-group buffer (see _group_percentile_stats); the
+    # approx sketch needs no such escape — its state is O(accuracy)
+    # per group at any scale.
+    if exact:
+        bounds = _group_percentile_stats(
+            df, by, value, [0.25, 0.75], ["__q1", "__q3"]
         )
-    )
+    else:
+        qq = F.array(F.lit(0.25), F.lit(0.75))
+        bounds = (
+            df.groupBy(*by)
+            .agg(
+                F.approx_percentile(value, qq, F.lit(accuracy)).alias(
+                    "__qq"
+                )
+            )
+            .select(
+                *by,
+                F.col("__qq")[0].alias("__q1"),
+                F.col("__qq")[1].alias("__q3"),
+            )
+        )
     joined = join_group_stats(df, bounds, by)
     iqr = F.col("__q3") - F.col("__q1")
     is_out = (F.col(value) < F.col("__q1") - k * iqr) | (
@@ -358,17 +367,21 @@ def mad_outliers(
     """
     if mode not in ("flag", "drop", "only"):
         raise ValueError(f"unknown mode: {mode!r}")
-    med = df.groupBy(*by).agg(
-        F.percentile(value, F.lit(0.5)).alias("__med")
-    )
+    # Both percentile passes are size-adaptive (r14): exact medians
+    # from the shared-buffer aggregate while groups fit one task,
+    # from the range-partitioned sort past _PERCENTILE_SORT_BYTES
+    # (see _group_percentile_stats). The group median rides along on
+    # the dev frame instead of a first() in the MAD aggregate — same
+    # values (it is group-constant), and the sort path has no slot
+    # for a passenger aggregate.
+    med = _group_percentile_stats(df, by, value, [0.5], ["__med"])
     dev = join_group_stats(df, med, by).withColumn(
         "__adev", F.abs(F.col(value) - F.col("__med"))
     )
-    mad = dev.groupBy(*by).agg(
-        F.percentile("__adev", F.lit(0.5)).alias("__mad"),
-        F.first("__med").alias("__med2"),
+    mad = _group_percentile_stats(dev, by, "__adev", [0.5], ["__mad"])
+    joined = join_group_stats(
+        dev.withColumnRenamed("__med", "__med2").drop("__adev"), mad, by
     )
-    joined = join_group_stats(df, mad, by)
     score = F.abs(F.col(value) - F.col("__med2")) / (
         F.lit(consistency) * F.col("__mad")
     )
@@ -605,19 +618,11 @@ def winsorize(
     """
     out_col = out_col or f"{value_col}_winsorized"
     # Both clip bounds from ONE shared percentile buffer per group
-    # (identical values to two scalar aggregates, half the work — r9).
-    bounds = (
-        df.groupBy(*group_cols)
-        .agg(
-            F.percentile(
-                value_col, F.array(F.lit(lower), F.lit(upper))
-            ).alias("__b")
-        )
-        .select(
-            *group_cols,
-            F.col("__b")[0].alias("__lo"),
-            F.col("__b")[1].alias("__hi"),
-        )
+    # (identical values to two scalar aggregates, half the work — r9);
+    # size-adaptive past _PERCENTILE_SORT_BYTES (r14, see
+    # _group_percentile_stats).
+    bounds = _group_percentile_stats(
+        df, group_cols, value_col, [lower, upper], ["__lo", "__hi"]
     )
     v = F.col(value_col)
     clipped = (
@@ -929,6 +934,66 @@ def _ranked_by_group_value(
     )
 
 
+def _group_percentile_stats(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    fracs: Sequence[float],
+    out_cols: Sequence[str],
+) -> DataFrame:
+    """Size-adaptive exact per-group percentiles — ONE strategy
+    chooser shared by every group-percentile-bounds operator
+    (``iqr_outliers``, ``mad_outliers``, ``winsorize``,
+    ``outlier_ensemble``; r14, VERDICT r13 #8).
+
+    Below ``_PERCENTILE_SORT_BYTES`` (optimizer input-size estimate,
+    no job): ONE shared-buffer ``F.percentile`` aggregate over an
+    array of fractions — fastest when a group's values fit one task
+    comfortably (the r9 shared-buffer discipline). Above it:
+    :func:`exact_group_percentiles`' range-partitioned distributed
+    sort — parallel and spillable where the aggregate would buffer a
+    group's ENTIRE value set in one task (the 100 TB killer when
+    groups are few). Both paths are bit-identical (interpolation
+    arithmetic pinned by tests); returns one row per group,
+    ``group_cols + out_cols``, all-NULL-value groups carrying NULL
+    stats on the aggregate path and absent on the sort path (every
+    consumer re-attaches with a LEFT join, where the two are
+    indistinguishable)."""
+    if _plan_size_bytes(df) > _PERCENTILE_SORT_BYTES:
+        stats = exact_group_percentiles(
+            df, group_cols, value_col, fracs, out_cols
+        )
+        if not list(group_cols):
+            # GLOBAL case (by=[]): consumers crossJoin the 1-row
+            # stats frame (join_group_stats contract), but an
+            # all-NULL input yields ZERO sort-path rows — and a
+            # crossJoin with an empty frame would DROP every data
+            # row where the aggregate emits one NULL-stats row and
+            # preserves them. Splice in an in-plan fallback row that
+            # materializes only when no non-null value exists.
+            fallback = (
+                df.agg(F.count(F.col(value_col)).alias("__c"))
+                .where(F.col("__c") == 0)
+                .select(
+                    *[
+                        F.lit(None).cast("double").alias(n)
+                        for n in out_cols
+                    ]
+                )
+            )
+            stats = stats.unionByName(fallback)
+        return stats
+    agg = df.groupBy(*group_cols).agg(
+        F.percentile(
+            value_col, F.array(*[F.lit(float(f)) for f in fracs])
+        ).alias("__p")
+    )
+    return agg.select(
+        *group_cols,
+        *[F.col("__p")[i].alias(n) for i, n in enumerate(out_cols)],
+    )
+
+
 def exact_group_percentiles(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -1046,47 +1111,29 @@ def outlier_ensemble(
     """
     v = F.col(value_col)
     g = list(group_cols)
-    # Percentile strategy is SIZE-ADAPTIVE (r13; same pattern as the
-    # CC union-find and pagerank storage thresholds). Small inputs use
-    # ONE shared-buffer Percentile aggregate (the r9 fix over five
-    # independent buffers) — fastest when a group's values fit one
-    # task comfortably. Past _PERCENTILE_SORT_BYTES of estimated input
-    # the sort-based exact_group_percentiles takes over: the aggregate
-    # buffers EVERY value of a group in one task (a ~|groups|-wide
-    # stage with an unbounded buffer — the 100 TB killer when groups
-    # are few), while the distributed sort is fully parallel and
-    # spillable. Both paths are bit-identical (interpolation pinned by
-    # test + oracle) and the decision costs no job (file statistics).
+    # Percentile strategy is SIZE-ADAPTIVE (r13; generalized r14 into
+    # _group_percentile_stats, shared with iqr_outliers/mad_outliers/
+    # winsorize). Small inputs use ONE shared-buffer Percentile
+    # aggregate (the r9 fix over five independent buffers) — fastest
+    # when a group's values fit one task comfortably. Past
+    # _PERCENTILE_SORT_BYTES of estimated input the sort-based
+    # exact_group_percentiles takes over: the aggregate buffers EVERY
+    # value of a group in one task (a ~|groups|-wide stage with an
+    # unbounded buffer — the 100 TB killer when groups are few),
+    # while the distributed sort is fully parallel and spillable.
+    # Both paths are bit-identical (interpolation pinned by test +
+    # oracle) and the decision costs no job (file statistics).
     fracs = [0.25, 0.75, 0.5, p_extreme, 1 - p_extreme]
     names1 = ["__q1", "__q3", "__med", "__plo", "__phi"]
-    big = _plan_size_bytes(df) > _PERCENTILE_SORT_BYTES
-    if big:
-        stats1 = exact_group_percentiles(df, g, value_col, fracs, names1)
-    else:
-        stats1 = (
-            df.groupBy(*g)
-            .agg(
-                F.percentile(
-                    value_col, F.array(*[F.lit(x) for x in fracs])
-                ).alias("__p")
-            )
-            .select(
-                *g, *[F.col("__p")[i].alias(n) for i, n in enumerate(names1)]
-            )
-        )
+    stats1 = _group_percentile_stats(df, g, value_col, fracs, names1)
     with_med = join_group_stats(df, F.broadcast(stats1), g)
-    if big:
-        mad = exact_group_percentiles(
-            with_med.withColumn("__absdev", F.abs(v - F.col("__med"))),
-            g,
-            "__absdev",
-            [0.5],
-            ["__mad"],
-        )
-    else:
-        mad = with_med.groupBy(*g).agg(
-            F.percentile(F.abs(v - F.col("__med")), F.lit(0.5)).alias("__mad")
-        )
+    mad = _group_percentile_stats(
+        with_med.withColumn("__absdev", F.abs(v - F.col("__med"))),
+        g,
+        "__absdev",
+        [0.5],
+        ["__mad"],
+    )
     j = join_group_stats(with_med, F.broadcast(mad), g)
     iqr = F.col("__q3") - F.col("__q1")
     flag_iqr = (v < F.col("__q1") - F.lit(iqr_k) * iqr) | (

@@ -572,3 +572,48 @@ def test_quantile_normalize_sort_path_bit_equal(spark, monkeypatch):
     big = run()
     assert len(small) == len(rows)
     assert small == big
+
+
+def test_iqr_mad_winsorize_sort_path_bit_equal(spark, monkeypatch):
+    """r14: _group_percentile_stats gates iqr_outliers, mad_outliers
+    and winsorize onto the range-sort percentile path at scale — both
+    strategies must agree bit-for-bit, grouped AND global (by=[]),
+    with ties, NULL values, a NULL group key, and an all-NULL group."""
+    import numpy as np
+
+    rng = np.random.default_rng(29)
+    rows = []
+    rid = 0
+    for gi in range(4):
+        n = int(rng.integers(2, 400))
+        vals = np.round(rng.normal(50 * gi, 30, n), 1)
+        vals[: max(1, n // 50)] += 4000  # definite outliers
+        for x in vals:
+            rows.append((rid, f"g{gi}", float(x))); rid += 1
+    rows += [(9001, "g0", None), (9002, None, 7.5), (9003, None, 7.5)]
+    rows += [(9004, "allnull", None), (9005, "allnull", None)]
+    df = spark.createDataFrame(rows, "rid long, k string, v double")
+
+    def runs():
+        out = []
+        for by in (["k"], []):
+            out.append(sorted(
+                (r["rid"], r["is_outlier"])
+                for r in Q.iqr_outliers(df, "v", by).collect()
+            ))
+            out.append(sorted(
+                (r["rid"], r["is_outlier"], r["mad_score"])
+                for r in Q.mad_outliers(df, "v", by).collect()
+            ))
+            out.append(sorted(
+                (r["rid"], r["v_winsorized"])
+                for r in Q.winsorize(df, by, "v").collect()
+            ))
+        return out
+
+    monkeypatch.setattr(Q, "_plan_size_bytes", lambda _df: 0)
+    small = runs()
+    monkeypatch.setattr(Q, "_plan_size_bytes", lambda _df: 1 << 62)
+    big = runs()
+    assert all(len(s) == len(rows) for s in small)  # row-preserving
+    assert small == big
