@@ -700,9 +700,20 @@ def basket_lift(
     back; counts exact, ratios one fixed expression. Ties in the
     top-k break on the item pair.
     """
+    # Eagerly materialized (r14): this distinct frame feeds FOUR
+    # independent subtrees — the basket-count aggregate, the item
+    # totals (broadcast twice under different aliases, so ReuseExchange
+    # cannot dedupe them), and both sides of the pair self-join. The
+    # REST job profile showed the scan+distinct executing three times
+    # as separate broadcast-build jobs (0.4-1.0s each at sf0.1); with
+    # the checkpoint each consumer reads the cache (those jobs drop to
+    # ~0.25s; total job time 3.5 → 2.6s — wall-neutral locally only
+    # because an idle 32-core host absorbs the duplicates in parallel).
+    # At 100 TB re-deriving a corpus-sized distinct per consumer is
+    # three full scans+shuffles instead of one.
     bi = df.select(
         F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     n_baskets = bi.agg(
         F.count_distinct("__b").cast("double").alias("__nb")
     )
