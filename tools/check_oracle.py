@@ -316,8 +316,14 @@ def main() -> int:
         "region nation customer supplier part orders lineitem events "
         "documents embeddings"
     ).split():
+        # r14: replica fact tables may be a DIRECTORY of parquet files
+        # (tools/make_sfN.py multi-file layout — real corpora are many
+        # files and single-file monoliths blinded scan parallelism);
+        # glob those, keep the flat-file form for driver testdata.
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
         )
 
     queries = entry_mod.queries()

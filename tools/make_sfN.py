@@ -29,6 +29,18 @@ import duckdb
 
 STRIDE = 100_000_000
 
+# Replicated tables whose output exceeds this are written as a
+# DIRECTORY of ~this-many-byte parquet files instead of one monolith
+# (r14, guide §6 file layout; VERDICT r13 #5): a single file at or
+# under spark.sql.files.maxPartitionBytes (128 MB default) is ONE
+# scan task no matter how many row groups it holds, which blinded the
+# 8-vs-32-core scaling signal for every aggregate-scan query — a real
+# 10× corpus is many files, and the replica should look like one.
+# 64 MB files leave each file its own split at default settings.
+# Spark reads the directory transparently; the oracle harness globs
+# it (tools/check_oracle.py resolves dir vs file per table).
+FILE_BYTES = 64 * 1024 * 1024
+
 # table -> columns to offset per copy
 OFFSET_KEYS: dict[str, list[str]] = {
     "customer": ["c_custkey"],
@@ -41,6 +53,15 @@ OFFSET_KEYS: dict[str, list[str]] = {
     "embeddings": ["vec_id"],
 }
 COPY_AS_IS = ["region", "nation"]
+
+
+def count_rows(con: "duckdb.DuckDBPyConnection", out: Path) -> int:
+    """Row count of a table artifact — single parquet file or the
+    multi-file directory layout."""
+    pat = f"{out}/*.parquet" if out.is_dir() else str(out)
+    return con.execute(
+        f"SELECT count(*) FROM read_parquet('{pat}')"
+    ).fetchone()[0]
 
 
 def scale_table(
@@ -119,12 +140,19 @@ def scale_table(
             else f'"{c}"'
             for c in cols
         )
-        con.execute(
-            f"COPY (SELECT {proj} FROM '{f}' CROSS JOIN "
-            f"(SELECT unnest(range({factor})) AS i) AS __copy) "
-            f"TO '{out}' (FORMAT PARQUET)"
+        select = (
+            f"SELECT {proj} FROM '{f}' CROSS JOIN "
+            f"(SELECT unnest(range({factor})) AS i) AS __copy"
         )
-    return con.execute(f"SELECT count(*) FROM '{out}'").fetchone()[0]
+        if f.stat().st_size * factor > FILE_BYTES:
+            # multi-file directory layout — see FILE_BYTES
+            con.execute(
+                f"COPY ({select}) TO '{out}' "
+                f"(FORMAT PARQUET, FILE_SIZE_BYTES {FILE_BYTES})"
+            )
+        else:
+            con.execute(f"COPY ({select}) TO '{out}' (FORMAT PARQUET)")
+    return count_rows(con, out)
 
 
 def main() -> int:
@@ -142,6 +170,11 @@ def main() -> int:
     # meaningless here — every consumer is order-free and the
     # differential gate canonicalizes before hashing.
     con.execute("SET preserve_insertion_order = false")
+    import shutil
+
+    def _remove(p: Path) -> None:
+        shutil.rmtree(p) if p.is_dir() else p.unlink()
+
     for f in sorted(src.glob("*.parquet")):
         out = dst / f"{f.stem}.parquet"
         if out.exists() and out.stat().st_size > 0:
@@ -154,9 +187,7 @@ def main() -> int:
             # different factor silently yields a mixed-scale directory
             # (ADVICE r12).
             try:
-                n = con.execute(
-                    f"SELECT count(*) FROM '{out}'"
-                ).fetchone()[0]
+                n = count_rows(con, out)
                 n_src = con.execute(
                     f"SELECT count(*) FROM '{f}'"
                 ).fetchone()[0]
@@ -168,9 +199,9 @@ def main() -> int:
                     f"{f.stem}: existing file has {n} rows, expected "
                     f"{n_src * mult} for factor {factor} — rebuilding"
                 )
-                out.unlink()
+                _remove(out)
             except duckdb.Error:
-                out.unlink()
+                _remove(out)
         n = scale_table(con, src, dst, f.stem, factor)
         print(f"{f.stem}: {n} rows")
     return 0
