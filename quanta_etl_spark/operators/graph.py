@@ -760,15 +760,14 @@ def k_core(
     Returns (node, deg) for nodes in the surviving core (deg >= k
     within the peeled edge set).
     """
-    from pyspark import StorageLevel
-
-    # persist + count materializes the canonical edge set in ONE job
-    # (the count IS the materializing action) — the eager-checkpoint
-    # barrier ran a separate job first (r14, same move as
-    # connected_components' initial edge set)
-    e = _canonical_undirected(edges, src, dst).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # The connected_components-style persist+count fusion was tried
+    # here too (r14) and REVERTED on measurement: k_core re-reads the
+    # edge frame several times per peel round (degree agg + two
+    # semi-joins), and iterating against the InMemoryRelation measured
+    # ~2× slower than against the materialized checkpoint RDD
+    # (isolated A/B min-of-3: 1.38s checkpoint vs 2.65s persist) —
+    # the barrier job it saves is cheaper than what the loop loses.
+    e = _canonical_undirected(edges, src, dst).localCheckpoint(eager=True)
     n_edges = e.count()
     for _ in range(max_peels):
         if n_edges == 0:
