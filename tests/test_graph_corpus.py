@@ -672,20 +672,22 @@ def test_free_local_checkpoint_actually_frees_blocks(spark):
     Dataset.unpersist alone must NOT free a localCheckpoint's blocks
     (if a Spark release ever makes it work, the helper can be retired
     -- this test failing on its second assertion is that signal)."""
+    # other tests on the shared session may have left their own
+    # cached RDDs — track only the ids THIS checkpoint adds
+    pre = _cached_rdd_ids(spark)
     df = spark.range(0, 10_000).localCheckpoint(eager=True)
-    before = _cached_rdd_ids(spark)
-    assert before, "eager localCheckpoint left no cached blocks"
+    mine = _cached_rdd_ids(spark) - pre
+    assert mine, "eager localCheckpoint left no cached blocks"
 
     # public API is a documented no-op on checkpoint blocks
     df.unpersist(blocking=True)
-    assert _cached_rdd_ids(spark) == before, (
+    assert mine <= _cached_rdd_ids(spark), (
         "Dataset.unpersist now frees localCheckpoint blocks - the "
         "private-API helper may be retirable"
     )
 
     graph_ops._free_local_checkpoint(df)
-    after = _cached_rdd_ids(spark)
-    assert not (before & after), (
+    assert not (mine & _cached_rdd_ids(spark)), (
         "localCheckpoint blocks still cached after "
         "_free_local_checkpoint - the py4j path has drifted and the "
         "sf100 generation-freeing discipline is silently broken"
@@ -696,17 +698,19 @@ def test_free_local_checkpoint_releases_persisted_frames(spark):
     """r14: the CC loop's first superseded generation is now a plain
     persist() cache - the helper must release those too (public
     unpersist path)."""
+    pre = _cached_rdd_ids(spark)
     df = spark.range(0, 10_000).persist()
     df.count()
-    assert _cached_rdd_ids(spark), "persist+count cached nothing"
+    mine = _cached_rdd_ids(spark) - pre
+    assert mine, "persist+count cached nothing"
     graph_ops._free_local_checkpoint(df)
     # allow the blocking=False release a moment to settle
     import time
 
     for _ in range(20):
-        if not _cached_rdd_ids(spark):
+        if not (mine & _cached_rdd_ids(spark)):
             break
         time.sleep(0.1)
-    assert not _cached_rdd_ids(spark), (
+    assert not (mine & _cached_rdd_ids(spark)), (
         "persisted frame still cached after _free_local_checkpoint"
     )
